@@ -1,0 +1,16 @@
+from wolf_quake_spark.operators.aggregates import (  # noqa: F401
+    game_summaries,
+    game_totals,
+    mod_histogram,
+    player_names,
+    player_ranking,
+    player_scores,
+    roster,
+)
+from wolf_quake_spark.operators.enrich import enrich_mod, enrich_tool  # noqa: F401
+from wolf_quake_spark.operators.extract import (  # noqa: F401
+    extract_events,
+    extract_events_sql,
+)
+from wolf_quake_spark.operators.sessionize import assign_games, games_frame  # noqa: F401
+from wolf_quake_spark.operators.validate import orphan_references  # noqa: F401
