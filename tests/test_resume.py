@@ -1,0 +1,124 @@
+"""Fan-out routing, checkpoint/resume, strict mode, and the CLI."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import pytest
+
+from wolf_quake_spark.cli import main as cli_main
+from wolf_quake_spark.datagen import synth_transcripts
+from wolf_quake_spark.operators import assign_games, extract_events
+from wolf_quake_spark.operators.route import route
+from wolf_quake_spark.plans.checkpoint import Manifest
+from wolf_quake_spark.plans.pipeline import (
+    PipelineRejectError,
+    run_batch,
+    run_resumable,
+)
+from wolf_quake_spark.sources.catalog import SinkCatalog
+
+
+@pytest.fixture(scope="module")
+def small_input(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("input") / "transcripts")
+    df = synth_transcripts(spark, n_convs=12, lines_per_turn=3, n_games=4, kills_per_game=12)
+    df.repartition(6, "conv_id").write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_routed_rows_partition_gated_lines(spark, small_input):
+    tr = spark.read.parquet(small_input)
+    audit = extract_events(tr, audit=True)
+    gated = audit.filter("event_type <> 'dropped'").count()
+    ignored = audit.filter("event_type = 'ignored'").count()
+
+    sess = assign_games(extract_events(tr))
+    sinks = route(sess, with_orphans=False)
+    routed = sum(sinks[s].count() for s in ("kills", "game_boundaries", "player_state", "rejects"))
+    assert routed + ignored == gated
+
+
+def test_resume_skips_completed_and_counts_match(spark, small_input, tmp_path):
+    out1 = str(tmp_path / "run_full")
+    m1 = run_resumable(spark, small_input, out1, files_per_batch=2)
+    assert len(m1.completed) >= 2
+    totals_full = m1.totals()
+    assert totals_full["kills"] > 0 and totals_full["game_totals"] > 0
+
+    # interrupted run: pretend the last batch died mid-write — drop its
+    # manifest entry and scribble partial junk into its sink dir
+    out2 = str(tmp_path / "run_interrupted")
+    m2 = run_resumable(spark, small_input, out2, files_per_batch=2)
+    records = m2.records()
+    victim = records[-1]
+    manifest_path = os.path.join(out2, "_manifest.json")
+    data = json.load(open(manifest_path))
+    data["batches"] = [b for b in data["batches"] if b["batch_id"] != victim.batch_id]
+    json.dump(data, open(manifest_path, "w"))
+    # leave a partial/corrupt batch dir behind (must be overwritten on resume)
+    for sink in ("kills", "game_totals"):
+        d = os.path.join(out2, sink, f"batch={victim.batch_id}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        open(os.path.join(d, "part-junk.parquet"), "w").write("not parquet")
+
+    m3 = run_resumable(spark, small_input, out2, files_per_batch=2)
+    assert m3.totals() == totals_full
+    # and the final sink contents equal the uninterrupted run's
+    for sink in ("kills", "player_ranking"):
+        a = spark.read.parquet(os.path.join(out1, sink, "*")).count()
+        b = spark.read.parquet(os.path.join(out2, sink, "*")).count()
+        assert a == b
+
+
+def test_resume_is_noop_when_complete(spark, small_input, tmp_path):
+    out = str(tmp_path / "run")
+    m1 = run_resumable(spark, small_input, out, files_per_batch=3)
+    mtimes = {p: os.path.getmtime(p) for p in glob.glob(os.path.join(out, "kills", "*", "*"))}
+    m2 = run_resumable(spark, small_input, out, files_per_batch=3)
+    assert m2.completed == m1.completed
+    assert {p: os.path.getmtime(p) for p in glob.glob(os.path.join(out, "kills", "*", "*"))} == mtimes
+
+
+def test_strict_mode_raises_on_rejects(spark, tmp_path):
+    from wolf_quake_spark.datagen import transcripts_from_log
+
+    tr = transcripts_from_log(spark, " 0:01 Kill: x 3 7:\n 0:02 ShutdownGame:", "c0")
+    cat = SinkCatalog(spark, str(tmp_path / "strict_out"))
+    with pytest.raises(PipelineRejectError):
+        run_batch(tr, cat, "b0", strict=True)
+    # lenient: same input runs clean and routes the reject
+    res = run_batch(tr, cat, "b1", strict=False)
+    assert res.counts["rejects"] == 1
+
+
+def test_cli_generate_run_report(spark, tmp_path, capsys):
+    data = str(tmp_path / "cli_data")
+    out = str(tmp_path / "cli_out")
+    cli_main(["generate", "--out", data, "--convs", "4", "--out-partitions", "2",
+              "--lines-per-turn", "2"])
+    gen = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert gen["written_turns"] > 0
+
+    cli_main(["run", "--input", data, "--out", out, "--files-per-batch", "1"])
+    run_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert run_out["batches"] >= 1 and run_out["totals"]["kills"] > 0
+
+    cli_main(["report", "--out", out])
+    rep = capsys.readouterr().out
+    assert "Total game kills" in rep and "Game 1" in rep
+
+
+def test_manifest_atomicity(tmp_path):
+    from wolf_quake_spark.plans.checkpoint import BatchRecord
+
+    m = Manifest(str(tmp_path))
+    m.record(BatchRecord("b1", ["f1"], {"kills": 3}, 0.1))
+    m.record(BatchRecord("b2", ["f2"], {"kills": 4}, 0.1))
+    m2 = Manifest(str(tmp_path))
+    assert m2.completed == {"b1", "b2"}
+    assert m2.totals() == {"kills": 7}

@@ -1,0 +1,101 @@
+"""spark-submit entry point.
+
+Examples::
+
+    # generate a seeded synthetic transcripts table
+    spark-submit --py-files wqs.zip -m wolf_quake_spark.cli generate \
+        --out /data/transcripts --convs 512 --mega-factor 200
+
+    # run the pipeline, resumable
+    spark-submit --py-files wqs.zip -m wolf_quake_spark.cli run \
+        --input /data/transcripts --out /data/pipeline_out --strict
+
+(Module-style invocation also works plain: ``python -m wolf_quake_spark.cli``.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from wolf_quake_spark.session import build_session
+
+
+def _cmd_generate(args: argparse.Namespace) -> None:
+    from wolf_quake_spark.datagen import synth_transcripts
+
+    spark = build_session("wqs-generate", master=args.master)
+    df = synth_transcripts(
+        spark,
+        n_convs=args.convs,
+        lines_per_turn=args.lines_per_turn,
+        seed=args.seed,
+        mega_factor=args.mega_factor,
+    )
+    # conv-partitioned layout: a conversation never spans files, which is the
+    # resumable-batch correctness precondition (plans/pipeline.py)
+    df.repartition(args.out_partitions, "conv_id").write.mode("overwrite").parquet(
+        args.out
+    )
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"written_turns": n, "path": args.out}))
+
+
+def _cmd_run(args: argparse.Namespace) -> None:
+    from wolf_quake_spark.plans.pipeline import run_resumable
+
+    spark = build_session("wqs-run", master=args.master)
+    manifest = run_resumable(
+        spark,
+        input_path=args.input,
+        out_dir=args.out,
+        files_per_batch=args.files_per_batch,
+        strict=args.strict,
+        extractor=args.extractor,
+        iceberg_catalog=args.iceberg_catalog,
+    )
+    print(json.dumps({"batches": len(manifest.completed), "totals": manifest.totals()}))
+
+
+def _cmd_report(args: argparse.Namespace) -> None:
+    from wolf_quake_spark.report import report_from_out_dir
+
+    spark = build_session("wqs-report", master=args.master)
+    print(report_from_out_dir(spark, args.out, fmt=args.format))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="wolf_quake_spark")
+    p.add_argument("--master", default=None, help="spark master override")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write a seeded synthetic transcripts table")
+    g.add_argument("--out", required=True)
+    g.add_argument("--convs", type=int, default=256)
+    g.add_argument("--lines-per-turn", type=int, default=4)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--mega-factor", type=int, default=0)
+    g.add_argument("--out-partitions", type=int, default=32)
+    g.set_defaults(fn=_cmd_generate)
+
+    r = sub.add_parser("run", help="run the pipeline (resumable)")
+    r.add_argument("--input", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--files-per-batch", type=int, default=64)
+    r.add_argument("--strict", action="store_true")
+    r.add_argument("--extractor", choices=["udf", "sql"], default="udf")
+    r.add_argument("--iceberg-catalog", default=None)
+    r.set_defaults(fn=_cmd_run)
+
+    rep = sub.add_parser("report", help="render the per-game report from a run's output")
+    rep.add_argument("--out", required=True, help="pipeline output dir")
+    rep.add_argument("--format", choices=["text", "html"], default="text")
+    rep.set_defaults(fn=_cmd_report)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

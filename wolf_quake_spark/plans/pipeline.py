@@ -1,0 +1,119 @@
+"""End-to-end pipeline assembly: parse → enrich → route → aggregate.
+
+``run_batch`` executes the logical pipeline on one transcripts DataFrame;
+``run_resumable`` drives it batch-by-batch over a file-based input with the
+checkpoint manifest (plans/checkpoint.py).
+
+Strict vs lenient (reference aborts on first malformed gated line,
+src/main.rs:33-39): ``strict=True`` raises ``PipelineRejectError`` after the
+rejects sink lands if any reject rows exist; lenient keeps going.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+
+from wolf_quake_spark.operators.aggregates import (
+    game_totals,
+    mod_histogram,
+    player_ranking,
+)
+from wolf_quake_spark.operators.extract import extract_events, extract_events_sql
+from wolf_quake_spark.operators.route import route
+from wolf_quake_spark.operators.sessionize import assign_games
+from wolf_quake_spark.plans.checkpoint import Manifest, BatchRecord, plan_batches
+from wolf_quake_spark.sources.catalog import SinkCatalog
+
+AGG_SINKS = ("game_totals", "mod_histogram", "player_ranking")
+
+
+class PipelineRejectError(RuntimeError):
+    pass
+
+
+@dataclass
+class BatchResult:
+    counts: dict[str, int]
+    wall_secs: float
+
+
+def run_batch(
+    transcripts: DataFrame,
+    catalog: SinkCatalog,
+    batch_id: str,
+    strict: bool = False,
+    extractor: str = "udf",
+    with_aggregates: bool = True,
+) -> BatchResult:
+    t0 = time.monotonic()
+    extract = extract_events if extractor == "udf" else extract_events_sql
+    sess = assign_games(extract(transcripts)).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        counts: dict[str, int] = {}
+        sinks = route(sess)
+        for name, df in sinks.items():
+            catalog.write_batch(df, name, batch_id)
+            counts[name] = catalog.read_batch(name, batch_id).count()
+        if with_aggregates:
+            aggs = {
+                "game_totals": game_totals(sess),
+                "mod_histogram": mod_histogram(sess),
+                "player_ranking": player_ranking(sess),
+            }
+            for name, df in aggs.items():
+                catalog.write_batch(df, name, batch_id)
+                counts[name] = catalog.read_batch(name, batch_id).count()
+        if strict and counts.get("rejects", 0) > 0:
+            raise PipelineRejectError(
+                f"strict mode: {counts['rejects']} reject rows in batch {batch_id}"
+            )
+        return BatchResult(counts=counts, wall_secs=time.monotonic() - t0)
+    finally:
+        sess.unpersist()
+
+
+def run_resumable(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    files_per_batch: int = 64,
+    strict: bool = False,
+    extractor: str = "udf",
+    with_aggregates: bool = True,
+    iceberg_catalog: str | None = None,
+) -> Manifest:
+    """Batch-resumable run over a parquet transcripts table.
+
+    Precondition for cross-batch correctness: conversations do not span
+    input-file-batch boundaries (conv-partitioned/bucketed layout — the
+    standard Iceberg layout for this table; see plans/checkpoint.py).
+    """
+    catalog = SinkCatalog(spark, out_dir, iceberg_catalog=iceberg_catalog)
+    manifest = Manifest(out_dir)
+
+    files = spark.read.parquet(input_path).inputFiles()
+    for batch_id, chunk in plan_batches(files, files_per_batch):
+        if batch_id in manifest.completed:
+            continue
+        transcripts = spark.read.parquet(*chunk)
+        result = run_batch(
+            transcripts,
+            catalog,
+            batch_id,
+            strict=strict,
+            extractor=extractor,
+            with_aggregates=with_aggregates,
+        )
+        manifest.record(
+            BatchRecord(
+                batch_id=batch_id,
+                input_files=[f.rsplit("/", 1)[-1] for f in chunk],
+                sink_counts=result.counts,
+                wall_secs=round(result.wall_secs, 3),
+            )
+        )
+    return manifest
