@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship pipeline shape (extract → broadcast enrich →
+window sessionize → aggregate) on the sf0.001 tables; ``queries`` /
+``oracle_sql`` expose the operator registry in
+``wolf_quake_spark/queries.py`` (each Spark program paired with a DuckDB
+oracle on the same parquet).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wolf_quake_spark import queries as _q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sessionized, enriched per-session aggregates on events."""
+    sf_dir = "/root/testdata/sf0.001"
+    sessions = _q.queries()["sessionize_user_events"](spark, sf_dir)
+    scores = _q.queries()["signed_user_score"](spark, sf_dir)
+    lookup = F.broadcast(
+        spark.createDataFrame(
+            [("signup", "acquisition"), ("purchase", "revenue"), ("click", "engagement"),
+             ("view", "engagement"), ("error", "reliability")],
+            "event_type string, category string",
+        )
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    enriched = (
+        ev.join(lookup, "event_type", "left")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("category").alias("n_categories"),
+        )
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events_sessions"))
+        .join(scores, "user_id")
+        .join(enriched.drop("n_events"), "user_id")
+        .orderBy("user_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracle_sql()

