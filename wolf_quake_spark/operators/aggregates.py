@@ -138,29 +138,83 @@ def player_names(sessionized: DataFrame) -> DataFrame:
 
 
 def player_ranking(sessionized: DataFrame) -> DataFrame:
-    """A3-A6 + R1 — roster ⟕ names ⟕ scores, ranked descending by score.
+    """A3-A6 + R1 — roster + last-name + signed score, ranked descending.
+
+    Single-shuffle formulation: connects, userinfos and kill credits are
+    normalized to one (conv_id, game_id, client_id)-keyed stream; a running
+    min over that key gives "already connected at this row" (the reference's
+    players_data membership check), and one hash aggregate produces roster
+    presence, last valid name, and the signed score.  The groupBy reuses the
+    window's hash partitioning, so the whole thing is one exchange — versus
+    the naive roster⟕names⟕scores shape (3 shuffles + 2 joins).
 
     The reference sorts a HashMap's values, so its tie order is unspecified
     (quake3_data.rs:25-31, report.rs:123-124); we add the deterministic
     ``client_id`` tiebreak and document the divergence.
     """
-    r = roster(sessionized).drop("first_connect_pos")
-    names = player_names(sessionized)
-    scores = player_scores(sessionized)
-    keys = ["conv_id", "game_id", "client_id"]
-    joined = (
-        r.join(names, keys, "left")
-        .join(scores, keys, "left")
+    client = F.when(
+        F.col("event_type") == EV_KILL,
+        F.when(F.col("killer_id") == WORLD_ID, F.col("victim_id")).otherwise(
+            F.col("killer_id")
+        ),
+    ).otherwise(F.col("client_id"))
+    pc = sessionized.filter(
+        F.col("event_type").isin(EV_CONNECT, EV_USERINFO, EV_KILL)
+        & F.col("game_id").isNotNull()
+    ).select(
+        "conv_id",
+        "game_id",
+        client.alias("client_id"),
+        "event_type",
+        "name",
+        F.when(F.col("killer_id") == WORLD_ID, F.lit(-1))
+        .otherwise(F.lit(1))
+        .alias("delta"),
+        F.struct("turn_idx", "line_no").alias("pos"),
+    )
+    w = (
+        Window.partitionBy("conv_id", "game_id", "client_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    connected_before = F.min(
+        F.when(F.col("event_type") == EV_CONNECT, F.col("pos"))
+    ).over(w).isNotNull()
+    pc = pc.withColumn("_conn_before", connected_before)
+    agg = (
+        pc.groupBy("conv_id", "game_id", "client_id")
+        .agg(
+            F.max(F.col("event_type") == EV_CONNECT).alias("_on_roster"),
+            F.max_by(
+                F.when(
+                    (F.col("event_type") == EV_USERINFO) & F.col("_conn_before"),
+                    F.col("name"),
+                ),
+                F.struct(
+                    ((F.col("event_type") == EV_USERINFO) & F.col("_conn_before")).alias("v"),
+                    F.col("pos").alias("p"),
+                ),
+            ).alias("_name"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == EV_KILL) & F.col("_conn_before"),
+                    F.col("delta"),
+                ).otherwise(F.lit(0))
+            ).alias("_score"),
+        )
+        .filter(F.col("_on_roster"))
         .select(
-            *keys,
-            F.coalesce("name", F.lit("unknown")).alias("name"),
-            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+            "conv_id",
+            "game_id",
+            "client_id",
+            F.coalesce("_name", F.lit("unknown")).alias("name"),
+            F.col("_score").cast("long").alias("score"),
         )
     )
-    w = Window.partitionBy("conv_id", "game_id").orderBy(
+    wr = Window.partitionBy("conv_id", "game_id").orderBy(
         F.desc("score"), F.asc("client_id")
     )
-    return joined.withColumn("rank", F.row_number().over(w))
+    return agg.withColumn("rank", F.row_number().over(wr))
 
 
 def game_summaries(sessionized: DataFrame) -> DataFrame:
