@@ -1,0 +1,130 @@
+"""Semantic unit tests for the training-data analysis operators
+(dedup / similarity / text stats) on tiny in-memory frames — complements
+the DuckDB oracle parity checks in test_entry.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wolf_quake_spark.analysis.dedup import (
+    candidate_pairs,
+    exact_duplicate_groups,
+    ngram_jaccard,
+    simhash,
+    word_shingles,
+)
+from wolf_quake_spark.analysis.similarity import cosine_scores, neardup_pairs, topk
+from wolf_quake_spark.analysis.textstats import bpe_token_count, lang_id, token_count
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different content about spark engines"),
+        (5, ""),  # empty doc
+        (6, "short"),  # < shingle width
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_groups(docs):
+    groups = {r["keeper_doc_id"]: r["n_copies"] for r in exact_duplicate_groups(docs).collect()}
+    assert groups[1] == 2  # docs 1+2 collapse
+    assert groups[3] == 1
+
+
+def test_shingles_skip_short_docs(docs):
+    sh = word_shingles(docs, n=3)
+    ids = {r["doc_id"] for r in sh.select("doc_id").distinct().collect()}
+    assert 5 not in ids and 6 not in ids
+    # 9 words → 7 trigrams, 'the quick brown ... the lazy dog' has no repeats
+    assert sh.filter(F.col("doc_id") == 1).count() == 7
+
+
+def test_simhash_identity_and_distance(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fp[1] == fp[2]  # identical text → identical fingerprint
+    assert 0 <= fp[1] < (1 << 16)
+    # near-dup differs in few bits; unrelated doc differs in more
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(fp[1], fp[3]) <= ham(fp[1], fp[4])
+    assert 5 not in fp  # empty doc has no features
+
+
+def test_lsh_pairs_and_jaccard(docs):
+    pairs = candidate_pairs(docs)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dups always collide in every band
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard(docs, pairs).collect()}
+    assert jac[(1, 2)] == 1.0
+    if (1, 3) in jac:  # last-word change: 7 shingles each, 6 shared, union 8
+        assert abs(jac[(1, 3)] - 6 / 8) < 1e-12
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # identical to 0
+        (2, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+        (4, [0.0, 0.0, 0.0, 0.0]),   # zero vector
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_scores(vecs):
+    cos = {r["vec_id"]: r["cosine"] for r in cosine_scores(vecs, [1.0, 0.0, 0.0, 0.0]).collect()}
+    assert cos[0] == 1.0 and cos[1] == 1.0
+    assert 0.9 < cos[2] < 1.0
+    assert cos[3] == -1.0
+    assert cos[4] == 0.0  # zero norm guarded
+
+
+def test_topk_deterministic_ties(vecs):
+    rows = topk(vecs, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in rows] == [0, 1]  # tie broken by vec_id asc
+
+
+def test_neardup_pairs(vecs):
+    rows = neardup_pairs(vecs, top=10).collect()
+    sims = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in rows}
+    assert sims[(0, 1)] == 1.0
+    # opposite-sign vec 3 lands in a different IVF bucket → never paired with 0
+    assert (0, 3) not in sims
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "hello, world! x2"), (2, ""), (3, "  spaced   out  ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["ws"], r["bpe"])
+        for r in df.select(
+            "doc_id",
+            token_count(F.col("text")).alias("ws"),
+            bpe_token_count(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    assert out[1] == (3, 6)  # [hello][,][world][!][x][2]
+    assert out[2] == (0, 0)
+    assert out[3] == (2, 2)
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of war"),
+            (2, "der hund und die katze"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "und"

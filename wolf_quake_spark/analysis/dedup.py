@@ -123,6 +123,48 @@ def candidate_pairs(docs: DataFrame, **kw) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 16  # md5-derived, engine-portable (4 hex chars)
+
+
+def _word_bit(word, j):
+    """Bit j (0..15, MSB-first) of the first 16 bits of md5(word).
+
+    Built from strpos/floor/% only so the DuckDB oracle reproduces it
+    exactly — no engine-specific hex-to-int casts.
+    """
+    digit = F.substring(F.md5(word), 1 + j // 4, 1)
+    v = F.instr(F.lit("0123456789abcdef"), digit) - 1
+    return F.floor(v / (1 << (3 - j % 4))) % 2
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over the distinct-word feature set.
+
+    Classic Charikar sketch: each feature votes ±1 per bit position, the
+    fingerprint keeps the sign of the per-bit sum (ties → 0).  One narrow
+    explode plus a single per-doc hash aggregate — a linear scan at 100 TB;
+    near-dup candidates are fingerprints within small Hamming distance,
+    found by banding the 16 bits exactly like LSH.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    w = (
+        docs.select("doc_id", F.explode(words).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    votes = [
+        F.sum(_word_bit(F.col("word"), j) * 2 - 1).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = w.groupBy("doc_id").agg(*votes)
+    bit_terms = [
+        F.when(F.col(f"s{j}") > 0, F.lit(1 << (SIMHASH_BITS - 1 - j))).otherwise(F.lit(0))
+        for j in range(SIMHASH_BITS)
+    ]
+    fingerprint = sum(bit_terms[1:], bit_terms[0])
+    return sums.select("doc_id", fingerprint.cast("long").alias("simhash"))
+
+
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, shingle_n: int = 3) -> DataFrame:
     """Exact Jaccard similarity on shingle sets for verified candidate pairs."""
     sh = word_shingles(docs, n=shingle_n)

@@ -71,6 +71,45 @@ def ivf_assign(embeddings: DataFrame, n_buckets: int = 16, vec_col: str = "embed
     return embeddings.withColumn("bucket", bucket.cast("int"))
 
 
+def neardup_pairs(
+    embeddings: DataFrame,
+    top: int = 20,
+    n_buckets: int = 16,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, IVF-bucketed.
+
+    The self-join is restricted to vectors sharing a coarse bucket — the
+    standard blocking trick that turns the O(n²) all-pairs problem into
+    Σ bucket² work.  At 100 TB the embeddings table is written bucketed by
+    ``bucket`` so the join is shuffle-free (co-located); here the bucket
+    column keys an ordinary hash join.  Output is the ``top`` most-similar
+    pairs with deterministic (cosine desc, ids asc) tiebreaks.
+    """
+    assigned = ivf_assign(embeddings, n_buckets, vec_col=vec_col).select(
+        "vec_id", "bucket", _quant(F.col(vec_col)).alias("qe")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dot = _dot(F.col("a.qe"), F.col("b.qe"))
+    na = _dot(F.col("a.qe"), F.col("a.qe"))
+    nb = _dot(F.col("b.qe"), F.col("b.qe"))
+    cos = F.when(
+        (na > 0) & (nb > 0), dot.cast("double") / F.sqrt((na * nb).cast("double"))
+    ).otherwise(F.lit(0.0))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(top)
+    )
+
+
 def ivf_search(
     embeddings: DataFrame, query_vec: list[float], k: int = 10, n_buckets: int = 16
 ) -> DataFrame:

@@ -24,6 +24,17 @@ def token_count(text: Column) -> Column:
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
+# GPT-2-ish pre-tokenizer, reduced to constructs whose semantics agree
+# between Java regex (Spark) and RE2 (DuckDB): letter runs, digit runs,
+# single punctuation marks.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish pre-tokenization count (regex word/number/punct runs)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)).cast("long")
+
+
 def occurrence_count(text: Column, word: str) -> Column:
     """Exact count of ' word ' occurrences via length arithmetic (portable)."""
     padded = F.concat(F.lit(" "), text, F.lit(" "))

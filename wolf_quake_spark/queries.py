@@ -24,14 +24,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wolf_quake_spark.analysis.dedup import (
+    SIMHASH_BITS,
+    candidate_pairs,
     exact_duplicate_groups,
     lsh_buckets,
+    ngram_jaccard,
     normalized_fingerprint,
+    simhash,
 )
 from wolf_quake_spark.analysis.multimodal import extract_features, to_media
-from wolf_quake_spark.analysis.similarity import cosine_scores, ivf_assign
+from wolf_quake_spark.analysis.similarity import cosine_scores, ivf_assign, neardup_pairs
 from wolf_quake_spark.analysis.textstats import (
+    BPE_PATTERN,
     STOPWORDS,
+    bpe_token_count,
     lang_id,
     quality_metrics,
     token_count,
@@ -541,3 +547,144 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(to_media(_read(spark, sf_dir, "documents")), fake=True)
     return feats.select("doc_id", "width", "height", F.lit(1).alias("n_frames"))
+
+
+# ===========================================================================
+# SimHash / LSH pair verification / embedding near-dup / BPE tokens
+# ===========================================================================
+
+def _simhash_bit_sql(j: int) -> str:
+    p = 1 << (3 - j % 4)
+    return (
+        f"(CAST(floor((strpos('0123456789abcdef', substr(md5(word), {1 + j // 4}, 1)) - 1)"
+        f" / {p}) AS BIGINT) % 2)"
+    )
+
+
+_SIMHASH_SQL = (
+    """
+    WITH w AS (
+      SELECT DISTINCT doc_id, word FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents)
+      WHERE word <> ''
+    ),
+    sums AS (
+      SELECT doc_id,
+    """
+    + ",\n".join(
+        f"         SUM({_simhash_bit_sql(j)} * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS)
+    )
+    + """
+      FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, CAST("""
+    + " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << (SIMHASH_BITS - 1 - j)} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    + """ AS BIGINT) AS simhash
+    FROM sums
+    """
+)
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charikar SimHash fingerprints over the distinct-word feature set."""
+    return simhash(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_lsh_jaccard",
+    _MINHASH_SQL
+    + """
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    """,
+)
+def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket candidate pairs verified with exact n-gram Jaccard."""
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard(docs, candidate_pairs(docs))
+
+
+_NEARDUP_BUCKET_SQL = (
+    "(("
+    + " + ".join(
+        f"(CASE WHEN CAST(ROUND(embedding[{i + 1}] * 1000) AS BIGINT) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(4)
+    )
+    + ") % 16)"
+)
+
+@register(
+    "ann_neardup_pairs",
+    f"""
+    WITH q AS (SELECT vec_id, {_NEARDUP_BUCKET_SQL} AS bucket FROM embeddings),
+    u AS (SELECT vec_id, CAST(ROUND(x * 1000) AS BIGINT) AS xq, pos FROM (
+      SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+    norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS nn FROM u GROUP BY vec_id),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM q a JOIN q b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    dots AS (
+      SELECT p.vec_a, p.vec_b, CAST(SUM(ua.xq * ub.xq) AS BIGINT) AS dot
+      FROM pairs p
+      JOIN u ua ON ua.vec_id = p.vec_a
+      JOIN u ub ON ub.vec_id = p.vec_b AND ub.pos = ua.pos
+      GROUP BY p.vec_a, p.vec_b)
+    SELECT d.vec_a, d.vec_b,
+           CASE WHEN na.nn > 0 AND nb.nn > 0
+                THEN CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE))
+                ELSE 0.0 END AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.vec_a
+    JOIN norms nb ON nb.vec_id = d.vec_b
+    ORDER BY cosine DESC, vec_a ASC, vec_b ASC
+    LIMIT 20
+    """,
+)
+def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed embedding-cosine near-duplicate pairs (top 20)."""
+    return neardup_pairs(_read(spark, sf_dir, "embeddings"), top=20)
+
+
+@register(
+    "token_bpe_counts",
+    f"""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex token counts per document."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
