@@ -1,0 +1,113 @@
+"""Pre-flight replica of the driver's correctness gate.
+
+Runs every `queries()` entry in Spark and its `oracle_sql()` in DuckDB on the
+same parquet tables, then compares row count, schema (column names), and a
+value hash over column-name-sorted, row-sorted, stringified values — the same
+comparison shape the driver applies at sf0.01.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.10g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> None:
+    import duckdb
+
+    import __spark_entry__ as entry
+    from wolf_quake_spark.session import build_session
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = build_session("wqs-oracle-check", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name in sorted(qs):
+        if only and name not in only:
+            continue
+        try:
+            df = qs[name](spark, sf_dir)
+            scols = df.columns
+            srows = [tuple(r) for r in df.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only check)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)} != {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
+        else:
+            sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
+            if sh != oh:
+                problems.append(f"hash {sh} != {oh}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            failures.append(name)
+        else:
+            print(f"PASS {name}: rows={len(srows)}")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
