@@ -1,4 +1,4 @@
-"""Streaming disposition — deliberately batch-first.
+"""Streaming surface — batch-first by design, with an incremental adapter.
 
 The reference is one batch pass over a complete file (src/main.rs:31-39): no
 watermarks, time windows, or late data exist to replicate, and the north_rule
@@ -6,9 +6,16 @@ pins *resumable checkpointed batch*, not Structured Streaming (SURVEY.md
 §2.9).  Sessionization here is data-driven (boundary markers), which needs
 the whole conversation present — per-file batch is the correct unit.
 
-The incremental path is plans/pipeline.run_resumable: file-batch lineage +
-idempotent per-batch sink overwrite + atomic manifest.  If a push-based
-source appears, the same run_batch() body drops into
-``readStream.foreachBatch`` unchanged, with conversations kept whole per
-micro-batch — that adapter is the only missing piece, by design.
+Two ingest paths share the one pipeline body (plans/pipeline.run_batch):
+
+* pull-based resumable batch — plans/pipeline.run_resumable (file-batch
+  lineage + idempotent per-batch sink overwrite + atomic manifest);
+* push-based incremental — streaming.run_streaming (file-source
+  ``readStream`` → ``foreachBatch``), draining a landing zone with
+  exactly-once file tracking via the streaming checkpoint.  Conversations
+  are kept whole per micro-batch by the conv-partitioned landing layout.
 """
+
+from wolf_quake_spark.streaming.adapter import run_streaming, transcripts_stream
+
+__all__ = ["run_streaming", "transcripts_stream"]
