@@ -23,6 +23,8 @@ import os
 import sys
 import time
 
+from pyspark import StorageLevel
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -84,7 +86,7 @@ def run_pipeline(spark, path: str, extractor: str) -> dict:
     player_ranking(warm).write.mode("overwrite").format("noop").save()
     warm.unpersist()
     t0 = time.monotonic()
-    sess = assign_games(ex(tr)).persist()
+    sess = assign_games(ex(tr)).persist(StorageLevel.DISK_ONLY)
     counts = {
         r["event_type"]: r["count"]
         for r in sess.groupBy("event_type").count().collect()

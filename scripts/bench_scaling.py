@@ -5,8 +5,13 @@ cluster sizes; no real cluster exists in the sandbox, so parallelism levels
 stand in for executor counts (task brief).  Each measurement runs in a fresh
 subprocess (fresh JVM) so the levels don't share executor state.
 
-Usage:  python scripts/bench_scaling.py [--low 8 --high 32 --sf-turns 400000]
-Writes results JSON to stdout and updates BENCH.md.
+Usage:  python scripts/bench_scaling.py [--low 8 --high 32 --sf-turns 4000000]
+Prints results JSON to stdout (recorded in BENCH.md).
+
+The input must be big enough that per-task compute dominates fixed per-job
+overheads at the HIGH level — at 4M turns every core has seconds of real
+work, which is the 100 TB-analog regime (at 400k turns the 32-core level
+finishes stages in under a second and scheduler overhead floors the ratio).
 """
 
 from __future__ import annotations
@@ -22,6 +27,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
+from pyspark import StorageLevel
 from wolf_quake_spark.session import build_session
 from wolf_quake_spark.operators import assign_games
 from wolf_quake_spark.operators.aggregates import game_totals, mod_histogram, player_ranking
@@ -39,16 +45,18 @@ tr = spark.read.parquet(path)
 n = tr.count()
 
 def full_run(df):
-    sess = assign_games(extract_events(df)).persist()
+    sess = assign_games(extract_events(df)).persist(StorageLevel.DISK_ONLY)
     sess.groupBy("event_type").count().collect()
     for agg in (game_totals, mod_histogram, player_ranking):
         agg(sess).write.mode("overwrite").format("noop").save()
     sess.unpersist()
 
-# warm-up: JIT + Python worker pool + shuffle/window machinery, on a slice
-# (excluded — the 100 TB analog is a long-running job where startup
-# amortizes away)
-full_run(tr.limit(20000))
+# warm-up: one full-size unmeasured run.  A fresh JVM's first execution of
+# each query shape pays one-off JIT/codegen/Python-worker costs (measured at
+# up to tens of seconds of pure wait in this sandbox); the 100 TB analog is a
+# long-running job where that startup is amortized away, so steady-state
+# throughput is the meaningful scaling metric.
+full_run(tr)
 best = float("inf")
 for _ in range(2):
     t0 = time.monotonic()
@@ -59,12 +67,20 @@ print(json.dumps({{"cores": cores, "turns": n, "secs": best,
 """
 
 
-def measure(cores: int, path: str) -> dict:
+def measure(cores: int, path: str, pin: bool) -> dict:
+    """Run one level in a fresh JVM.
+
+    With ``pin`` (default), the whole process tree — JVM task threads, GC
+    threads, AND the pandas-UDF Python workers — is restricted to exactly
+    ``cores`` CPUs via taskset, the way a real executor container is.  An
+    unpinned local[N] actually consumes up to ~2N CPUs (N task threads + N
+    Python workers), which inflates the low level and understates scaling.
+    """
     script = CHILD.format(repo=REPO)
-    out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), path],
-        capture_output=True, text=True, check=True,
-    )
+    cmd = [sys.executable, "-c", script, str(cores), path]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -90,12 +106,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
-    ap.add_argument("--sf-turns", type=int, default=400_000)
+    ap.add_argument("--sf-turns", type=int, default=4_000_000)
+    ap.add_argument("--no-pin", action="store_true",
+                    help="do not taskset-pin each level to its core budget")
     args = ap.parse_args()
 
     path = ensure_input(args.sf_turns)
-    lo = measure(args.low, path)
-    hi = measure(args.high, path)
+    pin = not args.no_pin
+    lo = measure(args.low, path, pin)
+    hi = measure(args.high, path, pin)
     ratio = args.high / args.low
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / ratio
     result = {

@@ -1,8 +1,11 @@
-"""Per-stage wall-clock profile of the pipeline at one parallelism level.
+"""Steady-state per-stage wall-clock profile at one parallelism level.
 
-Usage: python scripts/profile_stages.py <cores> <input_path> [extractor]
-Prints one JSON line with per-stage seconds; used to find the non-scaling
-stage when scaling efficiency regresses.
+Each stage is timed best-of-N after a full-shape warm-up, because the first
+execution of a query shape in a fresh JVM pays one-off JIT/codegen/Python
+worker costs that are amortized away in the 100 TB analog (a long-running
+job).  Usage:
+
+    python scripts/profile_stages.py <cores> <input_path> [extractor] [reps]
 """
 
 from __future__ import annotations
@@ -20,6 +23,7 @@ def main() -> None:
     cores = int(sys.argv[1])
     path = sys.argv[2]
     extractor = sys.argv[3] if len(sys.argv) > 3 else "udf"
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 
     from wolf_quake_spark.operators import assign_games
     from wolf_quake_spark.operators.aggregates import (
@@ -44,32 +48,49 @@ def main() -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(max(1 << 20, total_bytes // 96)))
     tr = spark.read.parquet(path)
 
-    def t(fn):
-        t0 = time.monotonic()
-        fn()
-        return round(time.monotonic() - t0, 2)
+    def best(fn):
+        times = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn()
+            times.append(round(time.monotonic() - t0, 2))
+        return times
 
-    out = {"cores": cores, "extractor": extractor}
+    out = {"cores": cores, "extractor": extractor, "n_turns": tr.count()}
 
-    # warm-up
-    assign_games(ex(tr.limit(20000))).write.mode("overwrite").format("noop").save()
+    # full-shape warm-up: every stage once, including the aggregates, so JIT /
+    # codegen / Python-worker pool / broadcast machinery are all primed
+    warm = assign_games(ex(tr)).persist()
+    warm.groupBy("event_type").count().collect()
+    for agg in (game_totals, mod_histogram, player_ranking):
+        agg(warm).write.mode("overwrite").format("noop").save()
+    warm.unpersist()
 
-    out["read_count"] = t(lambda: tr.count())
     ev = ex(tr)
-    out["extract_noop"] = t(lambda: ev.write.mode("overwrite").format("noop").save())
+    out["extract_noop"] = best(lambda: ev.write.mode("overwrite").format("noop").save())
     sess = assign_games(ev)
-    out["extract_sessionize_noop"] = t(
+    out["extract_sessionize_noop"] = best(
         lambda: sess.write.mode("overwrite").format("noop").save()
     )
+
+    def cycle():
+        sp = sess.persist()
+        sp.groupBy("event_type").count().collect()
+        for agg in (game_totals, mod_histogram, player_ranking):
+            agg(sp).write.mode("overwrite").format("noop").save()
+        sp.unpersist()
+
+    out["full_cycle"] = best(cycle)
+
     sp = sess.persist()
-    out["materialize_persist"] = t(lambda: sp.groupBy("event_type").count().collect())
-    out["agg_game_totals"] = t(
+    sp.groupBy("event_type").count().collect()
+    out["agg_game_totals"] = best(
         lambda: game_totals(sp).write.mode("overwrite").format("noop").save()
     )
-    out["agg_mod_histogram"] = t(
+    out["agg_mod_histogram"] = best(
         lambda: mod_histogram(sp).write.mode("overwrite").format("noop").save()
     )
-    out["agg_player_ranking"] = t(
+    out["agg_player_ranking"] = best(
         lambda: player_ranking(sp).write.mode("overwrite").format("noop").save()
     )
     sp.unpersist()

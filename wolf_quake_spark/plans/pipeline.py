@@ -51,7 +51,12 @@ def run_batch(
 ) -> BatchResult:
     t0 = time.monotonic()
     extract = extract_events if extractor == "udf" else extract_events_sql
-    sess = assign_games(extract(transcripts)).persist(StorageLevel.MEMORY_AND_DISK)
+    # DISK_ONLY, deliberately: the sessionized frame of a 100 TB input never
+    # fits executor memory, and the serialized disk store (absorbed by the OS
+    # page cache when it does fit) avoids the MemoryStore unroll-lock
+    # contention that serializes many-core cache builds — measured 2× faster
+    # than MEMORY_AND_DISK at local[32] (see BENCH.md).
+    sess = assign_games(extract(transcripts)).persist(StorageLevel.DISK_ONLY)
     try:
         counts: dict[str, int] = {}
         sinks = route(sess)

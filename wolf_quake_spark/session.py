@@ -39,6 +39,13 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("WQS_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Throughput-oriented GC for batch work: G1's concurrent cycles dominate
+    # wall time on many-core local runs (measured: 4.4 s "Concurrent Undo"
+    # pauses at local[32]); ParallelGC is steadier for this allocation
+    # pattern.  On a real cluster this lands in spark.executor.extraJavaOptions.
+    java_opts = os.environ.get("WQS_JAVA_OPTS", "-XX:+UseParallelGC")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():
