@@ -39,38 +39,48 @@ def normalized_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame
 
 
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per doc (docs shorter than n words → none)."""
+    """Distinct word n-gram shingles per doc (docs shorter than n words → none).
+
+    Built as ``arrays_zip`` over n shifted ``slice``s of the word array —
+    a constant number of array ops per row.  (The naive
+    ``transform(sequence(...), j -> element_at(words, j+i))`` form
+    re-evaluates the split per element and is O(words²) per doc: measured
+    ~9 s for 5,000 docs vs sub-second for this formulation.)
+    """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    idx = F.sequence(F.lit(0), F.size(words) - n)
+    w = docs.select("doc_id", words.alias("_w"))
+    sz = F.greatest(F.size("_w") - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice("_w", i + 1, sz).alias(str(i)) for i in range(n)]
+    )
     shingle = F.transform(
-        idx,
-        lambda j: F.concat_ws(
-            " ", *[F.element_at(words, (j + i + 1).cast("int")) for i in range(n)]
-        ),
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
     )
     return (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.when(F.size(words) >= n, shingle).otherwise(
-                    F.array().cast("array<string>")
-                )
-            ).alias("shingle"),
-        )
+        w.select("doc_id", F.explode(shingle).alias("shingle"))
         .distinct()
     )
 
 
 def minhash_signatures(
-    docs: DataFrame, k: int = DEFAULT_K, shingle_n: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    k: int = DEFAULT_K,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """k-permutation MinHash over word shingles.
 
     Permutation i is simulated by md5(i || shingle) (portable across
     engines); the signature component is the lexicographic min — the
     standard min-wise independent family trick, exact enough for LSH.
+
+    ``shingles`` lets callers share one (persisted) shingle frame across
+    several consumers — Catalyst does not reuse the explode+distinct
+    exchange across the self-join branches on its own (measured: 8 separate
+    Generate/Exchange pairs in the verified-pairs plan without it).
     """
-    sh = word_shingles(docs, n=shingle_n, text_col=text_col)
+    sh = shingles if shingles is not None else word_shingles(docs, n=shingle_n, text_col=text_col)
     aggs = [
         F.min(F.md5(F.concat(F.lit(str(i)), F.col("shingle")))).alias(f"mh{i}")
         for i in range(k)
@@ -84,10 +94,13 @@ def lsh_bands(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band_id, band_hash): docs sharing a band_hash are candidates."""
     rows = k // bands
-    sig = minhash_signatures(docs, k=k, shingle_n=shingle_n, text_col=text_col)
+    sig = minhash_signatures(
+        docs, k=k, shingle_n=shingle_n, text_col=text_col, shingles=shingles
+    )
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
@@ -111,6 +124,10 @@ def lsh_buckets(docs: DataFrame, **kw) -> DataFrame:
 def candidate_pairs(docs: DataFrame, **kw) -> DataFrame:
     """Near-duplicate candidate pairs via band-bucket self-join."""
     bands = lsh_bands(docs, **kw)
+    return _pairs_of(bands)
+
+
+def _pairs_of(bands: DataFrame) -> DataFrame:
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -121,6 +138,31 @@ def candidate_pairs(docs: DataFrame, **kw) -> DataFrame:
         )
         .distinct()
     )
+
+
+def verified_pairs(
+    docs: DataFrame,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs verified with exact shingle Jaccard, end to end.
+
+    Computes the shingle frame ONCE and persists it (DISK_ONLY — see
+    BENCH.md on MemoryStore contention) for the five consumers in the plan
+    (minhash signatures, both join sides, set sizes, intersection); without
+    sharing, Catalyst re-runs the explode+distinct per branch.
+    """
+    from pyspark import StorageLevel
+
+    sh = word_shingles(docs, n=shingle_n, text_col=text_col).persist(
+        StorageLevel.DISK_ONLY
+    )
+    pairs = candidate_pairs(
+        docs, k=k, bands=bands, shingle_n=shingle_n, text_col=text_col, shingles=sh
+    )
+    return ngram_jaccard(docs, pairs, shingle_n=shingle_n, shingles=sh)
 
 
 SIMHASH_BITS = 16  # md5-derived, engine-portable (4 hex chars)
@@ -165,9 +207,14 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return sums.select("doc_id", fingerprint.cast("long").alias("simhash"))
 
 
-def ngram_jaccard(docs: DataFrame, pairs: DataFrame, shingle_n: int = 3) -> DataFrame:
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """Exact Jaccard similarity on shingle sets for verified candidate pairs."""
-    sh = word_shingles(docs, n=shingle_n)
+    sh = shingles if shingles is not None else word_shingles(docs, n=shingle_n)
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))

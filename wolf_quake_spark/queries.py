@@ -25,12 +25,11 @@ from pyspark.sql import functions as F
 
 from wolf_quake_spark.analysis.dedup import (
     SIMHASH_BITS,
-    candidate_pairs,
     exact_duplicate_groups,
     lsh_buckets,
-    ngram_jaccard,
     normalized_fingerprint,
     simhash,
+    verified_pairs,
 )
 from wolf_quake_spark.analysis.multimodal import extract_features, to_media
 from wolf_quake_spark.analysis.similarity import cosine_scores, ivf_assign, neardup_pairs
@@ -622,8 +621,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH band-bucket candidate pairs verified with exact n-gram Jaccard."""
-    docs = _read(spark, sf_dir, "documents")
-    return ngram_jaccard(docs, candidate_pairs(docs))
+    return verified_pairs(_read(spark, sf_dir, "documents"))
 
 
 _NEARDUP_BUCKET_SQL = (
