@@ -86,14 +86,17 @@ def neardup_pairs(
     column keys an ordinary hash join.  Output is the ``top`` most-similar
     pairs with deterministic (cosine desc, ids asc) tiebreaks.
     """
+    quant = _quant(F.col(vec_col))
+    # self-norm computed once per vector BEFORE the join — per-pair work is
+    # then a single dot product instead of three O(dim) aggregates
     assigned = ivf_assign(embeddings, n_buckets, vec_col=vec_col).select(
-        "vec_id", "bucket", _quant(F.col(vec_col)).alias("qe")
+        "vec_id", "bucket", quant.alias("qe"), _dot(quant, quant).alias("nn")
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
     dot = _dot(F.col("a.qe"), F.col("b.qe"))
-    na = _dot(F.col("a.qe"), F.col("a.qe"))
-    nb = _dot(F.col("b.qe"), F.col("b.qe"))
+    na = F.col("a.nn")
+    nb = F.col("b.nn")
     cos = F.when(
         (na > 0) & (nb > 0), dot.cast("double") / F.sqrt((na * nb).cast("double"))
     ).otherwise(F.lit(0.0))
