@@ -12,8 +12,9 @@ timings for every driver-contract query at $SPARK_GRAFT_SF_DIR.
 Env:
   SPARK_GRAFT_SF_DIR  input tables dir   (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[] core count (default 32)
-  WQS_BENCH_EXTRACTOR udf|sql|both       (default both — compares the
-                                          pandas-UDF and pure-Catalyst paths)
+  WQS_BENCH_EXTRACTOR udf|pandas|sql|both|all  (default both = arrow-"udf"
+                                          vs pure-Catalyst "sql"; "all" adds
+                                          the pandas reference path)
 """
 
 from __future__ import annotations
@@ -65,7 +66,7 @@ def run_pipeline(spark, path: str, extractor: str) -> dict:
         mod_histogram,
         player_ranking,
     )
-    from wolf_quake_spark.operators.extract import extract_events, extract_events_sql
+    from wolf_quake_spark.operators.extract import EXTRACTORS
 
     # size input splits so the narrow extract stage can use every core
     # (default 128m packs a small bench input into one or two partitions)
@@ -78,7 +79,7 @@ def run_pipeline(spark, path: str, extractor: str) -> dict:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     tr = spark.read.parquet(path)
     n_turns = tr.count()
-    ex = extract_events if extractor == "udf" else extract_events_sql
+    ex = EXTRACTORS[extractor]
     # warm-up: one full-size unmeasured run.  A fresh JVM's first execution
     # of each query shape pays one-off JIT/codegen/Python-worker costs that
     # slice-sized warm-ups don't fully absorb (measured: multi-second stalls
@@ -122,7 +123,10 @@ def main() -> None:
     path = bench_input(spark, sf)
 
     pipeline: dict = {}
-    modes = ["udf", "sql"] if extractor_mode == "both" else [extractor_mode]
+    modes = {
+        "both": ["udf", "sql"],
+        "all": ["udf", "pandas", "sql"],
+    }.get(extractor_mode, [extractor_mode])
     for m in modes:
         pipeline[m] = run_pipeline(spark, path, m)
 

@@ -31,10 +31,10 @@ def main() -> None:
         mod_histogram,
         player_ranking,
     )
-    from wolf_quake_spark.operators.extract import extract_events, extract_events_sql
+    from wolf_quake_spark.operators.extract import EXTRACTORS
     from wolf_quake_spark.session import build_session
 
-    ex = extract_events if extractor == "udf" else extract_events_sql
+    ex = EXTRACTORS[extractor]
 
     spark = build_session(
         "wqs-profile", master=f"local[{cores}]", shuffle_partitions=max(cores, 8)

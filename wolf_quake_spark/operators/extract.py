@@ -19,14 +19,17 @@ Semantics replicate the reference's per-line parse loop exactly
    (parser.rs:95-154: killer/victim/mod as u32, the mod token must have
    length > 1 and is parsed after dropping its final char).
 
-Two implementations with identical output:
+Three implementations with identical output (cross-checked by tests):
 
-* :func:`extract_events` — ``mapInPandas`` pandas UDF.  All work is pandas
-  vectorized string ops over Arrow batches; no per-row Python.  This is the
-  path mandated by the north_star ("vectorized Arrow/pandas-UDF grok stage").
+* :func:`extract_events` (= extract_arrow.extract_events_arrow) — the
+  default: ``mapInArrow`` with pyarrow C compute kernels, per-event-type
+  subset parsing.  Fastest (~5× the pandas path single-core).
+* :func:`extract_events_pandas` — ``mapInPandas`` pandas UDF.  All work is
+  pandas vectorized string ops over Arrow batches; no per-row Python.
 * :func:`extract_events_sql` — pure Catalyst (``posexplode`` +
-  ``regexp_extract``), fully JVM-side / whole-stage-codegen.  Kept as the
-  performance alternate; `bench.py` compares the two.
+  ``regexp_extract``), fully JVM-side / whole-stage-codegen.  ~6× slower
+  than the arrow path (several JVM regex evaluations per line); kept as the
+  no-Python alternate.  `bench.py` compares the paths.
 
 At 100 TB both are narrow (no shuffle): they parallelize linearly with input
 splits, so this stage never bottlenecks scale-up.
@@ -230,13 +233,17 @@ def _extract_batch(pdf: pd.DataFrame, audit: bool) -> pd.DataFrame:
     return out[_OUT_COLS]
 
 
-def extract_events(transcripts: DataFrame, audit: bool = False) -> DataFrame:
-    """Vectorized pandas-UDF extraction (the mandated Arrow path).
+def extract_events_pandas(transcripts: DataFrame, audit: bool = False) -> DataFrame:
+    """Vectorized pandas-UDF extraction (``mapInPandas``).
 
     ``audit=True`` additionally emits ``ignored`` (gated, unhandled tag) and
     ``dropped`` (failed the timestamp gate) rows so tests can verify that the
     routed rows exactly partition the input lines and that ``text`` is
     reconstructable byte-identically.
+
+    Superseded as the default by the pyarrow-kernel implementation in
+    extract_arrow.py (5× the single-core throughput, identical output);
+    kept as the reference implementation and for the bench comparison.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -344,3 +351,22 @@ def extract_events_sql(transcripts: DataFrame, audit: bool = False) -> DataFrame
     if not audit:
         out = out.filter(F.col("event_type") != EV_IGNORED)
     return out
+
+
+# The default extract path: pyarrow-kernel implementation (see extract_arrow.py
+# for why).  Import placed at module end to keep this file's pandas reference
+# implementation self-contained above it.
+from wolf_quake_spark.operators.extract_arrow import (  # noqa: E402
+    extract_events_arrow,
+)
+
+extract_events = extract_events_arrow
+
+# extractor registry for pipeline/bench mode switches ("udf" = the default
+# arrow path, kept for backward compatibility of the mode name)
+EXTRACTORS = {
+    "udf": extract_events_arrow,
+    "arrow": extract_events_arrow,
+    "pandas": extract_events_pandas,
+    "sql": extract_events_sql,
+}

@@ -22,7 +22,7 @@ from wolf_quake_spark.operators.aggregates import (
     mod_histogram,
     player_ranking,
 )
-from wolf_quake_spark.operators.extract import extract_events, extract_events_sql
+from wolf_quake_spark.operators.extract import EXTRACTORS
 from wolf_quake_spark.operators.route import route
 from wolf_quake_spark.operators.sessionize import assign_games
 from wolf_quake_spark.plans.checkpoint import Manifest, BatchRecord, plan_batches
@@ -50,7 +50,7 @@ def run_batch(
     with_aggregates: bool = True,
 ) -> BatchResult:
     t0 = time.monotonic()
-    extract = extract_events if extractor == "udf" else extract_events_sql
+    extract = EXTRACTORS[extractor]
     # DISK_ONLY, deliberately: the sessionized frame of a 100 TB input never
     # fits executor memory, and the serialized disk store (absorbed by the OS
     # page cache when it does fit) avoids the MemoryStore unroll-lock
