@@ -113,3 +113,38 @@ def test_html_renders():
     g = [GameReport(1, 2, [("A & B", 2)], [("Rocket", 2)])]
     h = render_html(g)
     assert "<table" in h and "A &amp; B: 2" in h and "Game 1" in h
+
+
+def test_qgames_report_html_multiset_exact():
+    """Byte-compat with the reference HTML golden (report.rs:142-150).
+
+    Same tie tolerance as the text golden test: a tie permutation swaps whole
+    ``<p>`` content lines inside one cell, leaving the line multiset and all
+    structural lines invariant.
+    """
+    log = read_reference_log("qgames.log")
+    want_html = read_reference_log("qgames_report.html")
+    if log is None or want_html is None:
+        pytest.skip("reference examples not available")
+    got = render_html(oracle_reports(log)).split("\n")
+    want = want_html.split("\n")
+    assert len(got) == len(want)
+    assert sorted(got) == sorted(want)  # tie permutations only
+    same = sum(1 for a, b in zip(got, want) if a == b)
+    assert same / len(want) > 0.9  # structure + tie-free content position-exact
+
+    # within each <td>/<th> cell the multiset of <p> contents must match
+    def cells(lines):
+        out, cur = [], None
+        for ln in lines:
+            s = ln.strip()
+            if s in ("<td>", "<th>"):
+                cur = []
+            elif s in ("</td>", "</th>"):
+                out.append(sorted(cur))
+                cur = None
+            elif cur is not None and s not in ("<div>", "</div>", "<p>", "</p>"):
+                cur.append(s)
+        return out
+
+    assert cells(got) == cells(want)

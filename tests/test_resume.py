@@ -112,6 +112,24 @@ def test_cli_generate_run_report(spark, tmp_path, capsys):
     rep = capsys.readouterr().out
     assert "Total game kills" in rep and "Game 1" in rep
 
+    # report-type projections (reference src/cli.rs:9-16)
+    cli_main(["report", "--out", out, "--report-type", "player-rank"])
+    pr = capsys.readouterr().out
+    assert "Kill Rank" in pr and "Death Causes" not in pr
+    cli_main(["report", "--out", out, "--report-type", "mean-death"])
+    md = capsys.readouterr().out
+    assert "Death Causes" in md and "Kill Rank" not in md
+
+    # file sink (reference src/main.rs:43-49) + html format + conv filter
+    convs = sorted(r.conv_id for r in spark.read.parquet(data).select("conv_id").distinct().collect())
+    rpt_file = str(tmp_path / "report.html")
+    cli_main(["report", "--out", out, "--format", "html",
+              "--output-file", rpt_file, "--conv", convs[0]])
+    assert capsys.readouterr().out == ""
+    html = open(rpt_file).read()
+    assert html.startswith("<style>") and "Total game kills" in html
+    assert f"== {convs[0]} ==" not in html  # single conv → no header
+
 
 def test_manifest_atomicity(tmp_path):
     from wolf_quake_spark.plans.checkpoint import BatchRecord

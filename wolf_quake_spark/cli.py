@@ -62,7 +62,20 @@ def _cmd_report(args: argparse.Namespace) -> None:
     from wolf_quake_spark.report import report_from_out_dir
 
     spark = build_session("wqs-report", master=args.master)
-    print(report_from_out_dir(spark, args.out, fmt=args.format))
+    rendered = report_from_out_dir(
+        spark,
+        args.out,
+        fmt=args.format,
+        report_type=args.report_type,
+        conv_ids=args.conv or None,
+    )
+    # reference: report goes to the file when -o is given, else stdout
+    # (src/main.rs:43-49)
+    if args.output_file:
+        with open(args.output_file, "w") as fh:
+            fh.write(rendered)
+    else:
+        print(rendered)
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -91,6 +104,20 @@ def main(argv: list[str] | None = None) -> None:
     rep = sub.add_parser("report", help="render the per-game report from a run's output")
     rep.add_argument("--out", required=True, help="pipeline output dir")
     rep.add_argument("--format", choices=["text", "html"], default="text")
+    # reference CLI parity: report type selection (src/cli.rs:9-16) and
+    # output-file sink (src/main.rs:43-49)
+    rep.add_argument(
+        "--report-type",
+        choices=["all", "player-rank", "mean-death"],
+        default="all",
+    )
+    rep.add_argument("--output-file", default=None, help="write report here instead of stdout")
+    rep.add_argument(
+        "--conv",
+        action="append",
+        default=[],
+        help="restrict the report to these conv_id(s); repeatable",
+    )
     rep.set_defaults(fn=_cmd_report)
 
     args = p.parse_args(argv)

@@ -99,24 +99,56 @@ def render_text(games: list[GameReport], report_type: str = "all") -> str:
     return "\n".join(out)
 
 
+# Emitted verbatim by the reference's `table_to_html` with set_border(1) +
+# global center alignment (src/report.rs:142-150); byte-for-byte per
+# examples/qgames_report.html:1-8.
+_HTML_STYLE = [
+    "<style>",
+    "    table, th, td {",
+    "      border: 1px solid;",
+    "    }",
+    "    tbody > tr > td, thead > tr > th {",
+    "      text-align: center;",
+    "    }",
+    "</style>",
+]
+
+
 def render_html(games: list[GameReport], report_type: str = "all") -> str:
-    """HTML table analog (reference: table_to_html, report.rs:142-150)."""
+    """HTML table, byte-compatible with the reference's `table_to_html` output
+    (src/report.rs:142-150, golden examples/qgames_report.html).
+
+    Layout: 4-space indent ladder ``<table>/<thead|tbody>/<tr>/<th|td>/<div>/
+    <p>``; each cell line becomes one ``<p>`` whose content sits on its own
+    line at +4 indent, except the empty line, which renders as a truly empty
+    line (no indent).  File ends with a trailing newline.
+    """
     rows = _rows_for(games, report_type)
-    body = []
-    for r, row in enumerate(rows):
-        tag = "th" if r == 0 else "td"
-        tds = "".join(
-            f'<{tag} style="text-align: center;"><p>'
-            + "</p><p>".join(_html.escape(ln) for ln in cell)
-            + f"</p></{tag}>"
-            for cell in row
-        )
-        body.append(f"<tr>{tds}</tr>")
-    return (
-        '<table border="1" style="text-align: center;">\n '
-        + "\n ".join(body)
-        + "\n</table>"
-    )
+    out = list(_HTML_STYLE)
+    out.append("<table>")
+
+    def emit_row(cells: list[list[str]], tag: str) -> None:
+        out.append("        <tr>")
+        for cell in cells:
+            out.append(f"            <{tag}>")
+            out.append("                <div>")
+            for ln in cell:
+                out.append("                    <p>")
+                out.append("                        " + _html.escape(ln) if ln else "")
+                out.append("                    </p>")
+            out.append("                </div>")
+            out.append(f"            </{tag}>")
+        out.append("        </tr>")
+
+    out.append("    <thead>")
+    emit_row(rows[0], "th")
+    out.append("    </thead>")
+    out.append("    <tbody>")
+    for row in rows[1:]:
+        emit_row(row, "td")
+    out.append("    </tbody>")
+    out.append("</table>")
+    return "\n".join(out) + "\n"
 
 
 # ---------------------------------------------------------------------------
@@ -146,19 +178,41 @@ def summaries_to_reports(
     return [games[k] for k in sorted(games)]
 
 
-def report_from_out_dir(spark, out_dir: str, fmt: str = "text") -> str:
-    """Render per-conversation reports from a pipeline run's aggregate sinks."""
+def report_from_out_dir(
+    spark,
+    out_dir: str,
+    fmt: str = "text",
+    report_type: str = "all",
+    conv_ids: list[str] | None = None,
+) -> str:
+    """Render per-conversation reports from a pipeline run's aggregate sinks.
+
+    The collect is bounded: sinks are filtered to the requested ``conv_ids``
+    *before* collecting, so a multi-conversation run only ships the rows of
+    the conversations being reported to the driver (a report is inherently
+    per-conversation-small; an unfiltered collect over all conversations
+    would not survive a 100x run).
+    """
+    from pyspark.sql import functions as F
+
     from wolf_quake_spark.sources.catalog import SinkCatalog
 
     cat = SinkCatalog(spark, out_dir)
-    totals = cat.read("game_totals").collect()
-    ranking = cat.read("player_ranking").collect()
-    hist = cat.read("mod_histogram").collect()
+
+    def load(name):
+        df = cat.read(name)
+        if conv_ids is not None:
+            df = df.filter(F.col("conv_id").isin(conv_ids))
+        return df.collect()
+
+    totals = load("game_totals")
+    ranking = load("player_ranking")
+    hist = load("mod_histogram")
     convs = sorted({r.conv_id for r in totals})
     render = render_text if fmt == "text" else render_html
     chunks = []
     for cv in convs:
         reports = summaries_to_reports(totals, ranking, hist, conv_id=cv)
         head = f"== {cv} ==\n" if len(convs) > 1 else ""
-        chunks.append(head + render(reports))
+        chunks.append(head + render(reports, report_type))
     return "\n\n".join(chunks)
