@@ -44,7 +44,7 @@ def test_routed_rows_partition_gated_lines(spark, small_input):
 
 def test_resume_skips_completed_and_counts_match(spark, small_input, tmp_path):
     out1 = str(tmp_path / "run_full")
-    m1 = run_resumable(spark, small_input, out1, files_per_batch=2)
+    m1 = run_resumable(spark, small_input, out1, files_per_batch=2, verify=True)
     assert len(m1.completed) >= 2
     totals_full = m1.totals()
     assert totals_full["kills"] > 0 and totals_full["game_totals"] > 0

@@ -48,7 +48,12 @@ def run_batch(
     strict: bool = False,
     extractor: str = "udf",
     with_aggregates: bool = True,
+    verify: bool = False,
 ) -> BatchResult:
+    """Run one batch.  Sink counts come from ``df.observe`` metrics collected
+    by the write jobs themselves; ``verify=True`` additionally reads each sink
+    back and asserts the on-disk count matches (a full second pass over the
+    output — integrity check, off by default)."""
     t0 = time.monotonic()
     extract = EXTRACTORS[extractor]
     # DISK_ONLY, deliberately: the sessionized frame of a 100 TB input never
@@ -59,19 +64,22 @@ def run_batch(
     sess = assign_games(extract(transcripts)).persist(StorageLevel.DISK_ONLY)
     try:
         counts: dict[str, int] = {}
-        sinks = route(sess)
-        for name, df in sinks.items():
-            catalog.write_batch(df, name, batch_id)
-            counts[name] = catalog.read_batch(name, batch_id).count()
+        to_write = dict(route(sess))
         if with_aggregates:
-            aggs = {
-                "game_totals": game_totals(sess),
-                "mod_histogram": mod_histogram(sess),
-                "player_ranking": player_ranking(sess),
-            }
-            for name, df in aggs.items():
-                catalog.write_batch(df, name, batch_id)
-                counts[name] = catalog.read_batch(name, batch_id).count()
+            to_write.update(
+                game_totals=game_totals(sess),
+                mod_histogram=mod_histogram(sess),
+                player_ranking=player_ranking(sess),
+            )
+        for name, df in to_write.items():
+            counts[name] = catalog.write_batch_counted(df, name, batch_id)
+            if verify:
+                on_disk = catalog.read_batch(name, batch_id).count()
+                if on_disk != counts[name]:
+                    raise RuntimeError(
+                        f"sink {name} batch {batch_id}: wrote {counts[name]} "
+                        f"rows but read back {on_disk}"
+                    )
         if strict and counts.get("rejects", 0) > 0:
             raise PipelineRejectError(
                 f"strict mode: {counts['rejects']} reject rows in batch {batch_id}"
@@ -90,6 +98,7 @@ def run_resumable(
     extractor: str = "udf",
     with_aggregates: bool = True,
     iceberg_catalog: str | None = None,
+    verify: bool = False,
 ) -> Manifest:
     """Batch-resumable run over a parquet transcripts table.
 
@@ -112,6 +121,7 @@ def run_resumable(
             strict=strict,
             extractor=extractor,
             with_aggregates=with_aggregates,
+            verify=verify,
         )
         manifest.record(
             BatchRecord(

@@ -146,10 +146,39 @@ def q_signed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_user_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1 analog: descending-score ranking with deterministic tiebreak."""
+    """R1 analog: descending-score ranking with deterministic tiebreak.
+
+    Distributed two-stage global rank (no single-partition Window, which
+    would serialize all rows through one task at scale):
+
+    1. ``repartitionByRange`` on the sort key — ascending partition id is
+       descending global order;
+    2. partition-local ``row_number`` (parallel across partitions);
+    3. global rank = local rank + offset, where offsets come from a
+       per-partition count frame (``#partitions`` rows, broadcast back).
+
+    The only single-partition window runs over that count frame, bounded by
+    the partition count, never the data size.
+    """
     scores = q_signed_score(spark, sf_dir)
-    w = Window.orderBy(F.desc("score"), F.asc("user_id"))
-    return scores.withColumn("rank", F.row_number().over(w).cast("long"))
+    order = [F.desc("score"), F.asc("user_id")]
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 2)
+    local = (
+        scores.repartitionByRange(nparts, *order)
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn("lrn", F.row_number().over(Window.partitionBy("pid").orderBy(*order)))
+    )
+    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count("*").alias("n"))
+        .withColumn("offset", F.coalesce(F.sum("n").over(off_w), F.lit(0)))
+        .select("pid", "offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select("user_id", "score", (F.col("offset") + F.col("lrn")).cast("long").alias("rank"))
+    )
 
 
 @register(

@@ -58,6 +58,22 @@ class SinkCatalog:
             return
         df.write.mode("overwrite").parquet(self._batch_path(sink, batch_id))
 
+    def write_batch_counted(self, df: DataFrame, sink: str, batch_id: str) -> int:
+        """``write_batch`` + row count from the write job itself.
+
+        Uses ``df.observe`` (a CollectMetrics node evaluated by the write
+        action) instead of reading the sink back — at scale a read-back count
+        is a second full pass over every byte written, so the observed metric
+        is the default and read-back verification is opt-in
+        (``run_batch(verify=True)``).
+        """
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation(f"{sink}:{batch_id}")
+        self.write_batch(df.observe(obs, F.count(F.lit(1)).alias("rows")), sink, batch_id)
+        return int(obs.get["rows"])
+
     def append(self, df: DataFrame, sink: str) -> None:
         if self.iceberg_catalog:
             df.writeTo(f"{self.iceberg_catalog}.{sink}").append()
