@@ -12,9 +12,17 @@ from wolf_quake_spark.analysis.dedup import (
     exact_duplicate_groups,
     ngram_jaccard,
     simhash,
+    simhash64,
+    simhash64_neardup_pairs,
     word_shingles,
 )
-from wolf_quake_spark.analysis.similarity import cosine_scores, neardup_pairs, topk
+from wolf_quake_spark.analysis.similarity import (
+    cosine_scores,
+    derived_n_buckets,
+    ivf_search,
+    neardup_pairs,
+    topk,
+)
 from wolf_quake_spark.analysis.textstats import bpe_token_count, lang_id, token_count
 
 
@@ -97,6 +105,50 @@ def test_neardup_pairs(vecs):
     assert sims[(0, 1)] == 1.0
     # opposite-sign vec 3 lands in a different IVF bucket → never paired with 0
     assert (0, 3) not in sims
+
+
+def test_simhash64_identity_and_hex(docs):
+    rows = {r["doc_id"]: r for r in simhash64(docs).collect()}
+    for i in range(4):
+        assert rows[1][f"sh{i}"] == rows[2][f"sh{i}"]  # identical text
+        assert 0 <= rows[1][f"sh{i}"] < (1 << 16)
+    assert rows[1]["simhash_hex"] == rows[2]["simhash_hex"]
+    assert len(rows[1]["simhash_hex"]) == 16
+    assert rows[4]["simhash_hex"] != rows[1]["simhash_hex"]  # unrelated doc
+    assert 5 not in rows  # empty doc has no features
+
+
+def test_simhash64_neardup_pairs_complete_for_exact_dups(docs):
+    # identical docs have Hamming 0 → guaranteed by the 4-band pigeonhole
+    rows = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash64_neardup_pairs(docs, max_hamming=3).collect()}
+    assert rows[(1, 2)] == 0
+    # verify every reported distance against a Python recomputation
+    fp = {r["doc_id"]: [r[f"sh{i}"] for i in range(4)] for r in simhash64(docs).collect()}
+    for (a, b), h in rows.items():
+        assert h == sum(bin(x ^ y).count("1") for x, y in zip(fp[a], fp[b]))
+        assert h <= 3
+
+
+def test_derived_n_buckets_scales_linearly():
+    # occupancy stays ≤ target as n grows; count is a power of two
+    assert derived_n_buckets(500) == 8
+    assert derived_n_buckets(2000) == 32
+    for n in (100, 1000, 10_000):
+        nb = derived_n_buckets(n)
+        assert nb & (nb - 1) == 0
+        assert n / nb <= 64 or nb == 1 << 8  # bounded occupancy until the cap
+
+
+def test_ivf_search_multiprobe_superset(vecs):
+    # the probe set covers the query's Hamming-1 neighborhood, so for this
+    # tiny corpus (2 buckets) multi-probe scans everything → exact top-k
+    got = [r["vec_id"] for r in ivf_search(vecs, [1.0, 0.0, 0.0, 0.0], k=3).collect()]
+    want = [r["vec_id"] for r in topk(vecs, [1.0, 0.0, 0.0, 0.0], k=3).collect()]
+    assert got == want
+    # single-probe scans only the query's own bucket
+    single = ivf_search(vecs, [1.0, 0.0, 0.0, 0.0], k=10, multi_probe=False).collect()
+    assert {r["vec_id"] for r in single} == {0, 1, 2, 4}  # vec 3 is in the other bucket
 
 
 def test_token_counts(spark):

@@ -153,6 +153,12 @@ def verified_pairs(
     BENCH.md on MemoryStore contention) for the five consumers in the plan
     (minhash signatures, both join sides, set sizes, intersection); without
     sharing, Catalyst re-runs the explode+distinct per branch.
+
+    The persisted handle is exposed as ``result._wqs_persisted`` so callers
+    can ``unpersist()`` once the result is materialized; if they don't, the
+    block is reclaimed by Spark's ContextCleaner when the frame is
+    garbage-collected (it is DISK_ONLY, so it occupies no executor memory in
+    the meantime).
     """
     from pyspark import StorageLevel
 
@@ -162,7 +168,9 @@ def verified_pairs(
     pairs = candidate_pairs(
         docs, k=k, bands=bands, shingle_n=shingle_n, text_col=text_col, shingles=sh
     )
-    return ngram_jaccard(docs, pairs, shingle_n=shingle_n, shingles=sh)
+    out = ngram_jaccard(docs, pairs, shingle_n=shingle_n, shingles=sh)
+    out._wqs_persisted = sh
+    return out
 
 
 SIMHASH_BITS = 16  # md5-derived, engine-portable (4 hex chars)
@@ -205,6 +213,116 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ]
     fingerprint = sum(bit_terms[1:], bit_terms[0])
     return sums.select("doc_id", fingerprint.cast("long").alias("simhash"))
+
+
+# --- 64-bit SimHash --------------------------------------------------------
+#
+# The 16-bit `simhash` above saturates (collision flood) once the corpus has
+# ≳65k distinct near-dup classes; the 64-bit variant below is the at-scale
+# fingerprint.  It is materialized as four 16-bit words (sh0..sh3, MSB-first)
+# so both engines stay in signed-64 arithmetic, plus the canonical 16-hex-char
+# fingerprint string; the words double as the LSH bands for candidate pairing.
+
+SIMHASH64_WORDS = 4  # 4 × 16 bits
+
+
+def _hex4_int(h, off: int):
+    """Integer value of the 4 hex chars of ``h`` at 1-based offset ``off``.
+
+    strpos-based so the DuckDB oracle reproduces it without engine-specific
+    hex casts (same trick as ``_word_bit``)."""
+    def v(i):
+        return F.instr(F.lit("0123456789abcdef"), F.substring(h, off + i, 1)) - 1
+
+    return ((v(0) * 16 + v(1)) * 16 + v(2)) * 16 + v(3)
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit Charikar SimHash over the distinct-word feature set.
+
+    Per word the first 16 md5 hex chars give four 16-bit hash words
+    (one projection, before the aggregate); each of the 64 bits votes ±1 and
+    the fingerprint keeps the sign of the per-bit sum (ties → 0).  Still one
+    narrow explode + a single per-doc hash aggregate — a linear scan at
+    100 TB, with 2^64 fingerprint space instead of 2^16.
+
+    Output: ``doc_id, sh0..sh3`` (16-bit words, MSB-first) and
+    ``simhash_hex`` (the 16-char fingerprint).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    w = (
+        docs.select("doc_id", F.explode(words).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    h = F.md5(F.col("word"))
+    proj = w.select(
+        "doc_id", *[_hex4_int(h, 1 + 4 * i).alias(f"w{i}") for i in range(SIMHASH64_WORDS)]
+    )
+    votes = [
+        F.sum((F.floor(F.col(f"w{i}") / (1 << (15 - j))) % 2) * 2 - 1).alias(f"s{16 * i + j}")
+        for i in range(SIMHASH64_WORDS)
+        for j in range(16)
+    ]
+    sums = proj.groupBy("doc_id").agg(*votes)
+    word_cols = []
+    for i in range(SIMHASH64_WORDS):
+        terms = [
+            F.when(F.col(f"s{16 * i + j}") > 0, F.lit(1 << (15 - j))).otherwise(F.lit(0))
+            for j in range(16)
+        ]
+        word_cols.append(sum(terms[1:], terms[0]).cast("long").alias(f"sh{i}"))
+    out = sums.select("doc_id", *word_cols)
+    hex_col = F.concat(
+        *[F.lpad(F.lower(F.hex(F.col(f"sh{i}"))), 4, "0") for i in range(SIMHASH64_WORDS)]
+    )
+    return out.withColumn("simhash_hex", hex_col)
+
+
+def simhash64_neardup_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
+    """SimHash near-duplicate pairs via Hamming banding.
+
+    The four 16-bit fingerprint words are the LSH bands: by pigeonhole, any
+    pair within Hamming distance 3 shares at least one unchanged band, so
+    ``max_hamming<=3`` is *complete* (no missed pairs) while the band join
+    keeps candidate generation bounded by band-bucket sizes — never all
+    pairs.  Candidates are verified with the exact distance
+    (``Σ bit_count(sh_a XOR sh_b)``).
+    """
+    sh = simhash64(docs, text_col=text_col).select(
+        "doc_id", *[f"sh{i}" for i in range(SIMHASH64_WORDS)]
+    )
+    band_structs = [
+        F.struct(F.lit(i).alias("band_id"), F.col(f"sh{i}").alias("band_val"))
+        for i in range(SIMHASH64_WORDS)
+    ]
+    bands = sh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "b.band_id", "b.band_val")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"sh{i}").alias(f"sa{i}") for i in range(SIMHASH64_WORDS)]
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"sh{i}").alias(f"sb{i}") for i in range(SIMHASH64_WORDS)]
+    )
+    ham_terms = [
+        F.bit_count(F.col(f"sa{i}").bitwiseXOR(F.col(f"sb{i}")))
+        for i in range(SIMHASH64_WORDS)
+    ]
+    hamming = sum(ham_terms[1:], ham_terms[0])
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def ngram_jaccard(

@@ -55,33 +55,68 @@ def topk(embeddings: DataFrame, query_vec: list[float], k: int = 10) -> DataFram
     ).limit(k)
 
 
-def ivf_assign(embeddings: DataFrame, n_buckets: int = 16, vec_col: str = "embedding") -> DataFrame:
-    """Coarse quantizer: sign pattern of the first 4 quantized dims → bucket.
+TARGET_OCCUPANCY = 64  # target vectors per coarse bucket
+MAX_BUCKET_BITS = 8  # cap: 256 buckets (raise for >16k-vector corpora)
 
-    A stand-in for k-means centroids that stays deterministic and
-    engine-portable; the *plumbing* (bucketed layout, probe-limited scan) is
-    the part that matters at scale.
+
+def derived_n_buckets(
+    n_vecs: int, target_occupancy: int = TARGET_OCCUPANCY, max_bits: int = MAX_BUCKET_BITS
+) -> int:
+    """Scale-aware bucket count: smallest power of two giving ≤ ``target``
+    vectors per bucket.  Keeping occupancy bounded keeps the bucketed
+    self-join's Σ bucket² work *linear* in corpus size (a fixed bucket count
+    would be O(n²/k)); derivation matches the DuckDB oracle's
+    ``ceil(log2(greatest(n/target, 2)))`` formula exactly."""
+    import math
+
+    bits = max(1, math.ceil(math.log2(max(n_vecs / target_occupancy, 2.0))))
+    return 1 << min(bits, max_bits)
+
+
+def ivf_assign(
+    embeddings: DataFrame, n_buckets: int | None = None, vec_col: str = "embedding"
+) -> DataFrame:
+    """Coarse quantizer: sign pattern of the first log2(n_buckets) quantized
+    dims → bucket.
+
+    ``n_buckets=None`` derives the count from the corpus size
+    (``derived_n_buckets`` — one cheap count job, query-side not data-path)
+    so occupancy stays bounded as the table grows.  A stand-in for k-means
+    centroids that stays deterministic and engine-portable; the *plumbing*
+    (bucketed layout, probe-limited scan) is the part that matters at scale.
     """
+    if n_buckets is None:
+        n_buckets = derived_n_buckets(embeddings.count())
+    nbits = max(1, (n_buckets - 1).bit_length())
     e = _quant(F.col(vec_col))
     bits = [
         F.when(F.element_at(e, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(4)
+        for i in range(nbits)
     ]
     bucket = sum(bits[1:], bits[0]) % n_buckets
     return embeddings.withColumn("bucket", bucket.cast("int"))
 
 
+def _sign_bucket(vec: list[float], n_buckets: int) -> int:
+    """Driver-side twin of ``ivf_assign``'s bucket function for a query vector."""
+    nbits = max(1, (n_buckets - 1).bit_length())
+    q = [int(round(x * SCALE)) for x in vec]
+    return sum((1 << i) for i in range(nbits) if q[i] >= 0) % n_buckets
+
+
 def neardup_pairs(
     embeddings: DataFrame,
     top: int = 20,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, IVF-bucketed.
 
     The self-join is restricted to vectors sharing a coarse bucket — the
     standard blocking trick that turns the O(n²) all-pairs problem into
-    Σ bucket² work.  At 100 TB the embeddings table is written bucketed by
+    Σ bucket² work.  With the default scale-derived bucket count
+    (occupancy ≤ ``TARGET_OCCUPANCY``) that work grows *linearly* with the
+    corpus.  At 100 TB the embeddings table is written bucketed by
     ``bucket`` so the join is shuffle-free (co-located); here the bucket
     column keys an ordinary hash join.  Output is the ``top`` most-similar
     pairs with deterministic (cosine desc, ids asc) tiebreaks.
@@ -114,11 +149,27 @@ def neardup_pairs(
 
 
 def ivf_search(
-    embeddings: DataFrame, query_vec: list[float], k: int = 10, n_buckets: int = 16
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_buckets: int | None = None,
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Probe only the query's bucket, then brute-force inside it."""
+    """IVF search: scan only the query's probe buckets, brute-force inside.
+
+    ``multi_probe=True`` probes the Hamming-≤1 neighborhood of the query's
+    sign pattern (1 + log2(n_buckets) buckets) — the standard multi-probe
+    recall fix for points near a quantization boundary, still scanning only
+    an O(log n_buckets / n_buckets) fraction of the table.  On a
+    bucket-partitioned layout the probe filter becomes partition pruning.
+    """
+    if n_buckets is None:
+        n_buckets = derived_n_buckets(embeddings.count())
+    nbits = max(1, (n_buckets - 1).bit_length())
+    qbucket = _sign_bucket(query_vec, n_buckets)
+    probes = [qbucket]
+    if multi_probe:
+        probes += [(qbucket ^ (1 << i)) % n_buckets for i in range(nbits)]
     assigned = ivf_assign(embeddings, n_buckets)
-    q = [int(round(x * SCALE)) for x in query_vec]
-    qbucket = sum((1 << i) if q[i] >= 0 else 0 for i in range(4)) % n_buckets
-    probe = assigned.filter(F.col("bucket") == qbucket)
+    probe = assigned.filter(F.col("bucket").isin(sorted(set(probes))))
     return topk(probe, query_vec, k=k)

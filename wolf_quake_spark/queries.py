@@ -24,15 +24,23 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wolf_quake_spark.analysis.dedup import (
+    SIMHASH64_WORDS,
     SIMHASH_BITS,
     exact_duplicate_groups,
     lsh_buckets,
     normalized_fingerprint,
     simhash,
+    simhash64,
+    simhash64_neardup_pairs,
     verified_pairs,
 )
 from wolf_quake_spark.analysis.multimodal import extract_features, to_media
-from wolf_quake_spark.analysis.similarity import cosine_scores, ivf_assign, neardup_pairs
+from wolf_quake_spark.analysis.similarity import (
+    cosine_scores,
+    ivf_assign,
+    ivf_search,
+    neardup_pairs,
+)
 from wolf_quake_spark.analysis.textstats import (
     BPE_PATTERN,
     STOPWORDS,
@@ -526,22 +534,78 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scale-derived coarse-bucket assignment, shared by the IVF oracles: bucket
+# count is the smallest power of two keeping occupancy ≤ 64 (capped at 2^8),
+# mirroring analysis/similarity.derived_n_buckets exactly.
+_NB_SQL = """nb AS (
+      SELECT CAST(LEAST(CEIL(LOG2(GREATEST(COUNT(*) / 64.0, 2.0))), 8) AS INTEGER) AS b
+      FROM embeddings)"""
+
+_BUCKET_BITS_SQL = (
+    "CAST(("
+    + "\n           + ".join(
+        f"(CASE WHEN CAST(ROUND(embedding[{i + 1}] * 1000) AS BIGINT) >= 0 AND nb.b >= {i + 1} "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+    + ") AS INTEGER)"
+)
+
+_IVF_ASSIGN_SQL = f"""
+    WITH {_NB_SQL},
+    assign AS (
+      SELECT vec_id, embedding, {_BUCKET_BITS_SQL} AS bucket
+      FROM embeddings, nb)
+"""
+
+
 @register(
     "ivf_bucket_sizes",
-    """
-    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM (
-      SELECT ((CASE WHEN CAST(ROUND(embedding[1] * 1000) AS BIGINT) >= 0 THEN 1 ELSE 0 END)
-            + (CASE WHEN CAST(ROUND(embedding[2] * 1000) AS BIGINT) >= 0 THEN 2 ELSE 0 END)
-            + (CASE WHEN CAST(ROUND(embedding[3] * 1000) AS BIGINT) >= 0 THEN 4 ELSE 0 END)
-            + (CASE WHEN CAST(ROUND(embedding[4] * 1000) AS BIGINT) >= 0 THEN 8 ELSE 0 END)) % 16
-             AS bucket
-      FROM embeddings)
-    GROUP BY bucket
-    """,
+    _IVF_ASSIGN_SQL
+    + "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM assign GROUP BY bucket",
 )
 def q_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return ivf_assign(emb).groupBy("bucket").agg(F.count("*").alias("n_vecs"))
+
+
+@register(
+    "ivf_search_multiprobe",
+    _IVF_ASSIGN_SQL
+    + """
+    , qv AS (SELECT embedding AS qe, bucket AS qb FROM assign WHERE vec_id = 0),
+    probes AS (
+      SELECT DISTINCT xor(CAST(qv.qb AS BIGINT), CAST(f.p AS BIGINT)) AS bucket
+      FROM qv, nb, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS p) f
+      WHERE f.p = 0 OR f.p <= CAST(POWER(2, nb.b - 1) AS BIGINT)
+    ),
+    cand AS (SELECT vec_id, embedding FROM assign
+             WHERE bucket IN (SELECT bucket FROM probes)),
+    qq AS (
+      SELECT CAST(SUM(CAST(ROUND(qx * 1000) AS BIGINT) * CAST(ROUND(qx * 1000) AS BIGINT)) AS BIGINT) AS qn
+      FROM (SELECT unnest(qe) AS qx FROM qv)
+    ),
+    u AS (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS pos FROM cand),
+    uq AS (SELECT unnest(qe) AS qx, generate_subscripts(qe, 1) AS pos FROM qv),
+    dots AS (
+      SELECT u.vec_id,
+             CAST(SUM(CAST(ROUND(u.x * 1000) AS BIGINT) * CAST(ROUND(uq.qx * 1000) AS BIGINT)) AS BIGINT) AS dot,
+             CAST(SUM(CAST(ROUND(u.x * 1000) AS BIGINT) * CAST(ROUND(u.x * 1000) AS BIGINT)) AS BIGINT) AS en
+      FROM u JOIN uq USING (pos) GROUP BY u.vec_id
+    )
+    SELECT vec_id, dot,
+           CASE WHEN en > 0
+                THEN CAST(dot AS DOUBLE) / sqrt(CAST(en AS DOUBLE) * CAST(qn AS DOUBLE))
+                ELSE 0.0 END AS cosine
+    FROM dots, qq
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF search: Hamming-≤1 probe set around the query bucket."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_search(emb, _query_vec(spark, sf_dir), k=10)
 
 
 # ===========================================================================
@@ -623,6 +687,96 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_read(spark, sf_dir, "documents"))
 
 
+def _hex4_int_sql(off: int) -> str:
+    """SQL twin of dedup._hex4_int: value of md5-hex chars [off, off+4)."""
+    v = [f"(strpos('0123456789abcdef', substr(h, {off + i}, 1)) - 1)" for i in range(4)]
+    return f"((({v[0]} * 16 + {v[1]}) * 16 + {v[2]}) * 16 + {v[3]})"
+
+
+def _simhash64_core_sql() -> str:
+    """CTE chain ending in sh(doc_id, sh0..sh3) — the 64-bit fingerprint."""
+    wv_cols = ",\n             ".join(
+        f"{_hex4_int_sql(1 + 4 * i)} AS w{i}" for i in range(SIMHASH64_WORDS)
+    )
+    sums = ",\n             ".join(
+        f"SUM((CAST(floor(w{i} / {1 << (15 - j)}) AS BIGINT) % 2) * 2 - 1) AS s{16 * i + j}"
+        for i in range(SIMHASH64_WORDS)
+        for j in range(16)
+    )
+    words = ",\n             ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN s{16 * i + j} > 0 THEN {1 << (15 - j)} ELSE 0 END)"
+            for j in range(16)
+        )
+        + f" AS BIGINT) AS sh{i}"
+        for i in range(SIMHASH64_WORDS)
+    )
+    return f"""
+    WITH w AS (
+      SELECT DISTINCT doc_id, word FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents)
+      WHERE word <> ''
+    ),
+    hx AS (SELECT doc_id, md5(word) AS h FROM w),
+    wv AS (SELECT doc_id,
+             {wv_cols}
+           FROM hx),
+    sums AS (SELECT doc_id,
+             {sums}
+           FROM wv GROUP BY doc_id),
+    sh AS (SELECT doc_id,
+             {words}
+           FROM sums)
+"""
+
+
+_SIMHASH64_HEX_SQL = " || ".join(
+    f"lpad(lower(to_hex(sh{i})), 4, '0')" for i in range(SIMHASH64_WORDS)
+)
+
+
+@register(
+    "dedup_simhash64",
+    _simhash64_core_sql()
+    + f"SELECT doc_id, sh0, sh1, sh2, sh3, {_SIMHASH64_HEX_SQL} AS simhash_hex FROM sh",
+)
+def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (four 16-bit words + hex form)."""
+    return simhash64(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash_neardup_pairs",
+    _simhash64_core_sql()
+    + """
+    , sbands AS (
+      SELECT doc_id, 0 AS band_id, sh0 AS band_val FROM sh
+      UNION ALL SELECT doc_id, 1, sh1 FROM sh
+      UNION ALL SELECT doc_id, 2, sh2 FROM sh
+      UNION ALL SELECT doc_id, 3, sh3 FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sbands a JOIN sbands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+      WHERE a.doc_id < b.doc_id)
+    SELECT * FROM (
+      SELECT c.doc_a, c.doc_b,
+             CAST(bit_count(xor(sa.sh0, sb.sh0)) + bit_count(xor(sa.sh1, sb.sh1))
+                + bit_count(xor(sa.sh2, sb.sh2)) + bit_count(xor(sa.sh3, sb.sh3))
+                  AS BIGINT) AS hamming
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b)
+    WHERE hamming <= 3
+    """,
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded SimHash near-dup pairs (complete for distance ≤ 3)."""
+    return simhash64_neardup_pairs(_read(spark, sf_dir, "documents"), max_hamming=3)
+
+
 @register(
     "dedup_lsh_jaccard",
     _MINHASH_SQL
@@ -653,27 +807,17 @@ def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_pairs(_read(spark, sf_dir, "documents"))
 
 
-_NEARDUP_BUCKET_SQL = (
-    "(("
-    + " + ".join(
-        f"(CASE WHEN CAST(ROUND(embedding[{i + 1}] * 1000) AS BIGINT) >= 0 "
-        f"THEN {1 << i} ELSE 0 END)"
-        for i in range(4)
-    )
-    + ") % 16)"
-)
-
 @register(
     "ann_neardup_pairs",
-    f"""
-    WITH q AS (SELECT vec_id, {_NEARDUP_BUCKET_SQL} AS bucket FROM embeddings),
-    u AS (SELECT vec_id, CAST(ROUND(x * 1000) AS BIGINT) AS xq, pos FROM (
+    _IVF_ASSIGN_SQL
+    + """
+    , u AS (SELECT vec_id, CAST(ROUND(x * 1000) AS BIGINT) AS xq, pos FROM (
       SELECT vec_id, unnest(embedding) AS x,
              generate_subscripts(embedding, 1) AS pos FROM embeddings)),
     norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS nn FROM u GROUP BY vec_id),
     pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM q a JOIN q b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      FROM assign a JOIN assign b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
     dots AS (
       SELECT p.vec_a, p.vec_b, CAST(SUM(ua.xq * ub.xq) AS BIGINT) AS dot
       FROM pairs p
