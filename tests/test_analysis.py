@@ -140,6 +140,41 @@ def test_derived_n_buckets_scales_linearly():
         assert n / nb <= 64 or nb == 1 << 8  # bounded occupancy until the cap
 
 
+def _make_ppm(w, h, comment=True):
+    header = b"P6\n" + (b"# test comment\n" if comment else b"") + f"{w} {h}\n255\n".encode()
+    raster = bytes((x * 7 + 3) % 256 for x in range(w * h * 3))
+    return header + raster
+
+
+def test_decode_ppm_real_bytes():
+    from wolf_quake_spark.analysis.multimodal import decode_ppm
+
+    w, h, frames, feat = decode_ppm(_make_ppm(5, 4))
+    assert (w, h, frames) == (5, 4, 1)
+    assert len(feat) == 8 and all(0.0 <= f <= 255.0 for f in feat)
+    # width/height come from the header bytes, not payload length
+    assert decode_ppm(_make_ppm(31, 2, comment=False))[:2] == (31, 2)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n5 4\n255\n\x00")  # truncated raster
+    with pytest.raises(ValueError):
+        decode_ppm(b"GIF89a")
+
+
+def test_extract_features_decodes_ppm_in_spark(spark):
+    from wolf_quake_spark.analysis.multimodal import decode_ppm, extract_features
+
+    ppm = _make_ppm(9, 3)
+    rows = [(1, "image/ppm", bytearray(ppm), len(ppm), "x")]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id long, media_type string, payload binary, byte_len long, payload_sha string",
+    )
+    got = extract_features(media, fake=False).collect()[0]
+    w, h, frames, feat = decode_ppm(ppm)
+    assert (got["width"], got["height"], got["n_frames"]) == (w, h, frames)
+    assert [round(f, 4) for f in got["feature"]] == [round(f, 4) for f in feat]
+
+
 def test_ivf_search_multiprobe_superset(vecs):
     # the probe set covers the query's Hamming-1 neighborhood, so for this
     # tiny corpus (2 buckets) multi-probe scans everything → exact top-k

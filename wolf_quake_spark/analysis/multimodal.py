@@ -2,10 +2,12 @@
 
 Images/audio/video ride through the pipeline as ``binary`` columns with a
 metadata struct; decode / feature-extraction run as Arrow-batched pandas UDFs
-over ``mapInPandas``.  The decode kernels themselves are STUBBED (no
-image/audio libraries in this environment — they raise ``NotImplementedError``
-unless the deterministic fake is requested); the Spark-side plumbing (schema,
-batching, partitioning, UDF signature) is real and tested.
+over ``mapInPandas``.  One real container is decoded dependency-free —
+binary PPM/PGM (``decode_ppm``: header parse + raster features from actual
+payload bytes); other formats raise ``NotImplementedError`` unless the
+deterministic fake is requested (no image/audio libraries in this
+environment).  The Spark-side plumbing (schema, batching, partitioning, UDF
+signature) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -51,11 +53,60 @@ def to_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _decode_stub(payload: bytes, fake: bool) -> tuple[int, int, int, list[float]]:
+def decode_ppm(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Dependency-free decode of one real container: binary PPM/PGM (P6/P5).
+
+    Parses the header (magic, whitespace/``#`` comments, width, height,
+    maxval) and computes an 8-bin positional mean over the actual pixel
+    bytes — width/height/features come from payload bytes, not a stub.
+    Raises ``ValueError`` on malformed input.
+    """
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header")
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or not (0 < maxval < 65536):
+        raise ValueError(f"invalid PPM dimensions {w}x{h} maxval={maxval}")
+    pos += 1  # single whitespace byte after maxval, then raster
+    channels = 3 if payload[:2] == b"P6" else 1
+    bpp = channels * (2 if maxval > 255 else 1)
+    pixels = payload[pos : pos + w * h * bpp]
+    if len(pixels) < w * h * bpp:
+        raise ValueError("truncated PPM raster")
+    # 8-bin positional byte means — a deterministic stand-in embedding
+    # computed from the real raster bytes
+    nb = len(pixels)
+    binsz = max(nb // 8, 1)
+    feat = [
+        float(sum(pixels[i * binsz : (i + 1) * binsz]) / max(len(pixels[i * binsz : (i + 1) * binsz]), 1))
+        for i in range(8)
+    ]
+    return w, h, 1, feat
+
+
+def _decode(payload: bytes, fake: bool) -> tuple[int, int, int, list[float]]:
+    """Per-payload dispatch: real PPM/PGM parse when the magic matches, the
+    deterministic fake otherwise (when allowed)."""
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_ppm(payload)
     if not fake:
         raise NotImplementedError(
-            "media decode requires an image/audio library not present in this "
-            "environment; pass fake=True for the deterministic stand-in"
+            "non-PPM media decode requires an image/audio library not present "
+            "in this environment; pass fake=True for the deterministic stand-in"
         )
     # deterministic fake: dimensions/features derived from payload bytes
     n = len(payload)
@@ -71,7 +122,7 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_decode_stub(p or b"", fake) for p in pdf["payload"]]
+            rows = [_decode(p or b"", fake) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
