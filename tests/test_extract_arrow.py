@@ -17,7 +17,10 @@ import pytest
 
 from wolf_quake_spark.datagen import read_reference_log
 from wolf_quake_spark.operators.extract import _extract_batch
-from wolf_quake_spark.operators.extract_arrow import _extract_record_batch
+from wolf_quake_spark.operators.extract_arrow import (
+    _OUT_PA_SCHEMA,
+    _extract_record_batches,
+)
 
 KEY = ["conv_id", "turn_idx", "line_no", "event_type"]
 
@@ -44,7 +47,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def assert_parity(pdf: pd.DataFrame) -> None:
     for audit in (False, True):
         a = norm(_extract_batch(pdf, audit=audit))
-        b = norm(_extract_record_batch(to_batch(pdf), audit=audit).to_pandas())
+        batches = _extract_record_batches(to_batch(pdf), audit=audit)
+        b = norm(pa.Table.from_batches(batches, schema=_OUT_PA_SCHEMA).to_pandas())
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
@@ -74,6 +78,11 @@ def test_soup_parity():
         " 0:01 Kill: 5 7 :", "0:01 ClientUserinfoChanged: 2",
         "0:01 ClientUserinfoChanged: 2 n", "0:01 ClientUserinfoChanged: 2 x\\Name\\t",
         " 0:01 Kill: +5 +7 +10:", " 0:01 Kill: 4294967295 0 1:",
+        # non-ASCII whitespace: Python \s (pandas path) is Unicode-aware,
+        # RE2 \s is ASCII-only — the arrow path pre-normalizes to match
+        " 0:01 Kill: 5 7 1:", "0:01 ShutdownGame:",
+        "0:01 ClientUserinfoChanged: 2 n\\A B\\t", "0:01　InitGame:",
+        " ", "0:01\x1cKill: 1 2 3:",
     ]
     turns = ["\n".join(soup[j : j + 3]) for j in range(0, len(soup), 3)]
     pdf = pd.DataFrame(

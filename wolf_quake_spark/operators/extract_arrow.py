@@ -36,8 +36,10 @@ from wolf_quake_spark.data_model import (
     EV_CONNECT,
     EV_DROPPED,
     EV_IGNORED,
+    EV_INIT,
     EV_KILL,
     EV_REJECT,
+    EV_SHUTDOWN,
     EV_USERINFO,
     EVENT_TAGS,
     EVENTS_SCHEMA,
@@ -67,6 +69,17 @@ _TAG_CODES = pa.array(list(EVENT_TAGS.values()), pa.string())
 
 _KILL_RE = r"^\s*\S+\s+\S+\s+(?P<k>\S+)(?:\s+(?P<v>\S+))?(?:\s+(?P<m>\S+))?"
 _REST_RE = r"^\s*\S+\s+\S+\s+\S+(?P<rest>(?:\s+\S+)*)\s*$"
+
+# Whitespace codepoints Python's re \s (the pandas path, Unicode-aware — like
+# the reference's Rust split_whitespace) matches but RE2's ASCII-only \s does
+# not.  Matching lines are pre-normalized to ASCII space before the RE2
+# kernels so tokenization is identical across the three extract paths; the
+# ORIGINAL line still flows to the ``raw`` output column untouched
+# (per-turn/per-line byte identity).
+_NON_ASCII_WS_RE = (
+    "[\\x{001C}-\\x{001F}\\x{0085}\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}"
+    "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]"
+)
 
 
 def _true(mask: pa.Array) -> pa.Array:
@@ -150,17 +163,19 @@ def _subset_batch(
     )
 
 
-def _extract_record_batch(rb: pa.RecordBatch, audit: bool) -> pa.RecordBatch:
+def _extract_record_batches(rb: pa.RecordBatch, audit: bool) -> list[pa.RecordBatch]:
     """Per-tag subset processing: the expensive field regexes run only over
     the rows of their own event type (kills ≈ 20 % of lines, userinfo a few
     %), instead of every gated line.  Output row order is grouped by subset —
     downstream never depends on intra-partition order (everything keys on
     (conv_id, turn_idx, line_no))."""
     if rb.num_rows == 0:
-        return _empty_batch()
+        return []
     text = pc.fill_null(pc.cast(rb.column("text"), pa.string()), "")
     parts = pc.split_pattern(text, "\n")
     line = pc.list_flatten(parts)
+    # normalized copy for matching only; `line` itself feeds the raw column
+    mline = pc.replace_substring_regex(line, _NON_ASCII_WS_RE, " ")
     parent = pc.list_parent_indices(parts)
     counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
     total = int(counts.sum())
@@ -171,7 +186,7 @@ def _extract_record_batch(rb: pa.RecordBatch, audit: bool) -> pa.RecordBatch:
     conv_id = pc.take(pc.cast(rb.column("conv_id"), pa.string()), parent)
     turn_idx = pc.take(pc.cast(rb.column("turn_idx"), pa.int32()), parent)
 
-    tok0 = pc.struct_field(pc.extract_regex(line, r"^\s*(?P<t0>\S+)"), "t0")
+    tok0 = pc.struct_field(pc.extract_regex(mline, r"^\s*(?P<t0>\S+)"), "t0")
     gate = _true(pc.match_substring_regex(tok0, r"^[0-9:]{4,}$")).to_numpy(
         zero_copy_only=False
     )
@@ -190,9 +205,9 @@ def _extract_record_batch(rb: pa.RecordBatch, audit: bool) -> pa.RecordBatch:
         "line_no": pc.take(line_no, keep),
         "line": pc.take(line, keep),
     }
-    gline = base["line"]
+    gline = pc.take(mline, keep)  # matching copy; base["line"] stays raw
     if len(gline) == 0:
-        return dropped_batch if dropped_batch is not None else _empty_batch()
+        return [dropped_batch] if dropped_batch is not None else []
 
     tag = pc.struct_field(pc.extract_regex(gline, r"^\s*\S+\s+(?P<tag>\S+)"), "tag")
     no_tag = pc.is_null(tag).to_numpy(zero_copy_only=False)
@@ -206,7 +221,7 @@ def _extract_record_batch(rb: pa.RecordBatch, audit: bool) -> pa.RecordBatch:
     )
     if audit:
         out.append(_subset_batch(base, ign, EV_IGNORED))
-    for bev in ("init", "shutdown"):
+    for bev in (EV_INIT, EV_SHUTDOWN):
         out.append(_subset_batch(base, ev == bev, bev))
 
     def sub_take(mask):
@@ -282,8 +297,10 @@ def _extract_record_batch(rb: pa.RecordBatch, audit: bool) -> pa.RecordBatch:
 
     batches = [b for b in out if b is not None]
     if not batches:
-        return _empty_batch()
-    return pa.Table.from_batches(batches).combine_chunks().to_batches()[0]
+        return []
+    # emit every chunk: a >2 GiB string column chunks after combine_chunks,
+    # and to_batches()[0] would silently drop the rest
+    return pa.Table.from_batches(batches).combine_chunks().to_batches()
 
 
 def extract_events_arrow(transcripts: DataFrame, audit: bool = False) -> DataFrame:
@@ -296,7 +313,7 @@ def extract_events_arrow(transcripts: DataFrame, audit: bool = False) -> DataFra
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
-            yield _extract_record_batch(rb, audit=audit)
+            yield from _extract_record_batches(rb, audit=audit)
 
     cols = transcripts.select("conv_id", "turn_idx", "text")
     return cols.mapInArrow(gen, schema=EVENTS_SCHEMA)

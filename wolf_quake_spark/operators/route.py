@@ -23,6 +23,7 @@ from wolf_quake_spark.data_model import (
     EV_INIT,
     EV_KILL,
     EV_REJECT,
+    EV_SHUTDOWN,
     EV_USERINFO,
 )
 from wolf_quake_spark.operators.enrich import enrich_mod
@@ -43,11 +44,11 @@ def route(sessionized: DataFrame, with_orphans: bool = True) -> dict[str, DataFr
     )
 
     boundaries = sessionized.filter(
-        F.col("event_type").isin(EV_INIT, "shutdown")
+        F.col("event_type").isin(EV_INIT, EV_SHUTDOWN)
     ).select(
         *base,
         F.when(F.col("event_type") == EV_INIT, F.lit("init"))
-        .otherwise(F.lit("shutdown"))
+        .otherwise(F.lit(EV_SHUTDOWN))
         .alias("kind"),
         "is_flush",
         "game_id",

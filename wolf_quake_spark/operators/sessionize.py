@@ -32,7 +32,7 @@ serializing one task, which the generator bounds and the bench exercises
 (see BENCH.md).
 
 Tests cross-check this closed form against a direct accumulator oracle on
-hypothesis-generated event soups (tests/test_sessionize.py).
+hypothesis-generated event soups (tests/test_pipeline.py and tests/util.py).
 """
 
 from __future__ import annotations

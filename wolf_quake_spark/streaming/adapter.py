@@ -62,10 +62,17 @@ def run_streaming(
 
     ``available_now=True`` (default) processes everything currently present
     and stops — the batch-equivalent trigger, used by tests and backfills;
-    ``False`` runs continuously until ``timeout_secs``.  Restartable: the
-    streaming checkpoint under ``<out_dir>/_stream_checkpoint`` carries the
-    processed-file log across runs.
+    ``False`` runs continuously until ``timeout_secs`` (required in that
+    mode: ``awaitTermination(None)`` would block forever and make the stop /
+    Manifest return unreachable).  Restartable: the streaming checkpoint
+    under ``<out_dir>/_stream_checkpoint`` carries the processed-file log
+    across runs.
     """
+    if not available_now and timeout_secs is None:
+        raise ValueError(
+            "run_streaming(available_now=False) requires timeout_secs; "
+            "an unbounded continuous run would never return the Manifest"
+        )
     catalog = SinkCatalog(spark, out_dir, iceberg_catalog=iceberg_catalog)
     manifest = Manifest(out_dir)
 
