@@ -289,8 +289,16 @@ def simhash64_neardup_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str
     pairs.  Candidates are verified with the exact distance
     (``Σ bit_count(sh_a XOR sh_b)``).
     """
-    sh = simhash64(docs, text_col=text_col).select(
-        "doc_id", *[f"sh{i}" for i in range(SIMHASH64_WORDS)]
+    from pyspark import StorageLevel
+
+    # persist the fingerprint frame: it feeds four plan branches (both band
+    # sides, both verify sides) and the 64-vote aggregate would otherwise be
+    # recomputed per branch (same sharing rationale as verified_pairs;
+    # DISK_ONLY per BENCH.md).  Handle exposed as on verified_pairs.
+    sh = (
+        simhash64(docs, text_col=text_col)
+        .select("doc_id", *[f"sh{i}" for i in range(SIMHASH64_WORDS)])
+        .persist(StorageLevel.DISK_ONLY)
     )
     band_structs = [
         F.struct(F.lit(i).alias("band_id"), F.col(f"sh{i}").alias("band_val"))
@@ -317,12 +325,14 @@ def simhash64_neardup_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str
         for i in range(SIMHASH64_WORDS)
     ]
     hamming = sum(ham_terms[1:], ham_terms[0])
-    return (
+    out = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+    out._wqs_persisted = sh
+    return out
 
 
 def ngram_jaccard(

@@ -174,8 +174,14 @@ def _extract_record_batches(rb: pa.RecordBatch, audit: bool) -> list[pa.RecordBa
     text = pc.fill_null(pc.cast(rb.column("text"), pa.string()), "")
     parts = pc.split_pattern(text, "\n")
     line = pc.list_flatten(parts)
-    # normalized copy for matching only; `line` itself feeds the raw column
-    mline = pc.replace_substring_regex(line, _NON_ASCII_WS_RE, " ")
+    # normalized copy for matching only; `line` itself feeds the raw column.
+    # Detection first: the common all-ASCII batch then pays one RE2 scan and
+    # skips the string rebuild entirely (mline aliases line, zero-copy).
+    has_uws = pc.match_substring_regex(line, _NON_ASCII_WS_RE)
+    if pc.any(pc.fill_null(has_uws, False)).as_py():
+        mline = pc.replace_substring_regex(line, _NON_ASCII_WS_RE, " ")
+    else:
+        mline = line
     parent = pc.list_parent_indices(parts)
     counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
     total = int(counts.sum())
