@@ -1,0 +1,37 @@
+#!/usr/bin/env bash
+# Package the library and spark-submit a pipeline command.
+#
+#   scripts/submit.sh [spark-submit args --] <cli subcommand + args>
+#
+# Args before a literal "--" go to spark-submit; the rest (or everything,
+# when no "--" is given) go to wolf_quake_spark.cli.
+#
+# Examples:
+#   scripts/submit.sh run --input /data/transcripts --out /data/out
+#   scripts/submit.sh --master local[8] -- run --input /data/tr --out /data/out
+#
+# The --py-files zip is rebuilt on every invocation (cheap; the library is
+# pure Python) so the shipped code always matches the working tree.
+set -euo pipefail
+
+REPO="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+ZIP="${TMPDIR:-/tmp}/wqs-$(id -u).zip"
+
+rm -f "$ZIP"
+(cd "$REPO" && zip -qr "$ZIP" wolf_quake_spark -x '*__pycache__*')
+
+SUBMIT_ARGS=()
+CLI_ARGS=()
+target=CLI_ARGS
+for a in "$@"; do
+  if [[ "$a" == "--" && "$target" == CLI_ARGS && ${#SUBMIT_ARGS[@]} -eq 0 && ${#CLI_ARGS[@]} -gt 0 ]]; then
+    # "--" seen: everything so far was spark-submit args
+    SUBMIT_ARGS=("${CLI_ARGS[@]}")
+    CLI_ARGS=()
+    continue
+  fi
+  CLI_ARGS+=("$a")
+done
+
+exec spark-submit "${SUBMIT_ARGS[@]}" --py-files "$ZIP" \
+  "$REPO/wolf_quake_spark/cli.py" "${CLI_ARGS[@]}"
