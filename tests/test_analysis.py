@@ -175,6 +175,33 @@ def test_extract_features_decodes_ppm_in_spark(spark):
     assert [round(f, 4) for f in got["feature"]] == [round(f, 4) for f in feat]
 
 
+def test_srp_signatures_and_pairs(vecs):
+    from wolf_quake_spark.analysis.similarity import (
+        srp_hyperplanes,
+        srp_neardup_pairs,
+        srp_signatures,
+    )
+
+    # deterministic hyperplanes: stable across calls, bounded coefficients
+    p1, p2 = srp_hyperplanes(4), srp_hyperplanes(4)
+    assert p1 == p2 and all(-32768 <= c <= 32767 for row in p1 for c in row)
+
+    sig = {r["vec_id"]: r["srp_sig"] for r in srp_signatures(vecs, dim=4).collect()}
+    assert sig[0] == sig[1]  # identical vectors → identical signature
+    assert all(0 <= s < (1 << 16) for s in sig.values())
+    # opposite vector flips every non-zero-dot bit → large Hamming distance
+    assert bin(sig[0] ^ sig[3]).count("1") > 8
+
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"]
+             for r in srp_neardup_pairs(vecs, dim=4, top=10).collect()}
+    assert pairs[(0, 1)] == 1.0  # identical vectors always share every band
+    # every reported cosine must equal the brute-force value
+    brute = {r["vec_id"]: r["cosine"]
+             for r in cosine_scores(vecs, [1.0, 0.0, 0.0, 0.0]).collect()}
+    if (0, 2) in pairs:
+        assert abs(pairs[(0, 2)] - brute[2]) < 1e-12
+
+
 def test_ivf_search_multiprobe_superset(vecs):
     # the probe set covers the query's Hamming-1 neighborhood, so for this
     # tiny corpus (2 buckets) multi-probe scans everything → exact top-k

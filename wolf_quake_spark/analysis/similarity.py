@@ -148,6 +148,108 @@ def neardup_pairs(
     )
 
 
+# --- SRP-LSH (signed random projections, cosine LSH) -----------------------
+#
+# The classic LSH family for cosine similarity (Charikar 2002), complementing
+# the IVF path: B deterministic pseudo-random hyperplanes give a B-bit
+# signature whose Hamming distance estimates the angle between vectors.
+# Hyperplane coefficients are md5-derived integers generated driver-side and
+# embedded as literals in BOTH engines, so the oracle is exact and no per-row
+# hashing happens at runtime.
+
+SRP_BITS = 16
+
+
+def srp_hyperplanes(dim: int, n_bits: int = SRP_BITS, seed: str = "srp") -> list[list[int]]:
+    """Deterministic hyperplane coefficients in [-32768, 32767]."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{seed}:{h}:{d}".encode()).hexdigest()[:4], 16) - 32768
+            for d in range(dim)
+        ]
+        for h in range(n_bits)
+    ]
+
+
+def srp_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    n_bits: int = SRP_BITS,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """B-bit SRP signature per vector — one narrow JVM-side pass.
+
+    Each bit is ``sign(<quantized vec, hyperplane>)`` computed with
+    ``zip_with``/``aggregate`` against a literal coefficient array: no
+    shuffle, no UDF, no join — at 100 TB this pipelines inside the scan.
+    """
+    planes = srp_hyperplanes(dim, n_bits)
+    e = _quant(F.col(vec_col))
+    bits = []
+    for h, coefs in enumerate(planes):
+        c = F.array(*[F.lit(v).cast("long") for v in coefs])
+        bits.append(F.when(_dot(e, c) >= 0, F.lit(1 << h)).otherwise(F.lit(0)))
+    sig = sum(bits[1:], bits[0])
+    return embeddings.select("vec_id", sig.cast("long").alias("srp_sig"))
+
+
+def srp_neardup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    top: int = 20,
+    n_bits: int = SRP_BITS,
+    bands: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-dup pairs via SRP-LSH banding + exact verification.
+
+    The B-bit signature splits into ``bands`` equal bands; vectors sharing a
+    band are candidates (complete for signature Hamming distance <
+    ``bands`` by pigeonhole), then the exact quantized cosine is computed
+    per candidate pair with pre-hoisted self-norms.  Candidate volume is
+    bounded by band-bucket sizes — never all pairs.
+    """
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    quant = _quant(F.col(vec_col))
+    sig = srp_signatures(embeddings, dim, n_bits, vec_col=vec_col)
+    assigned = embeddings.join(sig, "vec_id").select(
+        "vec_id", "srp_sig", quant.alias("qe"), _dot(quant, quant).alias("nn")
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col("srp_sig"), b * width).bitwiseAND(mask).alias("band_val"),
+        )
+        for b in range(bands)
+    ]
+    bexp = assigned.select(
+        "vec_id", "qe", "nn", F.explode(F.array(*band_structs)).alias("b")
+    ).select("vec_id", "qe", "nn", "b.band_id", "b.band_val")
+    a = bexp.alias("a")
+    bb = bexp.alias("b")
+    dot = _dot(F.col("a.qe"), F.col("b.qe"))
+    na, nb = F.col("a.nn"), F.col("b.nn")
+    cos = F.when(
+        (na > 0) & (nb > 0), dot.cast("double") / F.sqrt((na * nb).cast("double"))
+    ).otherwise(F.lit(0.0))
+    return (
+        a.join(bb, ["band_id", "band_val"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .groupBy("vec_a", "vec_b")
+        .agg(F.first("cosine").alias("cosine"))  # dedupe multi-band hits
+        .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(top)
+    )
+
+
 def ivf_search(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -36,10 +36,14 @@ from wolf_quake_spark.analysis.dedup import (
 )
 from wolf_quake_spark.analysis.multimodal import extract_features, to_media
 from wolf_quake_spark.analysis.similarity import (
+    SRP_BITS,
     cosine_scores,
     ivf_assign,
     ivf_search,
     neardup_pairs,
+    srp_hyperplanes,
+    srp_neardup_pairs,
+    srp_signatures,
 )
 from wolf_quake_spark.analysis.textstats import (
     BPE_PATTERN,
@@ -606,6 +610,75 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF search: Hamming-≤1 probe set around the query bucket."""
     emb = _read(spark, sf_dir, "embeddings")
     return ivf_search(emb, _query_vec(spark, sf_dir), k=10)
+
+
+# --- SRP-LSH (cosine LSH) --------------------------------------------------
+
+_SRP_DIM = 64  # embeddings table dimensionality (TESTDATA.md)
+
+
+def _srp_core_sql() -> str:
+    """CTE chain ending in sig(vec_id, srp_sig); coefficients are the same
+    driver-generated literals the Spark path embeds (exact cross-engine)."""
+    planes = srp_hyperplanes(_SRP_DIM, SRP_BITS)
+    coef_rows = ", ".join(
+        f"({h}, {d + 1}, {planes[h][d]})" for h in range(SRP_BITS) for d in range(_SRP_DIM)
+    )
+    weights = ", ".join(f"({h}, {1 << h})" for h in range(SRP_BITS))
+    return f"""
+    WITH coef(h, pos, c) AS (VALUES {coef_rows}),
+    w(h, wt) AS (VALUES {weights}),
+    u AS (SELECT vec_id, CAST(ROUND(x * 1000) AS BIGINT) AS xq, pos FROM (
+      SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+    dots AS (SELECT u.vec_id, coef.h, SUM(u.xq * coef.c) AS dot
+             FROM u JOIN coef USING (pos) GROUP BY u.vec_id, coef.h),
+    sig AS (SELECT d.vec_id,
+                   CAST(SUM(CASE WHEN d.dot >= 0 THEN w.wt ELSE 0 END) AS BIGINT) AS srp_sig
+            FROM dots d JOIN w USING (h) GROUP BY d.vec_id)
+"""
+
+
+@register("srp_signatures", _srp_core_sql() + "SELECT vec_id, srp_sig FROM sig")
+def q_srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit signed-random-projection signatures (cosine LSH, Charikar)."""
+    return srp_signatures(_read(spark, sf_dir, "embeddings"), dim=_SRP_DIM)
+
+
+@register(
+    "srp_neardup_pairs",
+    _srp_core_sql()
+    + """
+    , sbands AS (
+      SELECT vec_id, 0 AS band_id, srp_sig % 256 AS band_val FROM sig
+      UNION ALL
+      SELECT vec_id, 1, CAST(floor(srp_sig / 256) AS BIGINT) % 256 FROM sig),
+    norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS nn FROM u GROUP BY vec_id),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sbands a JOIN sbands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+      WHERE a.vec_id < b.vec_id),
+    pdots AS (
+      SELECT p.vec_a, p.vec_b, CAST(SUM(ua.xq * ub.xq) AS BIGINT) AS dot
+      FROM pairs p
+      JOIN u ua ON ua.vec_id = p.vec_a
+      JOIN u ub ON ub.vec_id = p.vec_b AND ub.pos = ua.pos
+      GROUP BY p.vec_a, p.vec_b)
+    SELECT d.vec_a, d.vec_b,
+           CASE WHEN na.nn > 0 AND nb.nn > 0
+                THEN CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE))
+                ELSE 0.0 END AS cosine
+    FROM pdots d
+    JOIN norms na ON na.vec_id = d.vec_a
+    JOIN norms nb ON nb.vec_id = d.vec_b
+    ORDER BY cosine DESC, vec_a ASC, vec_b ASC
+    LIMIT 20
+    """,
+)
+def q_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH banded cosine near-dup pairs, exact-verified (top 20)."""
+    return srp_neardup_pairs(_read(spark, sf_dir, "embeddings"), dim=_SRP_DIM, top=20)
 
 
 # ===========================================================================
