@@ -324,6 +324,53 @@ def q_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_with_late_items",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_orders_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: large-large LEFT SEMI join (EXISTS) with an extra
+    non-equi predicate, then hash agg.  Both sides are fact tables, so
+    Catalyst/AQE picks a shuffled join on l_orderkey — the semi form ships
+    no lineitem payload columns and deduplicates matches join-side."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    cond = (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate)
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "orders_without_items",
+    """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    GROUP BY o_orderstatus
+    """,
+)
+def q_orders_without_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) — the J2/J3 orphan-check analog as a
+    standalone relational operator over the star schema."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
 # ===========================================================================
 # Deduplication (documents)
 # ===========================================================================
