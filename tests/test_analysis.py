@@ -175,6 +175,20 @@ def test_extract_features_decodes_ppm_in_spark(spark):
     assert [round(f, 4) for f in got["feature"]] == [round(f, 4) for f in feat]
 
 
+def test_kmeans_assign_converges_to_seeds(vecs):
+    from wolf_quake_spark.analysis.similarity import kmeans_assign
+
+    # k=2 seeded with vec 0 (=[1,0,0,0]) and vec 1 (identical): vectors 0,1,2
+    # sit at/near seed 0's position; the opposite vector 3 and zero vector 4
+    # are strictly closer to whichever centroid drifts toward them
+    got = {r["vec_id"]: r["cent_id"] for r in kmeans_assign(vecs, k=2, iters=2).collect()}
+    assert got[0] == got[1] == got[2]  # the identical/near cluster stays together
+    assert set(got) == {0, 1, 2, 3, 4}
+    # deterministic: same input → same assignment
+    again = {r["vec_id"]: r["cent_id"] for r in kmeans_assign(vecs, k=2, iters=2).collect()}
+    assert got == again
+
+
 def test_srp_signatures_and_pairs(vecs):
     from wolf_quake_spark.analysis.similarity import (
         srp_hyperplanes,

@@ -148,6 +148,74 @@ def neardup_pairs(
     )
 
 
+# --- k-means IVF quantizer (Lloyd iterations as DataFrame ops) -------------
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Real IVF coarse quantizer: k-means over quantized vectors, entirely in
+    DataFrame ops (no UDF, no collect of the data — only the k centroids come
+    to the driver between Lloyd iterations, which is the textbook k-means
+    driver loop).
+
+    Deterministic and engine-exact: distances are integer L2² over the
+    quantized components, argmin ties break on lowest centroid id, and
+    centroid updates use ``floor(sum/count)`` (one correctly-rounded double
+    division) — the DuckDB oracle reproduces assignments bit-for-bit.
+    Init: the vectors with ``vec_id`` 0..k-1 (deterministic seeding).
+
+    Returns (vec_id, cent_id).  At 100 TB each iteration is one narrow
+    broadcast-join pass + one (cent_id, pos) aggregation of k·dim rows.
+    """
+    spark = embeddings.sparkSession
+    q = embeddings.select("vec_id", _quant(F.col(vec_col)).alias("qe"))
+    cents = (
+        q.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").cast("int").alias("cent_id"), F.col("qe").alias("cvec"))
+    )
+
+    def assign(cframe: DataFrame) -> DataFrame:
+        d = F.aggregate(
+            F.zip_with(F.col("qe"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        scored = q.crossJoin(F.broadcast(cframe)).select(
+            "vec_id", "qe", "cent_id", d.alias("dist")
+        )
+        return (
+            scored.groupBy("vec_id", "qe")
+            .agg(F.min(F.struct("dist", "cent_id")).alias("m"))
+            .select("vec_id", "qe", F.col("m.cent_id").alias("cent_id"))
+        )
+
+    for _ in range(iters):
+        a = assign(cents)
+        upd = (
+            a.select("cent_id", F.posexplode("qe").alias("pos", "xq"))
+            .groupBy("cent_id", "pos")
+            .agg(F.floor(F.sum("xq").cast("double") / F.count("*")).cast("long").alias("cq"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cq"))), lambda s: s["cq"]
+                ).alias("cvec")
+            )
+        )
+        # empty clusters keep their previous centroid; the k-row update frame
+        # is collected to the driver (k·dim ints — the standard Lloyd loop)
+        new_rows = {r["cent_id"]: r["cvec"] for r in upd.collect()}
+        old_rows = {r["cent_id"]: r["cvec"] for r in cents.collect()}
+        merged = [(c, new_rows.get(c, old_rows[c])) for c in sorted(old_rows)]
+        cents = spark.createDataFrame(merged, "cent_id int, cvec array<long>")
+
+    return assign(cents).select("vec_id", "cent_id")
+
+
 # --- SRP-LSH (signed random projections, cosine LSH) -----------------------
 #
 # The classic LSH family for cosine similarity (Charikar 2002), complementing

@@ -40,6 +40,7 @@ from wolf_quake_spark.analysis.similarity import (
     cosine_scores,
     ivf_assign,
     ivf_search,
+    kmeans_assign,
     neardup_pairs,
     srp_hyperplanes,
     srp_neardup_pairs,
@@ -657,6 +658,52 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF search: Hamming-≤1 probe set around the query bucket."""
     emb = _read(spark, sf_dir, "embeddings")
     return ivf_search(emb, _query_vec(spark, sf_dir), k=10)
+
+
+# --- k-means IVF quantizer -------------------------------------------------
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Lloyd iterations unrolled as CTEs, exactly mirroring
+    analysis/similarity.kmeans_assign (integer L2², lowest-cent_id tiebreak,
+    floor(sum/count) centroid update, empty-cluster carry-over)."""
+    parts = [
+        f"""
+    WITH u AS (SELECT vec_id, CAST(ROUND(x * 1000) AS BIGINT) AS xq, pos FROM (
+      SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+    c0 AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, pos, xq AS cq
+           FROM u WHERE vec_id < {k})"""
+    ]
+    cur = "c0"
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    , d{i} AS (SELECT u.vec_id, c.cent_id, SUM((u.xq - c.cq) * (u.xq - c.cq)) AS dist
+           FROM u JOIN {cur} c USING (pos) GROUP BY u.vec_id, c.cent_id),
+    a{i} AS (SELECT vec_id, cent_id FROM (
+             SELECT vec_id, cent_id,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+             FROM d{i}) WHERE rn = 1),
+    n{i} AS (SELECT a{i}.cent_id, u.pos,
+                    CAST(floor(CAST(SUM(u.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+             FROM u JOIN a{i} USING (vec_id) GROUP BY a{i}.cent_id, u.pos),
+    c{i} AS (SELECT p.cent_id, p.pos, COALESCE(n{i}.cq, p.cq) AS cq
+             FROM {cur} p LEFT JOIN n{i} ON n{i}.cent_id = p.cent_id AND n{i}.pos = p.pos)""")
+        cur = f"c{i}"
+    parts.append(f"""
+    , df AS (SELECT u.vec_id, c.cent_id, SUM((u.xq - c.cq) * (u.xq - c.cq)) AS dist
+           FROM u JOIN {cur} c USING (pos) GROUP BY u.vec_id, c.cent_id)
+    SELECT vec_id, cent_id FROM (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+      FROM df) WHERE rn = 1""")
+    return "".join(parts)
+
+
+@register("ivf_kmeans_assign", _kmeans_sql())
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real k-means IVF quantizer (2 Lloyd iterations, k=8), DataFrame-only."""
+    return kmeans_assign(_read(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
 # --- SRP-LSH (cosine LSH) --------------------------------------------------
