@@ -138,6 +138,11 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
         qtimes[name] = round(time.monotonic() - t0, 3)
+        # release shared persisted frames (LSH shingles / simhash64
+        # fingerprints) — CacheManager pins them for the session otherwise
+        handle = getattr(df, "_wqs_persisted", None)
+        if handle is not None:
+            handle.unpersist()
 
     headline = pipeline[modes[0]]
     total = round(sum(qtimes.values()) + sum(p["secs"] for p in pipeline.values()), 3)

@@ -130,14 +130,19 @@ def main() -> None:
     effs = sorted(t["scaling_efficiency"] for t in trials)
     med = effs[len(effs) // 2]
     best = max(trials, key=lambda t: t["scaling_efficiency"])
+    # primary = MEDIAN (robust under this host's noise); the best trial is
+    # reported alongside with its level pair so a quiet-window sample can be
+    # cited explicitly — never silently as the headline
     result = {
-        "low": best["low"],
-        "high": best["high"],
         "parallelism_ratio": ratio,
-        "speedup": round(best["high"]["turns_per_sec"] / best["low"]["turns_per_sec"], 3),
-        "scaling_efficiency": best["scaling_efficiency"],
+        "scaling_efficiency": med,
         "efficiency_trials": effs,
-        "efficiency_median": med,
+        "efficiency_best": best["scaling_efficiency"],
+        "best_low": best["low"],
+        "best_high": best["high"],
+        "best_speedup": round(
+            best["high"]["turns_per_sec"] / best["low"]["turns_per_sec"], 3
+        ),
     }
     print(json.dumps(result))
 

@@ -76,6 +76,9 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             scols = df.columns
             srows = [tuple(r) for r in df.collect()]
+            handle = getattr(df, "_wqs_persisted", None)
+            if handle is not None:
+                handle.unpersist()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             failures.append(name)

@@ -20,12 +20,14 @@ ZIP="${TMPDIR:-/tmp}/wqs-$(id -u).zip"
 rm -f "$ZIP"
 (cd "$REPO" && zip -qr "$ZIP" wolf_quake_spark -x '*__pycache__*')
 
+# first "--" splits spark-submit args (before) from CLI args (after);
+# without one, everything is CLI args
 SUBMIT_ARGS=()
 CLI_ARGS=()
-target=CLI_ARGS
+seen_sep=false
 for a in "$@"; do
-  if [[ "$a" == "--" && "$target" == CLI_ARGS && ${#SUBMIT_ARGS[@]} -eq 0 && ${#CLI_ARGS[@]} -gt 0 ]]; then
-    # "--" seen: everything so far was spark-submit args
+  if [[ "$a" == "--" && "$seen_sep" == false ]]; then
+    seen_sep=true
     SUBMIT_ARGS=("${CLI_ARGS[@]}")
     CLI_ARGS=()
     continue

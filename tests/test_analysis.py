@@ -160,6 +160,19 @@ def test_decode_ppm_real_bytes():
         decode_ppm(b"GIF89a")
 
 
+def test_fake_mode_total_on_ppm_prefixed_text():
+    # arbitrary document text starting with P6/P5 must NOT crash fake mode
+    # (regression: raw magic sniff routed it into the strict PPM parser)
+    from wolf_quake_spark.analysis.multimodal import _decode
+
+    payload = "P6 hello world".encode()
+    w, h, frames, feat = _decode(payload, "image/fake", fake=True)
+    n = len(payload)
+    assert (w, h, frames) == (16 + n % 64, 16 + (n // 64) % 64, 1)  # fake formula
+    with pytest.raises(ValueError):
+        _decode(payload, "image/fake", fake=False)  # strict: magic sniff applies
+
+
 def test_extract_features_decodes_ppm_in_spark(spark):
     from wolf_quake_spark.analysis.multimodal import decode_ppm, extract_features
 
@@ -173,6 +186,15 @@ def test_extract_features_decodes_ppm_in_spark(spark):
     w, h, frames, feat = decode_ppm(ppm)
     assert (got["width"], got["height"], got["n_frames"]) == (w, h, frames)
     assert [round(f, 4) for f in got["feature"]] == [round(f, 4) for f in feat]
+
+
+def test_vertical_tab_splits_words(spark):
+    # WS_SPLIT must treat \x0b as a word boundary on BOTH engines; the Spark
+    # side is checked here, the shared explicit class keeps DuckDB identical
+    df = spark.createDataFrame([(1, "foo\x0bbar baz")], "doc_id long, text string")
+    assert df.select(token_count(F.col("text")).alias("n")).first()["n"] == 3
+    sh = {r["shingle"] for r in word_shingles(df, n=2).collect()}
+    assert sh == {"foo bar", "bar baz"}
 
 
 def test_kmeans_assign_converges_to_seeds(vecs):

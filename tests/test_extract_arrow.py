@@ -83,6 +83,8 @@ def test_soup_parity():
         " 0:01 Kill: 5 7 1:", "0:01 ShutdownGame:",
         "0:01 ClientUserinfoChanged: 2 n\\A B\\t", "0:01　InitGame:",
         " ", "0:01\x1cKill: 1 2 3:",
+        # \x0B: inside Python/Java \\s but OUTSIDE RE2 \\s (ASCII gap, r2 review)
+        "0:01\x0bKill: 1 2 3: x killed y", "\x0b0:01 ShutdownGame:",
     ]
     turns = ["\n".join(soup[j : j + 3]) for j in range(0, len(soup), 3)]
     pdf = pd.DataFrame(

@@ -1,1 +1,8 @@
 """Training-data pipeline operators: dedup, similarity, text stats, multimodal."""
+
+# Explicit ASCII whitespace class for text tokenization, written out so the
+# Spark (Java regex) and DuckDB-oracle (RE2) sides split identically: Java's
+# \s includes \x0B (vertical tab) while RE2's \s does not, so a bare \s+
+# silently diverges cross-engine on vertical-tab text (caught in round-2
+# review).  Both engines interpret this class byte-for-byte the same.
+WS_SPLIT = r"[ \t\n\x0B\f\r]+"

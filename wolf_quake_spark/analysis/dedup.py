@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from wolf_quake_spark.analysis import WS_SPLIT
+
 DEFAULT_K = 8  # minhash permutations
 DEFAULT_BANDS = 4  # → rows-per-band = K // BANDS
 
@@ -34,7 +36,7 @@ def exact_duplicate_groups(docs: DataFrame, text_col: str = "text") -> DataFrame
 
 def normalized_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace-collapsed, lowercased rolling fingerprint (near-exact dup key)."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), WS_SPLIT, " ")))
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
@@ -47,7 +49,7 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
     re-evaluates the split per element and is O(words²) per doc: measured
     ~9 s for 5,000 docs vs sub-second for this formulation.)
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.split(F.trim(F.col(text_col)), WS_SPLIT)
     w = docs.select("doc_id", words.alias("_w"))
     sz = F.greatest(F.size("_w") - (n - 1), F.lit(0))
     zipped = F.arrays_zip(
@@ -155,10 +157,12 @@ def verified_pairs(
     sharing, Catalyst re-runs the explode+distinct per branch.
 
     The persisted handle is exposed as ``result._wqs_persisted`` so callers
-    can ``unpersist()`` once the result is materialized; if they don't, the
-    block is reclaimed by Spark's ContextCleaner when the frame is
-    garbage-collected (it is DISK_ONLY, so it occupies no executor memory in
-    the meantime).
+    MUST ``unpersist()`` it once the result is materialized in long-lived
+    sessions (bench.py does).  Spark's CacheManager holds a strong JVM
+    reference to a persisted plan, so Python GC does NOT reclaim it; an
+    unreleased handle costs session-lifetime disk-cache blocks (DISK_ONLY —
+    no executor memory, but real disk).  Note the attribute does not survive
+    further DataFrame transformations (each returns a new object).
     """
     from pyspark import StorageLevel
 
@@ -196,7 +200,7 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     near-dup candidates are fingerprints within small Hamming distance,
     found by banding the 16 bits exactly like LSH.
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.split(F.trim(F.col(text_col)), WS_SPLIT)
     w = (
         docs.select("doc_id", F.explode(words).alias("word"))
         .filter(F.col("word") != "")
@@ -249,7 +253,7 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Output: ``doc_id, sh0..sh3`` (16-bit words, MSB-first) and
     ``simhash_hex`` (the 16-char fingerprint).
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.split(F.trim(F.col(text_col)), WS_SPLIT)
     w = (
         docs.select("doc_id", F.explode(words).alias("word"))
         .filter(F.col("word") != "")

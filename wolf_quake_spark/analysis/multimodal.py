@@ -98,10 +98,22 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, list[float]]:
     return w, h, 1, feat
 
 
-def _decode(payload: bytes, fake: bool) -> tuple[int, int, int, list[float]]:
-    """Per-payload dispatch: real PPM/PGM parse when the magic matches, the
-    deterministic fake otherwise (when allowed)."""
-    if payload[:2] in (b"P6", b"P5"):
+def _decode(
+    payload: bytes, media_type: str, fake: bool
+) -> tuple[int, int, int, list[float]]:
+    """Per-payload dispatch.
+
+    The real PPM/PGM kernel runs for payloads *declared* ``image/ppm`` (or
+    ``image/pgm``), and in strict mode (``fake=False``) also for anything
+    whose magic matches.  In fake mode undeclared payloads always take the
+    deterministic fake formula — fake mode must be total and oracle-exact
+    even when arbitrary document text happens to start with ``P6``/``P5``
+    (a raw magic sniff here crashed the fake path on such text; caught in
+    round-2 review).
+    """
+    if media_type in ("image/ppm", "image/pgm") or (
+        not fake and payload[:2] in (b"P6", b"P5")
+    ):
         return decode_ppm(payload)
     if not fake:
         raise NotImplementedError(
@@ -122,7 +134,10 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_decode(p or b"", fake) for p in pdf["payload"]]
+            rows = [
+                _decode(p or b"", mt, fake)
+                for p, mt in zip(pdf["payload"], pdf["media_type"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -279,12 +279,20 @@ def srp_neardup_pairs(
     per candidate pair with pre-hoisted self-norms.  Candidate volume is
     bounded by band-bucket sizes — never all pairs.
     """
+    from pyspark import StorageLevel
+
     width = n_bits // bands
     mask = (1 << width) - 1
     quant = _quant(F.col(vec_col))
     sig = srp_signatures(embeddings, dim, n_bits, vec_col=vec_col)
-    assigned = embeddings.join(sig, "vec_id").select(
-        "vec_id", "srp_sig", quant.alias("qe"), _dot(quant, quant).alias("nn")
+    # persisted: the signature+norm frame feeds both sides of the band
+    # self-join, and the 16-hyperplane projection would otherwise be
+    # recomputed per plan branch (same sharing rationale as verified_pairs;
+    # caller releases via result._wqs_persisted — bench.py does)
+    assigned = (
+        embeddings.join(sig, "vec_id")
+        .select("vec_id", "srp_sig", quant.alias("qe"), _dot(quant, quant).alias("nn"))
+        .persist(StorageLevel.DISK_ONLY)
     )
     band_structs = [
         F.struct(
@@ -303,7 +311,7 @@ def srp_neardup_pairs(
     cos = F.when(
         (na > 0) & (nb > 0), dot.cast("double") / F.sqrt((na * nb).cast("double"))
     ).otherwise(F.lit(0.0))
-    return (
+    out = (
         a.join(bb, ["band_id", "band_val"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -316,6 +324,8 @@ def srp_neardup_pairs(
         .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(top)
     )
+    out._wqs_persisted = assigned
+    return out
 
 
 def ivf_search(

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from wolf_quake_spark.analysis import WS_SPLIT
+
 STOPWORDS = {
     "en": ["the", "and", "of"],
     "de": ["der", "und", "die"],
@@ -21,7 +23,7 @@ STOPWORDS = {
 def token_count(text: Column) -> Column:
     """Whitespace token count (empty text → 0)."""
     t = F.trim(text)
-    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, WS_SPLIT)))
 
 
 # GPT-2-ish pre-tokenizer, reduced to constructs whose semantics agree

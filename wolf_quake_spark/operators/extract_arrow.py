@@ -71,13 +71,13 @@ _KILL_RE = r"^\s*\S+\s+\S+\s+(?P<k>\S+)(?:\s+(?P<v>\S+))?(?:\s+(?P<m>\S+))?"
 _REST_RE = r"^\s*\S+\s+\S+\s+\S+(?P<rest>(?:\s+\S+)*)\s*$"
 
 # Whitespace codepoints Python's re \s (the pandas path, Unicode-aware — like
-# the reference's Rust split_whitespace) matches but RE2's ASCII-only \s does
-# not.  Matching lines are pre-normalized to ASCII space before the RE2
-# kernels so tokenization is identical across the three extract paths; the
-# ORIGINAL line still flows to the ``raw`` output column untouched
-# (per-turn/per-line byte identity).
+# the reference's Rust split_whitespace) matches but RE2's \s (= [ \t\n\f\r]
+# only — NOT \x0B) does not.  Matching lines are pre-normalized to ASCII
+# space before the RE2 kernels so tokenization is identical across the three
+# extract paths; the ORIGINAL line still flows to the ``raw`` output column
+# untouched (per-turn/per-line byte identity).
 _NON_ASCII_WS_RE = (
-    "[\\x{001C}-\\x{001F}\\x{0085}\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}"
+    "[\\x{000B}\\x{001C}-\\x{001F}\\x{0085}\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}"
     "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]"
 )
 

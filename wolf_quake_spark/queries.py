@@ -392,7 +392,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_fingerprint",
     """
     SELECT doc_id,
-           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+           md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))) AS fingerprint
     FROM documents
     """,
 )
@@ -402,7 +402,7 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_SQL = """
     WITH words AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS w FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -449,7 +449,7 @@ def q_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN trim(text) = '' THEN 0
-                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens
+                         ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) AS BIGINT) AS total_tokens
     FROM documents GROUP BY lang
     """,
 )
@@ -512,18 +512,18 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              length(text) AS n_chars,
              CAST(CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                  ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS BIGINT) AS n_tokens,
              CAST(floor(CASE WHEN (CASE WHEN trim(text) = '' THEN 0
-                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
+                       ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) > 0
                   THEN ((length(text) - (length(text) - length(replace(text, ' ', '')))) * 100
                         / (CASE WHEN trim(text) = '' THEN 0
-                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END))
+                           ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END))
                   ELSE 0 END) AS BIGINT) AS mean_tok_len_x100,
              CAST(floor(CASE WHEN (CASE WHEN trim(text) = '' THEN 0
-                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
+                       ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) > 0
                   THEN (({stop_en}) * 1000
                         / (CASE WHEN trim(text) = '' THEN 0
-                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END))
+                           ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END))
                   ELSE 0 END) AS BIGINT) AS stop_ratio_x1000
       FROM documents)
     """.replace("{stop_en}", _lang_score_sql("en")),
@@ -824,7 +824,7 @@ _SIMHASH_SQL = (
     """
     WITH w AS (
       SELECT DISTINCT doc_id, word FROM (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS word
         FROM documents)
       WHERE word <> ''
     ),
@@ -882,7 +882,7 @@ def _simhash64_core_sql() -> str:
     return f"""
     WITH w AS (
       SELECT DISTINCT doc_id, word FROM (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS word
         FROM documents)
       WHERE word <> ''
     ),
@@ -1012,7 +1012,7 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT doc_id,
            CAST(CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+                ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS BIGINT)
              AS n_ws_tokens,
            CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens
     FROM documents
