@@ -35,5 +35,18 @@ for a in "$@"; do
   CLI_ARGS+=("$a")
 done
 
+# under spark-submit the driver JVM exists before SparkSession config runs,
+# so session.py's spark.driver.memory is a no-op here — local[*] mode then
+# runs every executor thread in a default-1g heap (observed OOM in the
+# sessionization window sorts).  Pass it on the submit line, overridable via
+# WQS_DRIVER_MEM or an explicit --driver-memory before "--".
+has_driver_mem=false
+for a in "${SUBMIT_ARGS[@]:-}"; do
+  [[ "$a" == --driver-memory* ]] && has_driver_mem=true
+done
+if [[ "$has_driver_mem" == false ]]; then
+  SUBMIT_ARGS+=(--driver-memory "${WQS_DRIVER_MEM:-8g}")
+fi
+
 exec spark-submit "${SUBMIT_ARGS[@]}" --py-files "$ZIP" \
   "$REPO/wolf_quake_spark/cli.py" "${CLI_ARGS[@]}"

@@ -54,6 +54,7 @@ def _cmd_run(args: argparse.Namespace) -> None:
         strict=args.strict,
         extractor=args.extractor,
         iceberg_catalog=args.iceberg_catalog,
+        skew_chunk_turns=args.skew_chunk_turns,
     )
     print(json.dumps({"batches": len(manifest.completed), "totals": manifest.totals()}))
 
@@ -99,6 +100,13 @@ def main(argv: list[str] | None = None) -> None:
     r.add_argument("--strict", action="store_true")
     r.add_argument("--extractor", choices=["udf", "sql"], default="udf")
     r.add_argument("--iceberg-catalog", default=None)
+    r.add_argument(
+        "--skew-chunk-turns",
+        type=int,
+        default=None,
+        help="salt sessionization to (conv_id, turn_idx div N) chunks so "
+        "mega-conversations parallelize (output identical to the default)",
+    )
     r.set_defaults(fn=_cmd_run)
 
     rep = sub.add_parser("report", help="render the per-game report from a run's output")

@@ -12,5 +12,9 @@ from wolf_quake_spark.operators.extract import (  # noqa: F401
     extract_events,
     extract_events_sql,
 )
-from wolf_quake_spark.operators.sessionize import assign_games, games_frame  # noqa: F401
+from wolf_quake_spark.operators.sessionize import (  # noqa: F401
+    assign_games,
+    assign_games_salted,
+    games_frame,
+)
 from wolf_quake_spark.operators.validate import orphan_references  # noqa: F401

@@ -49,11 +49,17 @@ def run_batch(
     extractor: str = "udf",
     with_aggregates: bool = True,
     verify: bool = False,
+    skew_chunk_turns: int | None = None,
 ) -> BatchResult:
     """Run one batch.  Sink counts come from ``df.observe`` metrics collected
     by the write jobs themselves; ``verify=True`` additionally reads each sink
     back and asserts the on-disk count matches (a full second pass over the
-    output — integrity check, off by default)."""
+    output — integrity check, off by default).
+
+    ``skew_chunk_turns`` switches sessionization to the salted segmented
+    scan (operators/sessionize.py::assign_games_salted) so a
+    mega-conversation spreads over ``n_turns / skew_chunk_turns`` tasks
+    instead of serializing on one; output is row-identical."""
     t0 = time.monotonic()
     extract = EXTRACTORS[extractor]
     # DISK_ONLY, deliberately: the sessionized frame of a 100 TB input never
@@ -61,7 +67,13 @@ def run_batch(
     # page cache when it does fit) avoids the MemoryStore unroll-lock
     # contention that serializes many-core cache builds — measured 2× faster
     # than MEMORY_AND_DISK at local[32] (see BENCH.md).
-    sess = assign_games(extract(transcripts)).persist(StorageLevel.DISK_ONLY)
+    if skew_chunk_turns is not None:
+        from wolf_quake_spark.operators.sessionize import assign_games_salted
+
+        sess = assign_games_salted(extract(transcripts), skew_chunk_turns)
+    else:
+        sess = assign_games(extract(transcripts))
+    sess = sess.persist(StorageLevel.DISK_ONLY)
     try:
         counts: dict[str, int] = {}
         to_write = dict(route(sess))
@@ -99,6 +111,7 @@ def run_resumable(
     with_aggregates: bool = True,
     iceberg_catalog: str | None = None,
     verify: bool = False,
+    skew_chunk_turns: int | None = None,
 ) -> Manifest:
     """Batch-resumable run over a parquet transcripts table.
 
@@ -122,6 +135,7 @@ def run_resumable(
             extractor=extractor,
             with_aggregates=with_aggregates,
             verify=verify,
+            skew_chunk_turns=skew_chunk_turns,
         )
         manifest.record(
             BatchRecord(

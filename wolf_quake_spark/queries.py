@@ -116,6 +116,88 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_salted_games",
+    """
+    WITH ev AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx,
+             CASE event_type WHEN 'signup' THEN 'init'
+                             WHEN 'purchase' THEN 'shutdown'
+                             WHEN 'click' THEN 'kill'
+                             ELSE 'other' END AS et
+      FROM events),
+    c AS (
+      SELECT conv_id, turn_idx, et,
+             SUM(CASE WHEN et = 'kill' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM ev),
+    m AS (
+      SELECT *, COALESCE(MAX(CASE WHEN et IN ('init','shutdown') THEN cum END)
+               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pmk
+      FROM c),
+    f AS (
+      SELECT *, et IN ('init','shutdown')
+                AND (et = 'shutdown' OR cum - pmk > 0) AS is_flush
+      FROM m),
+    g AS (
+      SELECT *,
+             SUM(CASE WHEN is_flush THEN 1 ELSE 0 END)
+               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS UNBOUNDED PRECEDING) AS fi,
+             SUM(CASE WHEN is_flush THEN 1 ELSE 0 END)
+               OVER (PARTITION BY conv_id) AS nf
+      FROM f)
+    SELECT conv_id, CAST(game_id AS BIGINT) AS game_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN et = 'kill' THEN 1 ELSE 0 END) AS BIGINT) AS n_kills
+    FROM (SELECT *, CASE WHEN (CASE WHEN is_flush THEN fi ELSE fi + 1 END) <= nf
+                         THEN (CASE WHEN is_flush THEN fi ELSE fi + 1 END)
+                    END AS game_id
+          FROM g)
+    WHERE game_id IS NOT NULL
+    GROUP BY conv_id, game_id
+    """,
+)
+def q_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1-G4 via the skew-salted segmented scan (assign_games_salted).
+
+    The events table is mapped onto the transcript event shape (signup →
+    InitGame, purchase → ShutdownGame, click → Kill) so the full reference
+    sessionization semantics — conditional InitGame flush, flush numbering,
+    EOF-tail drop — run through the salted (conv_id, chunk) path; the oracle
+    is the closed form (sessionize.py module docstring) in plain SQL window
+    functions.  chunk_turns=16 forces many chunks per conv at sf0.01 so the
+    carry logic is genuinely exercised by the gate.
+    """
+    from wolf_quake_spark.operators import assign_games_salted
+
+    ev = _read(spark, sf_dir, "events")
+    shaped = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("turn_idx"),
+        F.lit(0).alias("line_no"),
+        F.when(F.col("event_type") == "signup", F.lit("init"))
+        .when(F.col("event_type") == "purchase", F.lit("shutdown"))
+        .when(F.col("event_type") == "click", F.lit("kill"))
+        .otherwise(F.lit("other"))
+        .alias("event_type"),
+    )
+    sess = assign_games_salted(shaped, chunk_turns=16)
+    return (
+        sess.filter(F.col("game_id").isNotNull())
+        .groupBy("conv_id", "game_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum((F.col("event_type") == "kill").cast("long")).alias("n_kills"),
+        )
+    )
+
+
+@register(
     "extract_regex_props",
     """
     SELECT event_type,
