@@ -278,3 +278,72 @@ def test_lang_id(spark):
     )
     got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
     assert got[1] == "en" and got[2] == "de" and got[3] == "und"
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (analysis/dedup.py:winnow_fingerprints)
+# ---------------------------------------------------------------------------
+
+def _ref_winnow(text: str, k: int = 8, w: int = 4) -> set[str]:
+    """Independent pure-Python winnowing (Schleimer et al. 2003) reference."""
+    import hashlib
+    import re
+
+    norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", text).strip(" ").lower()
+    hs = [
+        hashlib.md5(norm[i : i + k].encode()).hexdigest()[:8]
+        for i in range(len(norm) - k + 1)
+    ]
+    if not hs:
+        return set()
+    n_windows = max(len(hs) - w + 1, 1)
+    return {min(hs[j : j + w]) for j in range(n_windows)}
+
+
+def test_winnow_matches_python_reference(docs):
+    from wolf_quake_spark.analysis.dedup import winnow_fingerprints
+
+    got: dict[int, set[str]] = {}
+    for r in winnow_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, text in rows.items():
+        assert got.get(doc_id, set()) == _ref_winnow(text), doc_id
+    # empty + sub-k docs produce nothing; "short" is 5 chars < k=8
+    assert 5 not in got and 6 not in got
+
+
+def test_winnow_shared_substring_guarantee(docs):
+    from wolf_quake_spark.analysis.dedup import winnow_fingerprints
+
+    fps: dict[int, set[str]] = {}
+    for r in winnow_fingerprints(docs).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    # exact dups fingerprint identically
+    assert fps[1] == fps[2] and fps[1]
+    # docs 1 and 3 share a 40-char prefix >= w + k - 1 = 11 → must share >= 1
+    assert fps[1] & fps[3]
+    # unrelated content shares nothing here
+    assert not (fps[1] & fps[4])
+
+
+def test_winnow_single_window_short_doc(spark):
+    from wolf_quake_spark.analysis.dedup import winnow_fingerprints
+
+    # 10 chars → 3 k-grams (k=8) < w=4 → exactly one clamped-window min
+    one = spark.createDataFrame([(1, "abcdefghij")], "doc_id long, text string")
+    rows = winnow_fingerprints(one).collect()
+    assert len(rows) == 1
+    assert {rows[0]["fingerprint"]} == _ref_winnow("abcdefghij")
+
+
+def test_winnow_neardup_pairs(docs):
+    from wolf_quake_spark.analysis.dedup import winnow_neardup_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_fps"]
+        for r in winnow_neardup_pairs(docs).collect()
+    }
+    assert (1, 2) in pairs  # exact dups share everything
+    assert (1, 3) in pairs or pairs.get((1, 2), 0) >= 2
+    assert (1, 4) not in pairs and (2, 4) not in pairs

@@ -33,6 +33,8 @@ from wolf_quake_spark.analysis.dedup import (
     simhash64,
     simhash64_neardup_pairs,
     verified_pairs,
+    winnow_fingerprints,
+    winnow_neardup_pairs,
 )
 from wolf_quake_spark.analysis.multimodal import extract_features, to_media
 from wolf_quake_spark.analysis.similarity import (
@@ -1054,6 +1056,66 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH band-bucket candidate pairs verified with exact n-gram Jaccard."""
     return verified_pairs(_read(spark, sf_dir, "documents"))
+
+
+# Winnowing (Schleimer et al. 2003): k=8 char-grams of normalized text,
+# window w=4 minima, md5-hex lexicographic min — mirrors
+# analysis/dedup.py:winnow_fingerprints exactly.
+_WINNOW_SQL = """
+    WITH n AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS norm
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN length(norm) >= 8
+                  THEN [substr(md5(substr(norm, i, 8)), 1, 8)
+                        for i in range(1, length(norm) - 6)]
+                  ELSE [] END AS h
+      FROM n
+    ),
+    wmin AS (
+      SELECT doc_id,
+             CASE WHEN len(h) >= 1
+                  THEN list_distinct([list_min(list_slice(h, j, j + 3))
+                                      for j in range(1, greatest(len(h) - 3, 1) + 1)])
+                  ELSE [] END AS fps
+      FROM g
+    ),
+    fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM wmin)
+"""
+
+
+@register(
+    "winnow_fingerprints",
+    _WINNOW_SQL + "SELECT doc_id, fingerprint FROM fp",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling k-gram fingerprints (MOSS), pure Catalyst."""
+    return winnow_fingerprints(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "winnow_neardup_pairs",
+    _WINNOW_SQL
+    + """
+    , kept AS (
+      SELECT fingerprint FROM fp GROUP BY fingerprint HAVING COUNT(*) <= 50
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM fp a
+    JOIN kept USING (fingerprint)
+    JOIN fp b USING (fingerprint)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs sharing >=2 winnowed fingerprints (df-capped postings join)."""
+    return winnow_neardup_pairs(_read(spark, sf_dir, "documents"))
 
 
 @register(
