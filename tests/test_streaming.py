@@ -66,3 +66,79 @@ def test_streaming_incremental_restart(spark, tmp_path):
     ref = run_resumable(spark, inp, str(tmp_path / "ref_out"), files_per_batch=64)
     for sink in SINKS:
         assert t3[sink] == ref.totals()[sink], sink
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch stateful sessionization (streaming/stateful.py)
+# ---------------------------------------------------------------------------
+
+QGAMES_TOTALS = [0, 11, 4, 105, 14, 29, 130, 89, 67, 60, 20, 160, 6, 122, 3,
+                 0, 13, 7, 95, 3, 131]  # reference golden (BASELINE.md)
+
+
+def _qgames_landing(spark, path: str, n_files: int) -> int:
+    """Write the qgames fixture as one conversation sliced into n_files
+    contiguous turn ranges — deliberately splitting mid-game, the case the
+    foreachBatch adapter cannot handle."""
+    from wolf_quake_spark.datagen import read_reference_log, transcripts_from_log
+
+    log = read_reference_log("qgames.log")
+    if log is None:
+        import pytest
+
+        pytest.skip("reference examples not present")
+    tr = transcripts_from_log(spark, log, "qgames", lines_per_turn=3)
+    rows = sorted(tr.collect(), key=lambda r: r["turn_idx"])
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = rows[i * per : (i + 1) * per]
+        if chunk:
+            spark.createDataFrame(chunk, tr.schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+    return len(rows)
+
+
+def test_stateful_sessionize_spans_micro_batches(spark, tmp_path):
+    import json
+
+    from wolf_quake_spark.streaming import run_streaming_stateful
+
+    inp = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    _qgames_landing(spark, inp, n_files=5)
+
+    # one file per trigger → 5 micro-batches, games straddle all of them
+    run_streaming_stateful(spark, inp, out, max_files_per_trigger=1)
+
+    games = sorted(
+        spark.read.parquet(out + "/games").collect(), key=lambda r: r["game_id"]
+    )
+    assert [r["total_kills"] for r in games] == QGAMES_TOTALS
+    assert sum(r["total_kills"] for r in games) == 1069
+
+    # game 2 MOD histogram golden (ids: 22=TriggerHurt, 7=RocketSplash, 19=Falling)
+    hist2 = json.loads(games[1]["hist_json"])
+    assert hist2 == {"22": 7, "7": 3, "19": 1}
+
+    # game 21 top-3 golden: Oootsimo 22, Assasinu Credi 19, Zeh 19
+    players21 = json.loads(games[20]["players_json"])
+    top = sorted(((v[1], v[0]) for v in players21.values()), reverse=True)[:3]
+    assert top[0] == (22, "Oootsimo")
+    assert {(n, k) for k, n in top[1:]} == {("Assasinu Credi", 19), ("Zeh", 19)}
+
+
+def test_stateful_restart_and_replay_idempotent(spark, tmp_path):
+    from wolf_quake_spark.streaming import run_streaming_stateful
+
+    inp = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    _qgames_landing(spark, inp, n_files=3)
+
+    run_streaming_stateful(spark, inp, out, max_files_per_trigger=2)
+    n1 = spark.read.parquet(out + "/games").count()
+    assert n1 == 21
+
+    # restart with no new files: checkpoint prevents reprocessing
+    run_streaming_stateful(spark, inp, out)
+    assert spark.read.parquet(out + "/games").count() == n1

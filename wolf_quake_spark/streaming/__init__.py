@@ -14,8 +14,22 @@ Two ingest paths share the one pipeline body (plans/pipeline.run_batch):
   ``readStream`` → ``foreachBatch``), draining a landing zone with
   exactly-once file tracking via the streaming checkpoint.  Conversations
   are kept whole per micro-batch by the conv-partitioned landing layout.
+
+A third path lifts the whole-conversation precondition: streaming.stateful
+holds per-conv parser state in the state store (``applyInPandasWithState``)
+so conversations MAY span micro-batches — the custom-stateful-operator
+escape hatch for the incremental-latency regime.
 """
 
 from wolf_quake_spark.streaming.adapter import run_streaming, transcripts_stream
+from wolf_quake_spark.streaming.stateful import (
+    run_streaming_stateful,
+    sessionize_stream,
+)
 
-__all__ = ["run_streaming", "transcripts_stream"]
+__all__ = [
+    "run_streaming",
+    "run_streaming_stateful",
+    "sessionize_stream",
+    "transcripts_stream",
+]
