@@ -188,6 +188,73 @@ def test_extract_features_decodes_ppm_in_spark(spark):
     assert [round(f, 4) for f in got["feature"]] == [round(f, 4) for f in feat]
 
 
+def test_resize_ppm_real_pixels():
+    from wolf_quake_spark.analysis.multimodal import decode_ppm, resize_ppm
+
+    src = _make_ppm(8, 6)
+    out = resize_ppm(src, 2)
+    w, h, _, _ = decode_ppm(out)
+    assert (w, h) == (4, 3)
+    # nearest-neighbor: output pixel (0,0) is source pixel (0,0); (1,0) is
+    # source (2,0) — raster formula (x*7+3)%256 per byte
+    raster = out.split(b"255\n", 1)[1]
+    assert raster[0:3] == bytes((x * 7 + 3) % 256 for x in range(3))
+    assert raster[3:6] == bytes((x * 7 + 3) % 256 for x in range(2 * 3, 3 * 3))
+    # output row 1 maps to source row y*h//oh = 1*6//3 = 2, whose first
+    # pixel starts at flat byte 2*8*3 = 48
+    src_row2 = bytes(((48 + x) * 7 + 3) % 256 for x in range(3))
+    assert raster[4 * 3 : 4 * 3 + 3] == src_row2
+    # degenerate: factor larger than image clamps to 1x1
+    w1, h1, _, _ = decode_ppm(resize_ppm(_make_ppm(3, 2), 16))
+    assert (w1, h1) == (1, 1)
+
+
+def test_resize_media_real_kernel_in_spark(spark):
+    from wolf_quake_spark.analysis.multimodal import decode_ppm, resize_media
+
+    ppm = _make_ppm(10, 4, comment=False)
+    rows = [(7, "image/ppm", bytearray(ppm), len(ppm), "x")]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id long, media_type string, payload binary, byte_len long, payload_sha string",
+    )
+    got = resize_media(media, factor=2, fake=False).collect()[0]
+    assert (got["in_width"], got["in_height"]) == (10, 4)
+    assert (got["out_width"], got["out_height"]) == (5, 2)
+    w, h, _, _ = decode_ppm(bytes(got["out_payload"]))
+    assert (w, h) == (5, 2)
+    assert got["out_byte_len"] == len(got["out_payload"])
+
+
+def test_frame_sample_slices_and_checksums(spark):
+    import hashlib
+
+    from wolf_quake_spark.analysis.multimodal import frame_sample, to_media
+
+    text = "".join(chr(97 + i % 26) for i in range(100))  # 100 ascii bytes
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        frame_sample(to_media(docs), frame_bytes=32, every_k=2).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    # 100 bytes / 32 = 4 frames (last ragged), sampled 0 and 2
+    assert [(r["frame_idx"], r["frame_off"], r["frame_len"]) for r in rows] == [
+        (0, 0, 32),
+        (2, 64, 32),
+    ]
+    for r in rows:
+        expect = hashlib.sha256(
+            text.encode()[r["frame_off"] : r["frame_off"] + 32]
+        ).hexdigest()
+        assert r["frame_sha"] == expect
+    # ragged tail frame: sample every frame, check the short one
+    all_rows = sorted(
+        frame_sample(to_media(docs), frame_bytes=32, every_k=1).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_len"] for r in all_rows] == [32, 32, 32, 4]
+
+
 def test_vertical_tab_splits_words(spark):
     # WS_SPLIT must treat \x0b as a word boundary on BOTH engines; the Spark
     # side is checked here, the shared explicit class keeps DuckDB identical

@@ -53,13 +53,11 @@ def to_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_ppm(payload: bytes) -> tuple[int, int, int, list[float]]:
-    """Dependency-free decode of one real container: binary PPM/PGM (P6/P5).
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a binary PPM/PGM (P6/P5) header.
 
-    Parses the header (magic, whitespace/``#`` comments, width, height,
-    maxval) and computes an 8-bin positional mean over the actual pixel
-    bytes — width/height/features come from payload bytes, not a stub.
-    Raises ``ValueError`` on malformed input.
+    Returns ``(width, height, maxval, channels, raster_offset)``; handles
+    whitespace and ``#`` comments.  Raises ``ValueError`` on malformed input.
     """
     if payload[:2] not in (b"P6", b"P5"):
         raise ValueError("not a binary PPM/PGM payload")
@@ -83,6 +81,18 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, list[float]]:
         raise ValueError(f"invalid PPM dimensions {w}x{h} maxval={maxval}")
     pos += 1  # single whitespace byte after maxval, then raster
     channels = 3 if payload[:2] == b"P6" else 1
+    return w, h, maxval, channels, pos
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Dependency-free decode of one real container: binary PPM/PGM (P6/P5).
+
+    Parses the header (magic, whitespace/``#`` comments, width, height,
+    maxval) and computes an 8-bin positional mean over the actual pixel
+    bytes — width/height/features come from payload bytes, not a stub.
+    Raises ``ValueError`` on malformed input.
+    """
+    w, h, maxval, channels, pos = _ppm_header(payload)
     bpp = channels * (2 if maxval > 255 else 1)
     pixels = payload[pos : pos + w * h * bpp]
     if len(pixels) < w * h * bpp:
@@ -150,3 +160,150 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize (real nearest-neighbor kernel for PPM/PGM; deterministic fake else)
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("in_width", T.IntegerType(), True),
+        T.StructField("in_height", T.IntegerType(), True),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("out_payload", T.BinaryType(), True),
+        T.StructField("out_byte_len", T.LongType(), True),
+    ]
+)
+
+
+def resize_ppm(payload: bytes, factor: int) -> bytes:
+    """Nearest-neighbor downsample of a binary PPM/PGM by an integer factor.
+
+    Real pixel work on real payload bytes: output pixel ``(x, y)`` copies
+    source pixel ``(x*w//ow, y*h//oh)``.  Emits a canonical ``P6``/``P5``
+    header (``magic\\n{w} {h}\\n{maxval}\\n``) so the output byte length is a
+    closed form of the output dimensions.
+    """
+    w, h, maxval, channels, pos = _ppm_header(payload)
+    bpp = channels * (2 if maxval > 255 else 1)
+    need = w * h * bpp
+    raster = payload[pos : pos + need]
+    if len(raster) < need:
+        raise ValueError("truncated PPM raster")
+    ow, oh = max(w // factor, 1), max(h // factor, 1)
+    out = bytearray()
+    for y in range(oh):
+        sy = y * h // oh
+        row = sy * w * bpp
+        for x in range(ow):
+            sx = x * w // ow
+            out += raster[row + sx * bpp : row + (sx + 1) * bpp]
+    magic = b"P6" if channels == 3 else b"P5"
+    return magic + b"\n%d %d\n%d\n" % (ow, oh, maxval) + bytes(out)
+
+
+def resize_media(media: DataFrame, factor: int = 2, fake: bool = True) -> DataFrame:
+    """Arrow-batched resize stage over ``mapInPandas``.
+
+    PPM/PGM payloads (or anything in strict mode) go through the real
+    ``resize_ppm`` kernel.  Fake mode resizes the *declared* fake geometry
+    (``_decode``'s ``16 + n % 64`` dims) and synthesizes a canonical P6
+    payload of the output size, so every output column — including
+    ``out_byte_len = header + ow*oh*3`` — is a closed form the DuckDB oracle
+    reproduces from ``strlen(text)`` alone.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, mt in zip(pdf["payload"], pdf["media_type"]):
+                p = p or b""
+                if mt in ("image/ppm", "image/pgm") or (
+                    not fake and p[:2] in (b"P6", b"P5")
+                ):
+                    w, h, _, _, _ = _ppm_header(p)
+                    out = resize_ppm(p, factor)
+                    ow, oh, _, _, _ = _ppm_header(out)
+                elif fake:
+                    n = len(p)
+                    w, h = 16 + n % 64, 16 + (n // 64) % 64
+                    ow, oh = max(w // factor, 1), max(h // factor, 1)
+                    body = bytes((p[i % max(n, 1)] if n else 0) for i in range(ow * oh * 3))
+                    out = b"P6\n%d %d\n255\n" % (ow, oh) + body
+                else:
+                    raise NotImplementedError(
+                        "non-PPM media resize requires an image library not "
+                        "present in this environment; pass fake=True"
+                    )
+                rows.append((w, h, ow, oh, out, len(out)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "in_width": [r[0] for r in rows],
+                    "in_height": [r[1] for r in rows],
+                    "out_width": [r[2] for r in rows],
+                    "out_height": [r[3] for r in rows],
+                    "out_payload": [r[4] for r in rows],
+                    "out_byte_len": [r[5] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling (pure Catalyst — no Python in the path)
+# ---------------------------------------------------------------------------
+
+
+def frame_sample(
+    media: DataFrame, frame_bytes: int = 256, every_k: int = 4
+) -> DataFrame:
+    """Sample every ``every_k``-th fixed-size frame from each payload.
+
+    Models video/audio frame extraction as pure DataFrame ops: the payload is
+    a concatenation of ``frame_bytes``-sized frames (last one ragged);
+    ``F.sequence`` generates the sampled frame indices, ``explode`` fans them
+    out, ``substring`` slices the frame bytes JVM-side, and ``sha2``
+    checksums them — zero Python in the path, whole-stage codegen end to end,
+    and output rows are bounded by ``byte_len / (frame_bytes * every_k)``
+    per document regardless of corpus size.
+    """
+    n_frames = (F.col("byte_len") + frame_bytes - 1) / frame_bytes
+    return (
+        media.where(F.col("byte_len") > 0)
+        .select(
+            "doc_id",
+            "byte_len",
+            "payload",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(n_frames).cast("int") - 1,
+                    F.lit(every_k),
+                )
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            (F.col("frame_idx") * frame_bytes).cast("long").alias("frame_off"),
+            F.least(
+                F.lit(frame_bytes),
+                F.col("byte_len") - F.col("frame_idx") * frame_bytes,
+            )
+            .cast("long")
+            .alias("frame_len"),
+            F.sha2(
+                F.substring(
+                    F.col("payload"), F.col("frame_idx") * frame_bytes + 1, frame_bytes
+                ),
+                256,
+            ).alias("frame_sha"),
+        )
+    )

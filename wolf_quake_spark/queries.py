@@ -36,7 +36,12 @@ from wolf_quake_spark.analysis.dedup import (
     winnow_fingerprints,
     winnow_neardup_pairs,
 )
-from wolf_quake_spark.analysis.multimodal import extract_features, to_media
+from wolf_quake_spark.analysis.multimodal import (
+    extract_features,
+    frame_sample,
+    resize_media,
+    to_media,
+)
 from wolf_quake_spark.analysis.similarity import (
     SRP_BITS,
     cosine_scores,
@@ -890,6 +895,73 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(to_media(_read(spark, sf_dir, "documents")), fake=True)
     return feats.select("doc_id", "width", "height", F.lit(1).alias("n_frames"))
+
+
+@register(
+    "media_resize",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             16 + strlen(text) % 64 AS w,
+             16 + CAST(floor(strlen(text) / 64) AS BIGINT) % 64 AS h
+      FROM documents
+    )
+    SELECT doc_id, 'image/fake' AS media_type,
+           CAST(w AS INTEGER) AS in_width,
+           CAST(h AS INTEGER) AS in_height,
+           CAST(w // 2 AS INTEGER) AS out_width,
+           CAST(h // 2 AS INTEGER) AS out_height,
+           CAST(9 + strlen(CAST(w // 2 AS VARCHAR)) + strlen(CAST(h // 2 AS VARCHAR))
+                + (w // 2) * (h // 2) * 3 AS BIGINT) AS out_byte_len
+    FROM g
+    """,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched resize stage (analysis/multimodal.resize_media).
+
+    Fake-geometry mode so the oracle can reproduce every column — including
+    the canonical-P6 output byte length — as a closed form of strlen(text);
+    the real pixel kernel (resize_ppm) is covered by unit tests on generated
+    PPM payloads.
+    """
+    out = resize_media(to_media(_read(spark, sf_dir, "documents")), factor=2)
+    return out.select(
+        "doc_id",
+        "media_type",
+        "in_width",
+        "in_height",
+        "out_width",
+        "out_height",
+        "out_byte_len",
+    )
+
+
+@register(
+    "media_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, text
+      FROM documents WHERE strlen(text) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           CAST(i * 48 AS BIGINT) AS frame_off,
+           CAST(least(48, byte_len - i * 48) AS BIGINT) AS frame_len,
+           sha256(substring(text, CAST(i * 48 + 1 AS BIGINT), 48)) AS frame_sha
+    FROM (
+      SELECT doc_id, byte_len, text,
+             unnest(range(0, CAST(ceil(byte_len / 48.0) AS BIGINT), 3)) AS i
+      FROM m
+    )
+    """,
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Catalyst frame sampling (analysis/multimodal.frame_sample):
+    sequence+explode fan-out, JVM-side substring slices, sha2 checksums —
+    no Python anywhere in the path."""
+    return frame_sample(
+        to_media(_read(spark, sf_dir, "documents")), frame_bytes=48, every_k=3
+    )
 
 
 # ===========================================================================
