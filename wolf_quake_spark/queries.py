@@ -958,7 +958,13 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-Catalyst frame sampling (analysis/multimodal.frame_sample):
     sequence+explode fan-out, JVM-side substring slices, sha2 checksums —
-    no Python anywhere in the path."""
+    no Python anywhere in the path.
+
+    Oracle note: Spark slices the binary payload by BYTE offsets while the
+    DuckDB oracle's substring() counts characters; both hash UTF-8 bytes, so
+    the two coincide exactly on ASCII corpora (the driver's synthetic
+    documents are ASCII — verified octet_length == length at the gate SF).
+    """
     return frame_sample(
         to_media(_read(spark, sf_dir, "documents")), frame_bytes=48, every_k=3
     )
