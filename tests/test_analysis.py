@@ -347,6 +347,31 @@ def test_lang_id(spark):
     assert got[1] == "en" and got[2] == "de" and got[3] == "und"
 
 
+def test_lang_id_ngram(spark):
+    from wolf_quake_spark.analysis.textstats import lang_id_ngram, substring_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "the weather is otherworldly"),  # 'the' fires mid-token too
+            (2, "der wunderbare hund und die katze"),
+            (3, "el gato los perros y "),
+            (4, "qqq zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select(
+            "doc_id", lang_id_ngram(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "es", 4: "und"}
+    # substring_count is raw (mid-token) and non-overlapping
+    one = spark.createDataFrame([("ababab",)], "text string")
+    assert one.select(substring_count(F.col("text"), "ab").alias("n")).first()["n"] == 3
+    assert one.select(substring_count(F.col("text"), "aba").alias("n")).first()["n"] == 1
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints (analysis/dedup.py:winnow_fingerprints)
 # ---------------------------------------------------------------------------

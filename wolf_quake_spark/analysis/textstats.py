@@ -66,6 +66,47 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+def substring_count(text: Column, needle: str) -> Column:
+    """Count of non-overlapping ``needle`` occurrences via length/replace
+    arithmetic — exact and portable (both engines scan left-to-right)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+# Character-trigram profiles per language: function-word fragments that can
+# occur mid-token, the classic char-n-gram LID signal (vs whole-word
+# stopword hits in ``lang_id``).  Kept tiny and literal so both engines
+# evaluate the identical expression tree.
+NGRAM_PROFILES = {
+    "en": ["the", " an", "of "],
+    "de": ["der", "und", "ie "],
+    "es": ["el ", "los", " y "],
+    "fr": ["le ", " et", "les"],
+}
+
+
+def ngram_scores(text: Column) -> dict[str, Column]:
+    out = {}
+    for lang, grams in NGRAM_PROFILES.items():
+        cols = [substring_count(text, g) for g in grams]
+        out[lang] = sum(cols[1:], cols[0])
+    return out
+
+
+def lang_id_ngram(text: Column) -> Column:
+    """Argmax of per-language char-trigram profile hit counts; deterministic
+    tie order (en > de > es > fr), 'und' when every score is zero.  A narrow
+    all-JVM projection (length/replace only) — linear scan at any scale."""
+    scores = ngram_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(NGRAM_PROFILES)):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
 def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc integer-exact quality features + a composite score."""
     t = F.col(text_col)

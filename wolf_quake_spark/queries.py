@@ -55,9 +55,11 @@ from wolf_quake_spark.analysis.similarity import (
 )
 from wolf_quake_spark.analysis.textstats import (
     BPE_PATTERN,
+    NGRAM_PROFILES,
     STOPWORDS,
     bpe_token_count,
     lang_id,
+    lang_id_ngram,
     quality_metrics,
     token_count,
 )
@@ -585,6 +587,48 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return (
         docs.select("lang", lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _gram_occ_sql(gram: str) -> str:
+    return (
+        f"CAST((length(text) - length(replace(text, '{gram}', ''))) / {len(gram)}"
+        " AS BIGINT)"
+    )
+
+
+def _ngram_score_sql(lang: str) -> str:
+    return " + ".join(_gram_occ_sql(g) for g in NGRAM_PROFILES[lang])
+
+
+_NGRAM_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN {_ngram_score_sql(lang)} = greatest({', '.join(_ngram_score_sql(x) for x in NGRAM_PROFILES)}) "
+        f"AND {_ngram_score_sql(lang)} > 0 THEN '{lang}'"
+        for lang in NGRAM_PROFILES
+    )
+    + " ELSE 'und' END"
+)
+
+
+@register(
+    "lang_id_ngram_confusion",
+    f"""
+    SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT lang, {_NGRAM_CASE} AS pred_lang FROM documents)
+    GROUP BY lang, pred_lang
+    """,
+)
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram-profile language ID (can fire mid-token, the classic
+    char-n-gram LID signal) vs the labeled lang column; all length/replace
+    arithmetic, identical expression tree on both engines."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id_ngram(F.col("text")).alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n"))
     )
