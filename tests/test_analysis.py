@@ -264,6 +264,25 @@ def test_vertical_tab_splits_words(spark):
     assert sh == {"foo bar", "bar baz"}
 
 
+def test_quantize_int8_roundtrip(spark):
+    from wolf_quake_spark.analysis.similarity import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {(r["vec_id"], r["dim"]): r for r in quantize_int8(emb).collect()}
+    # amax=1.0 → q8 = round(x*127)
+    assert rows[(1, 1)]["q8"] == 64 and rows[(1, 2)]["q8"] == -127
+    assert rows[(1, 3)]["q8"] == 32  # 31.75 rounds half-up to 32
+    assert rows[(1, 1)]["amax_x1000"] == 1000
+    # all-zero vector: q8 = 0, scale 0 (no div-by-zero)
+    assert all(rows[(2, d)]["q8"] == 0 for d in (1, 2, 3))
+    # dequantization error bounded by amax/254 per element
+    x, q, amax = 0.5, rows[(1, 1)]["q8"], rows[(1, 1)]["amax_x1000"] / 1000
+    assert abs(q / 127 * amax - x) <= amax / 254
+
+
 def test_kmeans_assign_converges_to_seeds(vecs):
     from wolf_quake_spark.analysis.similarity import kmeans_assign
 

@@ -49,6 +49,7 @@ from wolf_quake_spark.analysis.similarity import (
     ivf_search,
     kmeans_assign,
     neardup_pairs,
+    quantize_int8,
     srp_hyperplanes,
     srp_neardup_pairs,
     srp_signatures,
@@ -697,6 +698,28 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
         _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
     )
     return list(row[0])
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    SELECT vec_id,
+           CAST(dim AS INTEGER) AS dim,
+           CAST(CASE WHEN amax > 0
+                     THEN round(CAST(embedding[dim] AS DOUBLE) / amax * 127)
+                     ELSE 0.0 END AS INTEGER) AS q8,
+           CAST(round(amax * 1000) AS BIGINT) AS amax_x1000
+    FROM (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS amax,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings)
+    """,
+)
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-abs int8 embedding quantization, one row per (vec_id, dim);
+    double-precision expression tree mirrored literally in the oracle."""
+    return quantize_int8(_read(spark, sf_dir, "embeddings"))
 
 
 @register("ann_cosine_scores", _ANN_SQL_BODY)
