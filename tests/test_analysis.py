@@ -458,3 +458,74 @@ def test_winnow_neardup_pairs(docs):
     assert (1, 2) in pairs  # exact dups share everything
     assert (1, 3) in pairs or pairs.get((1, 2), 0) >= 2
     assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_label_propagate_transitive_chain(spark):
+    # Chain 1-2-3 plus a separate pair 6-7 and singletons 4, 5: the closure
+    # must label {1,2,3}→1 (transitively — no direct 1-3 edge), {6,7}→6,
+    # and keep singletons as their own canonical rows.
+    from wolf_quake_spark.analysis.dedup import label_propagate
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 6)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: (r["component_id"], r["is_canonical"])
+           for r in label_propagate(nodes, pairs).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 5: (5, True), 6: (6, True), 7: (6, False),
+    }
+
+
+def test_dedup_components_exact_dups_cluster(spark):
+    # Byte-identical docs have identical minhash signatures, so every LSH
+    # band matches deterministically and jaccard = 1.0: 1+2 must cluster.
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different content about spark engines at scale"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from wolf_quake_spark.analysis.dedup import dedup_components
+
+    out = {r["doc_id"]: (r["component_id"], r["is_canonical"])
+           for r in dedup_components(docs, threshold=0.5).collect()}
+    assert out == {1: (1, True), 2: (1, False), 3: (3, True)}
+
+
+def test_events_asof_window(spark):
+    # click before any purchase → NULL; after → value of latest prior
+    # purchase; same-user ordering by (ts, event_id).
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, t(1), 10, "click", 0.0),
+        (2, t(2), 10, "purchase", 5.0),
+        (3, t(3), 10, "click", 0.0),
+        (4, t(4), 10, "purchase", 7.0),
+        (5, t(5), 10, "click", 0.0),
+        (6, t(1), 20, "click", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    # the registered query shape, inlined on the in-memory frame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    got = {
+        r["event_id"]: r["purchase_value_asof"]
+        for r in ev.withColumn(
+            "purchase_value_asof", F.last(pv, ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_type") == "click")
+        .collect()
+    }
+    assert got == {1: None, 3: 5.0, 5: 7.0, 6: None}

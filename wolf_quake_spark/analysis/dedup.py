@@ -484,3 +484,101 @@ def winnow_neardup_pairs(
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def dedup_components(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+    **kw,
+) -> DataFrame:
+    """Near-duplicate cluster assignment: connected components over the
+    verified LSH pair graph, one row per document.
+
+    ``component_id`` is the smallest ``doc_id`` reachable through pairs with
+    Jaccard >= ``threshold``; ``is_canonical`` marks the one keeper per
+    cluster (the dedup survivor — filtering on it IS the dedup step).
+
+    Algorithm: iterative min-label propagation (the Pregel formulation of
+    connected components, cf. GraphX's ``ConnectedComponents``): every doc
+    starts labeled with itself; each round every edge forwards its source's
+    label to its destination and each doc keeps the minimum.  Rounds needed =
+    graph diameter; near-dup clusters are shallow (a handful of variants of
+    one page), so this converges in a few rounds.  Convergence is detected
+    from the per-round ``SUM(component_id)`` — labels only ever decrease, so
+    an unchanged sum is a fixpoint; that is ONE scalar to the driver per
+    round, not a data collect.
+
+    100 TB notes: each round is one join (edges ⋈ labels, both sides hash-
+    partitioned on the same key) plus one min-groupBy — no all-pairs work;
+    label frames are persisted DISK_ONLY and the previous round is released
+    eagerly.  For adversarial graphs with long chains, switch to the
+    large-star/small-star algorithm (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14), which converges in O(log^2 n) rounds
+    independent of diameter; plain propagation is the right default for
+    near-dup graphs because their diameter is tiny.  On a real cluster,
+    ``labels.localCheckpoint()`` every ~5 rounds truncates the growing
+    lineage (no-op needed at the round counts seen here).
+    """
+    vp = verified_pairs(docs, **kw)
+    shingle_handle = getattr(vp, "_wqs_persisted", None)
+    pairs = vp.filter(F.col("jaccard") >= threshold)
+    return label_propagate(
+        docs.select("doc_id"),
+        pairs,
+        max_iter=max_iter,
+        release_after_edges=shingle_handle,
+    )
+
+
+def label_propagate(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_iter: int = 20,
+    release_after_edges=None,
+) -> DataFrame:
+    """Connected-components core: min-label propagation over an undirected
+    pair graph (``pairs``: doc_a/doc_b) covering ``nodes`` (doc_id).
+
+    Separated from :func:`dedup_components` so the iteration is testable on
+    a hand-built deterministic graph (LSH candidate generation is
+    probabilistic in which *low*-similarity pairs it surfaces).  See
+    :func:`dedup_components` for semantics and the at-scale discussion.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("doc_id")))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    edges.count()  # materialize so upstream caches can be released now
+    if release_after_edges is not None:
+        release_after_edges.unpersist()
+
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component_id")).persist(
+        StorageLevel.DISK_ONLY
+    )
+    prev = labels.agg(F.sum("component_id")).collect()[0][0]
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select("doc_id", "component_id")
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id"))
+            .persist(StorageLevel.DISK_ONLY)
+        )
+        cur = new_labels.agg(F.sum("component_id")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur == prev:
+            break
+        prev = cur
+    edges.unpersist()
+    out = labels.withColumn(
+        "is_canonical", F.col("component_id") == F.col("doc_id")
+    )
+    out._wqs_persisted = labels
+    return out

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from wolf_quake_spark.analysis.dedup import (
     SIMHASH64_WORDS,
     SIMHASH_BITS,
+    dedup_components,
     exact_duplicate_groups,
     lsh_buckets,
     normalized_fingerprint,
@@ -333,6 +334,87 @@ def q_roster_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return roster.join(purchases, "user_id", "left").select(
         "user_id", F.coalesce("n", F.lit(0)).alias("n_purchases")
+    )
+
+
+@register(
+    "events_asof_value",
+    """
+    SELECT event_id, user_id, purchase_value_asof FROM (
+      SELECT event_id, user_id, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS purchase_value_asof
+      FROM events)
+    WHERE event_type = 'click'
+    """,
+)
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a single-shuffle window: each click picks up
+    the value of the most recent strictly-prior purchase by the same user.
+
+    Spark has no native ASOF JOIN; the usual range-join formulation
+    (click ⋈ purchase ON p.ts <= c.ts, then max_by) is O(clicks × purchases)
+    per user.  Interleaving both event streams in ONE window over
+    (user_id, ts, event_id) and carrying ``last(value, ignorenulls=True)``
+    is linear, needs exactly one hashpartitioning(user_id) exchange, and is
+    the scalable pattern for any "latest dimension state at event time"
+    enrichment (slowly-changing dimensions, price-at-trade, config-at-run).
+    (ts, event_id) is a total order, so the result is deterministic.
+    """
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return (
+        ev.withColumn("purchase_value_asof", F.last(pv, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "purchase_value_asof")
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup via the native ``F.window`` operator (the
+    batch face of the Structured Streaming windowed agg): per (hour,
+    event_type) counts, integer-cent value sums (quantize-then-sum — exact),
+    and distinct users.
+
+    Scale shape: one hash aggregate with map-side partials; the window
+    bucketing is a projection, not a shuffle key explosion.  The session
+    timezone is pinned UTC (session.py) so ``window('1 hour').start`` equals
+    ``date_trunc('hour')`` in the oracle; the start is exported as epoch
+    seconds to keep the cross-engine hash free of timestamp formatting.
+    """
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.window("ts", "1 hour").getField("start")).alias(
+                "hour_epoch"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
     )
 
 
@@ -1173,10 +1255,9 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64_neardup_pairs(_read(spark, sf_dir, "documents"), max_hamming=3)
 
 
-@register(
-    "dedup_lsh_jaccard",
-    _MINHASH_SQL
-    + """
+# Shared CTE chain ending in `jp(doc_a, doc_b, jaccard)` — used by the
+# pair query and (under WITH RECURSIVE) the component clustering below.
+_LSH_JACCARD_CTES = """
     , pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -1190,17 +1271,51 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sh sa ON sa.doc_id = p.doc_a
       JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
       GROUP BY p.doc_a, p.doc_b
+    ),
+    jp AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
     )
-    SELECT i.doc_a, i.doc_b,
-           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    """,
+"""
+
+
+@register(
+    "dedup_lsh_jaccard",
+    _MINHASH_SQL + _LSH_JACCARD_CTES + "SELECT doc_a, doc_b, jaccard FROM jp",
 )
 def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH band-bucket candidate pairs verified with exact n-gram Jaccard."""
     return verified_pairs(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_components",
+    _MINHASH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _LSH_JACCARD_CTES
+    + """
+    , e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jp WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM jp WHERE jaccard >= 0.5
+    ),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.id
+    )
+    SELECT id AS doc_id, MIN(lab) AS component_id,
+           MIN(lab) = id AS is_canonical
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components (min-label
+    propagation) over the Jaccard>=0.5 LSH pair graph; the oracle computes
+    the same components with a recursive reachability CTE."""
+    return dedup_components(_read(spark, sf_dir, "documents"), threshold=0.5)
 
 
 # Winnowing (Schleimer et al. 2003): k=8 char-grams of normalized text,
