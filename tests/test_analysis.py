@@ -529,3 +529,37 @@ def test_events_asof_window(spark):
         .collect()
     }
     assert got == {1: None, 3: 5.0, 5: 7.0, 6: None}
+
+
+def test_salted_topk_matches_naive_window(spark, tmp_path):
+    # The two-stage salted group-wise top-k must equal the naive
+    # single-window-per-group formulation exactly.
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice("abc"), rng.randrange(10), rng.randrange(1000))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, quality_score long, n_chars long")
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    from pyspark.sql import Window
+
+    order = [F.desc("quality_score"), F.desc("n_chars"), F.asc("doc_id")]
+    naive = (
+        df.withColumn("rk", F.row_number().over(Window.partitionBy("lang").orderBy(*order)).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "rk", "doc_id")
+    )
+    salt = (F.col("doc_id") % F.lit(64)).alias("salt")
+    partial = (
+        df.withColumn("salt", salt)
+        .withColumn("srk", F.row_number().over(Window.partitionBy("lang", "salt").orderBy(*order)))
+        .filter(F.col("srk") <= 5)
+    )
+    staged = (
+        partial.withColumn("rk", F.row_number().over(Window.partitionBy("lang").orderBy(*order)).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "rk", "doc_id")
+    )
+    assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, staged.collect()))
