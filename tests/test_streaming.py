@@ -142,3 +142,73 @@ def test_stateful_restart_and_replay_idempotent(spark, tmp_path):
     # restart with no new files: checkpoint prevents reprocessing
     run_streaming_stateful(spark, inp, out)
     assert spark.read.parquet(out + "/games").count() == n1
+
+
+def test_windowed_rollup_watermark_drops_late(spark, tmp_path):
+    """Watermarked tumbling rollup: on-time rows aggregate, a row older than
+    the watermark is dropped, and append mode emits only closed windows."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from wolf_quake_spark.streaming.windowed import windowed_event_rollup
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    hours = dt.timedelta(hours=1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def land(rows, name, mtime):
+        tmp = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = str(landing / name)
+        shutil.copyfile(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # batch 1: one click per hour 00:00..05:00 → watermark after commit =
+    # 05:00 - 2h = 03:00
+    land([(h, base + h * hours, 10 + h, "click", 1.0) for h in range(6)],
+         "f1.parquet", 1_700_000_000)
+    # batch 2: an on-time row; its processing runs with watermark 03:00,
+    # which EVICTS (and emits) the 00:00-02:00 windows at batch end
+    land([(50, base + dt.timedelta(hours=5, minutes=30), 11, "click", 1.0)],
+         "f2.parquet", 1_700_000_100)
+    # batch 3: a replay at 00:00 — its window is already evicted → dropped —
+    # plus an in-horizon row at 04:30 (still in state, merges)
+    land([(100, base, 99, "click", 1.0),
+          (101, base + dt.timedelta(hours=4, minutes=30), 50, "click", 1.0)],
+         "f3.parquet", 1_700_000_200)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    q = (
+        windowed_event_rollup(stream, window="1 hour", delay="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_rollup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        int(p["stateOperators"][0]["numRowsDroppedByWatermark"])
+        for p in (q.recentProgress or [])
+        if p.get("stateOperators")
+    )
+    got = {
+        r["window_start"]: r["n_events"]
+        for r in spark.table("wm_rollup").collect()
+    }
+    # the 00:00 window must hold ONLY the on-time row: the replayed 00:00
+    # event arrived after its window was evicted and was dropped
+    assert got.get(base) == 1
+    assert dropped == 1
+    # append mode emits exactly the windows the watermark closed (00-02);
+    # each holds its single on-time row
+    assert got == {base: 1, base + hours: 1, base + 2 * hours: 1}

@@ -19,6 +19,11 @@ A third path lifts the whole-conversation precondition: streaming.stateful
 holds per-conv parser state in the state store (``applyInPandasWithState``)
 so conversations MAY span micro-batches — the custom-stateful-operator
 escape hatch for the incremental-latency regime.
+
+Time-driven rollups over the routed event stream — which DO need event-time
+watermarks and tumbling windows — live in streaming.windowed
+(``windowed_event_rollup``, the streaming face of the batch
+``events_hourly_rollup`` query).
 """
 
 from wolf_quake_spark.streaming.adapter import run_streaming, transcripts_stream
@@ -26,10 +31,12 @@ from wolf_quake_spark.streaming.stateful import (
     run_streaming_stateful,
     sessionize_stream,
 )
+from wolf_quake_spark.streaming.windowed import windowed_event_rollup
 
 __all__ = [
     "run_streaming",
     "run_streaming_stateful",
     "sessionize_stream",
     "transcripts_stream",
+    "windowed_event_rollup",
 ]
