@@ -500,6 +500,81 @@ def q_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_rollup_by_region",
+    """
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via the native ``rollup`` operator: order
+    counts and exact cent totals at (region, nation), per-region, and grand
+    total levels, one pass.
+
+    Scale shape: Catalyst plans rollup as an Expand (3 rows per input group
+    here) feeding ONE partial+final hash aggregate — no per-level rescan of
+    the fact table, which is the whole point vs a UNION of three GROUP BYs
+    at 100 TB.  Dimension joins broadcast (nation 25 / region 5 rows).
+    ``grouping_id`` disambiguates real NULL keys from subtotal rows.
+    """
+    orders = _read(spark, sf_dir, "orders")
+    cust = F.broadcast(_read(spark, sf_dir, "customer"))
+    nation = F.broadcast(_read(spark, sf_dir, "nation"))
+    region = F.broadcast(_read(spark, sf_dir, "region"))
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+    )
+
+
+@register(
+    "length_quantiles_by_lang",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           quantile_cont(n_chars, 0.25) AS q25,
+           quantile_cont(n_chars, 0.50) AS q50,
+           quantile_cont(n_chars, 0.75) AS q75,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact length quantiles — the distribution telemetry a
+    corpus pipeline reports per shard.
+
+    Uses Spark's exact ``percentile`` (linear interpolation, same R-7
+    definition as DuckDB's ``quantile_cont``; on exact integer inputs with
+    dyadic fractions both engines produce bit-identical doubles).  Exact
+    percentile holds all group values — fine for bounded per-language
+    groups; at 100 TB over unbounded groups switch to
+    ``percentile_approx`` (t-digest sketch, mergeable map-side) and drop
+    the oracle to tolerance-compare.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.percentile("n_chars", 0.25).alias("q25"),
+        F.percentile("n_chars", 0.50).alias("q50"),
+        F.percentile("n_chars", 0.75).alias("q75"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
     "orders_with_late_items",
     """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
