@@ -212,3 +212,69 @@ def test_windowed_rollup_watermark_drops_late(spark, tmp_path):
     # append mode emits exactly the windows the watermark closed (00-02);
     # each holds its single on-time row
     assert got == {base: 1, base + hours: 1, base + 2 * hours: 1}
+
+
+def test_windowed_rollup_streaming_matches_batch_for_closed_windows(spark, tmp_path):
+    """Batch and streaming are two execution modes of ONE rollup definition:
+    for every window the watermark closed, the streaming (append-mode)
+    result must equal running the same function on the same rows as a
+    batch frame."""
+    import datetime as dt
+    import glob
+    import os
+    import random
+    import shutil
+
+    from wolf_quake_spark.streaming.windowed import windowed_event_rollup
+
+    rng = random.Random(11)
+    base = dt.datetime(2024, 3, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = [
+        (i,
+         base + dt.timedelta(minutes=rng.randrange(0, 10 * 60)),
+         rng.randrange(20),
+         rng.choice(["click", "purchase"]),
+         round(rng.uniform(0, 50), 2))
+        for i in range(400)
+    ]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # three files in ts order so the watermark advances across micro-batches
+    rows.sort(key=lambda r: r[1])
+    for i in range(3):
+        chunk = rows[i * 134:(i + 1) * 134 + (0 if i < 2 else 10)]
+        st = str(tmp_path / f"s{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("overwrite").parquet(st)
+        dst = str(landing / f"f{i}.parquet")
+        shutil.copyfile(glob.glob(st + "/part-*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    q = (
+        windowed_event_rollup(stream, window="1 hour", delay="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_parity")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in spark.table("wm_parity").collect()
+    }
+    assert streamed  # the watermark must have closed at least one window
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in windowed_event_rollup(
+            spark.createDataFrame(rows, schema), window="1 hour", delay="1 hour"
+        ).collect()
+    }
+    for key, vals in streamed.items():
+        assert batch[key] == vals  # every closed window agrees exactly
