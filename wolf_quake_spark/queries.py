@@ -338,6 +338,45 @@ def q_roster_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_props_json",
+    """
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON ``props`` payload with a
+    typed schema (``from_json``) and aggregate the extracted field — the
+    standard shape for log/transcript pipelines whose envelope is columnar
+    but whose payload is JSON.
+
+    ``from_json`` with an explicit schema stays JVM-side (Jackson inside
+    codegen) and null-safes malformed rows (PERMISSIVE default) — at 100 TB
+    prefer it over ``get_json_object`` when extracting several fields (one
+    parse per row, not one per field).  Pure projection + one hash agg.
+    """
+    ev = _read(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
     "events_asof_value",
     """
     SELECT event_id, user_id, purchase_value_asof FROM (
