@@ -353,6 +353,60 @@ def test_token_counts(spark):
     assert out[3] == (2, 2)
 
 
+def test_tfidf_top_terms(spark):
+    from wolf_quake_spark.analysis.textstats import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "durian"),
+            (4, ""),  # no tokens → no rows
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"], r["tfidf"])
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+    import math
+
+    # doc 1: apple tf=2 beats banana tf=1; apple df=2, banana df=1
+    assert rows[(1, 1)][:3] == ("apple", 2, 2)
+    assert rows[(1, 2)][:3] == ("banana", 1, 1)
+    assert rows[(1, 1)][3] == pytest.approx(2 * math.log(4 / 2))
+    assert rows[(1, 2)][3] == pytest.approx(1 * math.log(4 / 1))
+    # doc 2 ties on tf=1 → rarer term (cherry df=1) outranks apple df=2
+    assert rows[(2, 1)][0] == "cherry" and rows[(2, 2)][0] == "apple"
+    assert (4, 1) not in rows  # empty doc emits nothing
+
+
+def test_repetition_signals(spark):
+    from wolf_quake_spark.analysis.textstats import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam eggs"),
+            (2, "one"),  # single token → no bigram
+            (3, "a b a b"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()}
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["n_distinct_tokens"]) == (4, 2)
+    assert (r1["top_token"], r1["top_token_tf"]) == ("spam", 3)
+    assert (r1["top_bigram"], r1["top_bigram_tf"]) == ("spam spam", 2)
+    assert r1["dup_token_frac"] == pytest.approx(0.5)
+    r2 = out[2]
+    assert (r2["n_tokens"], r2["top_bigram"], r2["top_bigram_tf"]) == (1, None, None)
+    assert r2["dup_token_frac"] == 0.0
+    # doc 3: 'a b' occurs twice, beats 'b a' (once); token tie a/b → 'a' wins
+    r3 = out[3]
+    assert (r3["top_token"], r3["top_token_tf"]) == ("a", 2)
+    assert (r3["top_bigram"], r3["top_bigram_tf"]) == ("a b", 2)
+
+
 def test_lang_id(spark):
     df = spark.createDataFrame(
         [

@@ -107,6 +107,122 @@ def lang_id_ngram(text: Column) -> Column:
     return expr
 
 
+def term_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-(doc, term) counts — the inverted-index building block.
+
+    Tokenization is a plain single-space split (the portable lowest common
+    denominator between Spark ``split`` and DuckDB ``string_split``); empty
+    tokens from leading/trailing/double spaces are dropped.  Shape at scale:
+    one explode (narrow) + one hash aggregate with map-side partials keyed
+    on (doc_id, term) — the classic first stage of distributed indexing.
+    """
+    t = F.col(text_col)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(t, " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """TF-IDF with an inverted-index plan: tf per (doc, term), document
+    frequency per term, idf = ln(N / df), top-``k`` terms per doc.
+
+    Determinism across engines: the per-doc ranking orders by the INTEGER
+    keys (tf DESC, df ASC, term ASC) — never by the floating tfidf value,
+    whose last-ulp could differ between libm implementations and flip ties.
+    The tfidf double is emitted as a value column with the identical
+    expression structure on both sides (one divide, one ln, one multiply on
+    exact integers), so the 10-significant-digit value hash agrees.
+
+    Scale shape: explode → (doc_id, term) hash agg → term-keyed df agg →
+    tf ⋈ df on term (df side is |vocab| rows — AQE broadcasts it when small)
+    → one doc_id-partitioned window for the top-k.  All exchanges are on
+    high-cardinality keys; nothing is driver-side (N comes from a broadcast
+    one-row aggregate, not ``.count()``).
+    """
+    tf = term_frequencies(docs, text_col)
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document: distinct-token
+    ratio, most-frequent token (and its share), most-frequent bigram (and
+    its share).  High top-token / top-bigram shares and low distinct ratios
+    flag boilerplate and degenerate repetition for training-data filtering.
+
+    Argmax without a second shuffle: ``min(struct(-tf, term))`` inside the
+    per-doc hash aggregate picks highest-tf with lexicographically-smallest
+    tiebreak — integer-exact, so it matches the oracle's window formulation
+    row-for-row.  Bigrams come from ``zip_with(slice, slice)`` (empty-safe
+    for 1-token docs, unlike ``sequence`` whose descending-default bites at
+    size-1).  Two hash aggs + one doc_id join; everything else is narrow.
+    """
+    t = F.col(text_col)
+    toks = F.filter(F.split(t, " "), lambda x: x != "")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    tok_agg = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count("*").alias("n_distinct_tokens"),
+        F.min(F.struct((-F.col("tf")).alias("neg"), F.col("term"))).alias("top"),
+    )
+    bf = (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("bf"))
+    )
+    bg_agg = bf.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("bf")).alias("neg"), F.col("bigram"))).alias("topb"),
+    )
+    return (
+        tok_agg.join(bg_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            F.col("top.term").alias("top_token"),
+            (-F.col("top.neg")).alias("top_token_tf"),
+            F.col("topb.bigram").alias("top_bigram"),
+            (-F.col("topb.neg")).alias("top_bigram_tf"),
+            (
+                (F.col("n_tokens") - F.col("n_distinct_tokens")).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_token_frac"),
+        )
+    )
+
+
 def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc integer-exact quality features + a composite score."""
     t = F.col(text_col)

@@ -63,6 +63,8 @@ from wolf_quake_spark.analysis.textstats import (
     lang_id,
     lang_id_ngram,
     quality_metrics,
+    repetition_signals,
+    tfidf_top_terms,
     token_count,
 )
 
@@ -956,6 +958,107 @@ _REGISTRY["quality_topk_by_lang"] = (
     WHERE rk <= 5
     """,
 )
+
+
+# shared tokenize → (doc, term) count CTEs for the inverted-index oracles;
+# single-space split + empty-token filter, the exact dual of
+# textstats.term_frequencies
+_TF_CTE = """
+    tok AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term <> ''
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    )
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH {_TF_CTE},
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df,
+           CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+             AS tfidf,
+           rank
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df, n.n_docs,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS INTEGER) AS rank
+      FROM tf JOIN dfq USING (term) CROSS JOIN n)
+    WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document over an inverted-index plan.
+
+    Ranking is by the exact integer keys (tf DESC, df ASC, term ASC) so ties
+    never depend on the floating tfidf value; the double itself is one
+    divide + one ln + one multiply on exact integers, mirrored structurally
+    in the oracle.
+    """
+    return tfidf_top_terms(_read(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "repetition_signals",
+    f"""
+    WITH {_TF_CTE},
+    tok_agg AS (
+      SELECT doc_id,
+             CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens
+      FROM tf GROUP BY doc_id
+    ),
+    top_tok AS (
+      SELECT doc_id, term AS top_token, tf AS top_token_tf FROM (
+        SELECT doc_id, term, tf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tf DESC, term ASC) AS rn
+        FROM tf)
+      WHERE rn = 1
+    ),
+    bf AS (
+      SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS bf FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1]))
+                 AS bigram
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                       AS toks
+              FROM documents))
+      GROUP BY doc_id, bigram
+    ),
+    top_bg AS (
+      SELECT doc_id, bigram AS top_bigram, bf AS top_bigram_tf FROM (
+        SELECT doc_id, bigram, bf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY bf DESC, bigram ASC) AS rn
+        FROM bf)
+      WHERE rn = 1
+    )
+    SELECT a.doc_id, a.n_tokens, a.n_distinct_tokens,
+           t.top_token, t.top_token_tf,
+           b.top_bigram, b.top_bigram_tf,
+           CAST(a.n_tokens - a.n_distinct_tokens AS DOUBLE)
+             / CAST(a.n_tokens AS DOUBLE) AS dup_token_frac
+    FROM tok_agg a
+    JOIN top_tok t USING (doc_id)
+    LEFT JOIN top_bg b USING (doc_id)
+    """,
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals: distinct-token ratio,
+    top-token and top-bigram shares — the standard degenerate-repetition
+    filters of a training-data quality pipeline."""
+    return repetition_signals(_read(spark, sf_dir, "documents"))
 
 
 # ===========================================================================
