@@ -130,9 +130,12 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> Data
     Determinism across engines: the per-doc ranking orders by the INTEGER
     keys (tf DESC, df ASC, term ASC) — never by the floating tfidf value,
     whose last-ulp could differ between libm implementations and flip ties.
-    The tfidf double is emitted as a value column with the identical
-    expression structure on both sides (one divide, one ln, one multiply on
-    exact integers), so the 10-significant-digit value hash agrees.
+    The tfidf value itself is quantized to 6 decimals because ``ln`` is NOT
+    correctly rounded everywhere (Java ``Math.log`` vs C libm disagree by
+    1 ulp on real inputs — observed at sf0.01); after rounding, a 1-ulp
+    input discrepancy flips the output only when the true value sits within
+    1 ulp of a .5e-6 boundary (~1e-10 per value), so the bit-exact value
+    hash agrees.
 
     Scale shape: explode → (doc_id, term) hash agg → term-keyed df agg →
     tf ⋈ df on term (df side is |vocab| rows — AQE broadcasts it when small)
@@ -158,9 +161,10 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> Data
             "term",
             "tf",
             "df",
-            (
+            F.round(
                 F.col("tf").cast("double")
-                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
             ).alias("tfidf"),
             "rank",
         )

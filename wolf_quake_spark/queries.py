@@ -983,8 +983,8 @@ _TF_CTE = """
     dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
     SELECT doc_id, term, tf, df,
-           CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
-             AS tfidf,
+           round(CAST(tf AS DOUBLE)
+                 * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf,
            rank
     FROM (
       SELECT tf.doc_id, tf.term, tf.tf, dfq.df, n.n_docs,
