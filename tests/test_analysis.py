@@ -353,6 +353,58 @@ def test_token_counts(spark):
     assert out[3] == (2, 2)
 
 
+def test_redact_pii(spark):
+    from wolf_quake_spark.analysis.scrub import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+e@ex.org, server 192.168.1.1 tel 555-123-4567"),
+            (2, "no pii here"),
+            (3, "+123 456 7890 and 10.0.0.255"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    r1 = out[1]
+    assert (r1["n_emails"], r1["n_ips"], r1["n_phones"]) == (2, 1, 1)
+    assert r1["redacted"] == "mail <EMAIL> and <EMAIL>, server <IP> tel <PHONE>"
+    r2 = out[2]
+    assert (r2["n_emails"], r2["n_ips"], r2["n_phones"]) == (0, 0, 0)
+    assert r2["redacted"] == "no pii here"
+    r3 = out[3]
+    assert (r3["n_phones"], r3["n_ips"]) == (1, 1)
+    assert r3["redacted"] == "<PHONE> and <IP>"
+
+
+def test_contamination_report(spark):
+    from wolf_quake_spark.analysis.contamination import (
+        contamination_report,
+        split_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    # find doc_ids that land in train (<800) and test (>=900) buckets
+    probe = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    ).select("doc_id", split_bucket(F.col("doc_id")).alias("b")).collect()
+    train_ids = [r["doc_id"] for r in probe if r["b"] < 800]
+    test_ids = [r["doc_id"] for r in probe if r["b"] >= 900]
+    assert train_ids and test_ids
+    leak = "the secret benchmark answer is forty two exactly"
+    rows = [
+        (train_ids[0], "prefix words " + leak + " suffix words"),  # contaminated
+        (train_ids[1], "completely unrelated training text about spark"),
+        (test_ids[0], leak),  # the benchmark doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_contaminated_ngrams"]
+        for r in contamination_report(docs, n=5).collect()
+    }
+    # leak has 8 words → 4 shared 5-grams; clean doc absent
+    assert got == {train_ids[0]: 4}
+
+
 def test_tfidf_top_terms(spark):
     from wolf_quake_spark.analysis.textstats import tfidf_top_terms
 

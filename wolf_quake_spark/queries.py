@@ -37,12 +37,14 @@ from wolf_quake_spark.analysis.dedup import (
     winnow_fingerprints,
     winnow_neardup_pairs,
 )
+from wolf_quake_spark.analysis.contamination import contamination_report
 from wolf_quake_spark.analysis.multimodal import (
     extract_features,
     frame_sample,
     resize_media,
     to_media,
 )
+from wolf_quake_spark.analysis.scrub import EMAIL_RE, IPV4_RE, PHONE_RE, redact_pii
 from wolf_quake_spark.analysis.similarity import (
     SRP_BITS,
     cosine_scores,
@@ -1059,6 +1061,93 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-token and top-bigram shares — the standard degenerate-repetition
     filters of a training-data quality pipeline."""
     return repetition_signals(_read(spark, sf_dir, "documents"))
+
+
+_CONTAM_N = 5
+_CONTAM_JOIN = " || ' ' || ".join(f"w[i+{j}]" for j in range(_CONTAM_N))
+
+@register(
+    "decontamination_hits",
+    f"""
+    WITH tagged AS (
+      SELECT doc_id, text,
+             ((doc_id * 2654435761) % 4294967296) % 1000 AS b
+      FROM documents),
+    tw AS (SELECT doc_id,
+                  regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS w
+           FROM tagged WHERE b < 800),
+    bw AS (SELECT doc_id,
+                  regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS w
+           FROM tagged WHERE b >= 900),
+    ts AS (SELECT DISTINCT doc_id, md5({_CONTAM_JOIN}) AS h
+           FROM tw, UNNEST(range(1, greatest(len(w) - {_CONTAM_N - 2}, 1))) AS t(i)),
+    bs AS (SELECT DISTINCT md5({_CONTAM_JOIN}) AS h
+           FROM bw, UNNEST(range(1, greatest(len(w) - {_CONTAM_N - 2}, 1))) AS t(i))
+    SELECT ts.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_ngrams
+    FROM ts JOIN bs USING (h) GROUP BY ts.doc_id
+    """,
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train-split docs sharing ≥1 word 5-gram
+    with the held-out test split.  Broadcast the (small) benchmark shingle
+    set; the train side never shuffles."""
+    return contamination_report(_read(spark, sf_dir, "documents"), n=_CONTAM_N)
+
+
+_PII_INJECT_SPARK = None  # built inline below; SQL mirror in the oracle
+
+_PII_SQL = """
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                  || ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS text
+      FROM documents),
+    e AS (SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '{EMAIL}')) AS BIGINT) AS n_emails,
+                 regexp_replace(text, '{EMAIL}', '<EMAIL>', 'g') AS t1
+          FROM injected),
+    i AS (SELECT doc_id, n_emails,
+                 CAST(len(regexp_extract_all(t1, '{IP}')) AS BIGINT) AS n_ips,
+                 regexp_replace(t1, '{IP}', '<IP>', 'g') AS t2
+          FROM e),
+    p AS (SELECT doc_id, n_emails, n_ips,
+                 CAST(len(regexp_extract_all(t2, '{PHONE}')) AS BIGINT) AS n_phones,
+                 regexp_replace(t2, '{PHONE}', '<PHONE>', 'g') AS t3
+          FROM i)
+    SELECT doc_id, md5(t3) AS redacted_md5, n_emails, n_ips, n_phones FROM p
+""".replace("{EMAIL}", EMAIL_RE).replace("{IP}", IPV4_RE).replace("{PHONE}", PHONE_RE)
+
+
+@register("pii_redaction", _PII_SQL)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub with per-category counts.  Deterministic synthetic PII
+    (email / IPv4 / phone derived from doc_id) is appended to every document
+    so the redaction regexes demonstrably fire on every row; output carries
+    md5(redacted) rather than the full text to keep the frame narrow."""
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+            F.lit(" from 10.0."), (did % 256).cast("string"),
+            F.lit("."), ((did * 7) % 256).cast("string"),
+            F.lit(" call 555-123-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = redact_pii(injected)
+    return out.select(
+        "doc_id",
+        F.md5("redacted").alias("redacted_md5"),
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+    )
 
 
 # ===========================================================================
