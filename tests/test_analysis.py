@@ -353,6 +353,26 @@ def test_token_counts(spark):
     assert out[3] == (2, 2)
 
 
+def test_remove_boilerplate(spark):
+    from wolf_quake_spark.analysis.boilerplate import remove_boilerplate
+
+    banner = "copyright acme corp"  # exactly one 3-word segment
+    rows = [(i, banner + f" unique{i} body{i} text{i} alpha{i}") for i in range(5)]
+    rows.append((99, "entirely fresh document body"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in remove_boilerplate(docs, min_docs=5).collect()}
+    # the banner segment appears in 5 docs → removed from each
+    r0 = out[0]
+    assert r0["n_segments"] == 3 and r0["n_removed"] == 1
+    assert r0["clean_text"] == "unique0 body0 text0 alpha0"
+    # the unique doc is untouched
+    assert out[99]["n_removed"] == 0
+    assert out[99]["clean_text"] == "entirely fresh document body"
+    # below threshold nothing is removed
+    out4 = {r["doc_id"]: r["n_removed"] for r in remove_boilerplate(docs, min_docs=6).collect()}
+    assert all(v == 0 for v in out4.values())
+
+
 def test_redact_pii(spark):
     from wolf_quake_spark.analysis.scrub import redact_pii
 

@@ -37,6 +37,7 @@ from wolf_quake_spark.analysis.dedup import (
     winnow_fingerprints,
     winnow_neardup_pairs,
 )
+from wolf_quake_spark.analysis.boilerplate import remove_boilerplate
 from wolf_quake_spark.analysis.contamination import contamination_report
 from wolf_quake_spark.analysis.multimodal import (
     extract_features,
@@ -1094,7 +1095,43 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(_read(spark, sf_dir, "documents"), n=_CONTAM_N)
 
 
-_PII_INJECT_SPARK = None  # built inline below; SQL mirror in the oracle
+_SEG_RE = r"[^ \t\n\x0B\f\r]+(?:[ \t\n\x0B\f\r]+[^ \t\n\x0B\f\r]+){0,2}"
+
+@register(
+    "boilerplate_removal",
+    """
+    WITH segs AS (
+      SELECT doc_id, i AS pos, s[i + 1] AS seg FROM (
+        SELECT doc_id, regexp_extract_all(text, '{SEG}') AS s FROM documents),
+        UNNEST(range(len(s))) AS t(i)),
+    bp AS (
+      SELECT seg FROM (
+        SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY seg)
+      WHERE nd >= 5),
+    flagged AS (
+      SELECT s.doc_id, s.pos, s.seg, (b.seg IS NOT NULL) AS is_bp
+      FROM segs s LEFT JOIN bp b USING (seg))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           coalesce(
+             string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE NOT is_bp),
+             '') AS clean_text
+    FROM flagged GROUP BY doc_id
+    """.replace("{SEG}", _SEG_RE),  # raw string: backslash escapes stay literal for RE2
+)
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate segment removal with ordered
+    reassembly; the boilerplate set is broadcast so the corpus side never
+    shuffles for the tagging join."""
+    out = remove_boilerplate(_read(spark, sf_dir, "documents"), min_docs=5)
+    return out.select(
+        "doc_id",
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        "clean_text",
+    )
+
 
 _PII_SQL = """
     WITH injected AS (
