@@ -278,3 +278,71 @@ def test_windowed_rollup_streaming_matches_batch_for_closed_windows(spark, tmp_p
     }
     for key, vals in streamed.items():
         assert batch[key] == vals  # every closed window agrees exactly
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first doc per content
+    fingerprint across micro-batches; whitespace/case variants collapse to
+    the same fingerprint; the batch face of the same function agrees."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from wolf_quake_spark.streaming.dedup import dedup_stream
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    mins = dt.timedelta(minutes=1)
+    schema = "doc_id long, ts timestamp, text string"
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def land(rows, name, mtime):
+        tmp = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = str(landing / name)
+        shutil.copyfile(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    # batch 1: two distinct docs
+    land(
+        [(1, base, "hello world"), (2, base + mins, "unrelated doc")],
+        "f1.parquet",
+        1_700_000_000,
+    )
+    # batch 2 (separate micro-batch): exact dup, normalized dup (case +
+    # whitespace), and one genuinely new doc — all within the 1h horizon
+    land(
+        [
+            (3, base + 2 * mins, "hello world"),
+            (4, base + 3 * mins, "  HELLO   world "),
+            (5, base + 4 * mins, "fresh content"),
+        ],
+        "f2.parquet",
+        1_700_000_100,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    q = (
+        dedup_stream(stream, delay="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.table("dedup_stream").collect()}
+    assert kept == {1, 2, 5}  # docs 3 and 4 are in-horizon duplicates of 1
+
+    # batch face: same function, same duplicate definition
+    all_rows = spark.read.parquet(str(landing))
+    batch_fps = {r["fingerprint"] for r in dedup_stream(all_rows).collect()}
+    stream_fps = {r["fingerprint"] for r in spark.table("dedup_stream").collect()}
+    assert batch_fps == stream_fps
