@@ -353,6 +353,34 @@ def test_token_counts(spark):
     assert out[3] == (2, 2)
 
 
+def test_decode_wav_real_chunk_walk():
+    from wolf_quake_spark.analysis.multimodal import decode_wav, synth_wav
+
+    rate, ch, bits, n, ms, bins = decode_wav(synth_wav(b"abcdefghij"))
+    assert (rate, ch, bits, n, ms) == (8000, 1, 8, 10, 1)
+    assert bins[:2] == [ord("a"), ord("b")]  # binsz=1 → one byte per bin
+    # unknown chunk before fmt/data, odd size → word-aligned skip
+    wav = synth_wav(b"hello")
+    with_list = wav[:12] + b"LIST" + (3).to_bytes(4, "little") + b"xy z" + wav[12:]
+    assert decode_wav(with_list)[3] == 5
+    import pytest as _pt
+
+    for bad in (b"", b"RIFX0000WAVE", synth_wav(b"x")[:20]):
+        with _pt.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_wav_features_in_spark(spark):
+    from wolf_quake_spark.analysis.multimodal import to_media, wav_features
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in wav_features(to_media(docs)).collect()}
+    assert out[1]["n_samples"] == 8 and out[1]["bin0"] == ord("a")
+    assert out[2]["n_samples"] == 0 and out[2]["bin7"] == 0
+
+
 def test_remove_boilerplate(spark):
     from wolf_quake_spark.analysis.boilerplate import remove_boilerplate
 

@@ -44,6 +44,7 @@ from wolf_quake_spark.analysis.multimodal import (
     frame_sample,
     resize_media,
     to_media,
+    wav_features,
 )
 from wolf_quake_spark.analysis.scrub import EMAIL_RE, IPV4_RE, PHONE_RE, redact_pii
 from wolf_quake_spark.analysis.similarity import (
@@ -1093,6 +1094,40 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the held-out test split.  Broadcast the (small) benchmark shingle
     set; the train side never shuffles."""
     return contamination_report(_read(spark, sf_dir, "documents"), n=_CONTAM_N)
+
+
+# per-bin positional byte sums over the WAV data chunk == ascii codepoint
+# sums over text slices (documents are ASCII; kernel slices [i*bz, (i+1)*bz))
+_WAV_BIN_SQL = ",\n           ".join(
+    f"CAST(coalesce(list_sum(list_transform("
+    f"range({i} * bz + 1, least(({i} + 1) * bz, nb) + 1), "
+    f"j -> unicode(text[j]))), 0) AS BIGINT) AS bin{i}"
+    for i in range(8)
+)
+
+@register(
+    "audio_wav_features",
+    f"""
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(8 AS INTEGER) AS bits_per_sample,
+           CAST(nb AS BIGINT) AS n_samples,
+           CAST(nb * 1000 // 8000 AS BIGINT) AS duration_ms,
+           {_WAV_BIN_SQL}
+    FROM (SELECT doc_id, length(text) AS nb,
+                 greatest(length(text) // 8, 1) AS bz, text
+          FROM documents)
+    """,
+)
+def q_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-container plumbing with a REAL decode kernel: each payload is
+    wrapped as canonical PCM WAV (ingest stand-in) and decoded by the
+    dependency-free RIFF chunk walker; header fields and per-bin PCM byte
+    sums come from actual payload bytes, mirrored in the oracle as integer
+    closed forms over the text column."""
+    media = to_media(_read(spark, sf_dir, "documents"))
+    return wav_features(media)
 
 
 _SEG_RE = r"[^ \t\n\x0B\f\r]+(?:[ \t\n\x0B\f\r]+[^ \t\n\x0B\f\r]+){0,2}"
