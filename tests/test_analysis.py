@@ -353,6 +353,26 @@ def test_token_counts(spark):
     assert out[3] == (2, 2)
 
 
+def test_stratified_sample_deterministic(spark):
+    from wolf_quake_spark.analysis.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "x", "en" if i % 2 else "zh") for i in range(400)],
+        "doc_id long, text string, lang string",
+    )
+    kept1 = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.25, "zh": 1.0}).collect()}
+    # identical under a different partitioning — no partition-order dependence
+    kept2 = {
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(7), {"en": 0.25, "zh": 1.0}).collect()
+    }
+    assert kept1 == kept2
+    zh = {i for i in range(400) if i % 2 == 0}
+    assert zh <= kept1  # rate 1.0 keeps every zh doc
+    en_kept = len(kept1 - zh)
+    assert 20 <= en_kept <= 80  # ~25% of 200, hash-spread
+
+
 def test_decode_wav_real_chunk_walk():
     from wolf_quake_spark.analysis.multimodal import decode_wav, synth_wav
 

@@ -46,6 +46,7 @@ from wolf_quake_spark.analysis.multimodal import (
     to_media,
     wav_features,
 )
+from wolf_quake_spark.analysis.sampling import stratified_sample
 from wolf_quake_spark.analysis.scrub import EMAIL_RE, IPV4_RE, PHONE_RE, redact_pii
 from wolf_quake_spark.analysis.similarity import (
     SRP_BITS,
@@ -1094,6 +1095,34 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the held-out test split.  Broadcast the (small) benchmark shingle
     set; the train side never shuffles."""
     return contamination_report(_read(spark, sf_dir, "documents"), n=_CONTAM_N)
+
+
+@register(
+    "stratified_sample_manifest",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM (
+      SELECT lang, n_chars,
+             ((doc_id * 2654435761 + 12345) % 4294967296) % 1000 AS b
+      FROM documents)
+    WHERE b < CASE lang WHEN 'en' THEN 250 WHEN 'zh' THEN 1000 ELSE 500 END
+    GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: keep 25% of over-represented English, all of
+    Chinese, half of everything else — deterministic hash sampling (never
+    ``df.sample``/``rand()``, which are partition-order-dependent and change
+    with cluster size).  The sample is a pure pushed-down filter; this query
+    reports the per-language manifest of what survived."""
+    docs = _read(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, {"en": 0.25, "zh": 1.0}, default_rate=0.5)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("n_chars").alias("sampled_chars"),
+    )
 
 
 # per-bin positional byte sums over the WAV data chunk == ascii codepoint
