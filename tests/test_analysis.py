@@ -501,6 +501,24 @@ def test_tfidf_top_terms(spark):
     assert (4, 1) not in rows  # empty doc emits nothing
 
 
+def test_unigram_logprob_scores(spark):
+    import math
+
+    from wolf_quake_spark.analysis.textstats import unigram_logprob_scores
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    # corpus counts: a=3 b=2 c=1, total=6
+    out = {r["doc_id"]: r.asDict() for r in unigram_logprob_scores(df).collect()}
+    assert out[1]["n_tokens"] == 3
+    exp1 = -(2 * math.log(3 / 6) + math.log(2 / 6)) / 3
+    assert out[1]["mean_nll"] == pytest.approx(exp1, abs=1e-6)
+    assert out[3]["mean_nll"] == pytest.approx(-math.log(1 / 6), abs=1e-6)
+    # the rarer-token doc is more surprising than the common-token doc
+    assert out[3]["mean_nll"] > out[1]["mean_nll"]
+
+
 def test_repetition_signals(spark):
     from wolf_quake_spark.analysis.textstats import repetition_signals
 

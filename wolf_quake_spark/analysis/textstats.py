@@ -171,6 +171,44 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> Data
     )
 
 
+def unigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc mean negative log-likelihood under the corpus's own unigram
+    LM — the perplexity-filtering quality signal (CCNet-style; a KenLM
+    n-gram scorer has the identical plan shape, with the model table joined
+    on the n-gram instead of the token).
+
+    No smoothing is needed: docs are scored under the LM trained on the
+    same corpus, so every token has count ≥ 1.  The nll is quantized to
+    6 decimals: each ``ln`` carries ≤1 ulp of libm disagreement and the
+    per-doc sum is reassociated differently per engine/partitioning, but
+    the accumulated error (~1e-14 relative) is 7 orders below the quantum.
+
+    Scale shape: one (doc, term) hash agg → one term-keyed corpus agg →
+    tf ⋈ model on term (vocab-sized model side; the 100 TB classic) → one
+    doc-keyed agg.  Total corpus size reaches rows via a broadcast one-row
+    aggregate, never ``.count()`` on the driver.
+    """
+    tf = term_frequencies(docs, text_col)
+    model = tf.groupBy("term").agg(F.sum("tf").alias("cw"))
+    total = model.agg(F.sum("cw").alias("corpus_tokens"))
+    scored = tf.join(model, "term").crossJoin(F.broadcast(total))
+    ll = F.sum(
+        F.col("tf").cast("double")
+        * F.log(F.col("cw").cast("double") / F.col("corpus_tokens").cast("double"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_tokens"), ll.alias("_ll"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(-F.col("_ll") / F.col("n_tokens").cast("double"), 6).alias(
+                "mean_nll"
+            ),
+        )
+    )
+
+
 def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals per document: distinct-token
     ratio, most-frequent token (and its share), most-frequent bigram (and

@@ -71,6 +71,7 @@ from wolf_quake_spark.analysis.textstats import (
     repetition_signals,
     tfidf_top_terms,
     token_count,
+    unigram_logprob_scores,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1009,6 +1010,28 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the oracle.
     """
     return tfidf_top_terms(_read(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "unigram_logprob_scores",
+    f"""
+    WITH {_TF_CTE},
+    model AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cw FROM tf GROUP BY term),
+    total AS (SELECT CAST(SUM(cw) AS BIGINT) AS corpus_tokens FROM model)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           round(-SUM(CAST(tf AS DOUBLE)
+                      * ln(CAST(cw AS DOUBLE) / CAST(corpus_tokens AS DOUBLE)))
+                 / CAST(SUM(tf) AS DOUBLE), 6) AS mean_nll
+    FROM tf JOIN model USING (term) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filter signal: mean per-token negative log-likelihood
+    under the corpus unigram LM (KenLM-shaped plan: score join on the
+    model table, one doc-keyed aggregate)."""
+    return unigram_logprob_scores(_read(spark, sf_dir, "documents"))
 
 
 @register(
