@@ -755,3 +755,69 @@ def test_salted_topk_matches_naive_window(spark, tmp_path):
         .select("lang", "rk", "doc_id")
     )
     assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, staged.collect()))
+
+
+def test_filter_chain(spark):
+    from wolf_quake_spark.analysis.filters import filter_chain
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house sat"),  # passes everything
+            (2, "the and"),  # too short
+            (3, "the quick brown fox { jumped } over and of it all"),  # brace
+            (4, "a b c d e f g h i j"),  # 1-char tokens -> word_len fail
+            (5, "und und und und und und"),  # no en/de/es/fr stopword? 'und' IS de
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in filter_chain(df).collect()}
+    assert out[1]["keep"] == 1 and all(v == 1 for k, v in out[1].items() if k != "doc_id")
+    assert out[2]["f_min_tokens"] == 0 and out[2]["keep"] == 0
+    assert out[3]["f_brace"] == 0 and out[3]["keep"] == 0
+    assert out[4]["f_word_len"] == 0 and out[4]["keep"] == 0
+    # 'und' is a German stopword: stopword rule passes, word_len (3.0) passes
+    assert out[5]["f_stopword"] == 1
+
+
+def test_pack_manifest(spark):
+    from wolf_quake_spark.analysis.filters import pack_manifest
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (3 + i))) for i in range(1, 7)] + [(99, "   ")],
+        "doc_id long, text string",
+    )
+    out = pack_manifest(df, budget=5, n_shards=2).collect()
+    # zero-token doc dropped
+    assert {r["doc_id"] for r in out} == set(range(1, 7))
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["tok_offset"])
+        # offsets are a contiguous concat layout within the shard
+        pos = 0
+        for r in rows:
+            assert r["tok_offset"] == pos
+            assert r["start_bin"] == pos // 5
+            assert r["end_bin"] == (pos + r["n_tokens"] - 1) // 5
+            assert r["n_bins"] == r["end_bin"] - r["start_bin"] + 1
+            pos += r["n_tokens"]
+
+
+def test_doc_chunks(spark):
+    from wolf_quake_spark.analysis.filters import doc_chunks
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, ""), (3, None), (4, "xy")],
+        "doc_id long, text string",
+    )
+    out = doc_chunks(df, size=4, stride=3).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["start"], r["chunk_text"]) for r in out}
+    # doc 1: starts 0,3,6,9 -> abcd, defg, ghij, j
+    assert got[(1, 0)] == (0, "abcd")
+    assert got[(1, 1)] == (3, "defg")
+    assert got[(1, 2)] == (6, "ghij")
+    assert got[(1, 3)] == (9, "j")
+    assert (2, 0) not in got and (3, 0) not in got
+    assert got[(4, 0)] == (0, "xy")
+    assert all(r["chunk_len"] == len(r["chunk_text"]) for r in out)

@@ -39,6 +39,7 @@ from wolf_quake_spark.analysis.dedup import (
 )
 from wolf_quake_spark.analysis.boilerplate import remove_boilerplate
 from wolf_quake_spark.analysis.contamination import contamination_report
+from wolf_quake_spark.analysis.filters import doc_chunks, filter_chain, pack_manifest
 from wolf_quake_spark.analysis.multimodal import (
     extract_features,
     frame_sample,
@@ -1956,3 +1957,95 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
         bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
     )
+
+
+# portable whitespace token count fragment (dual of textstats.token_count)
+_NTOK_SQL = (
+    "CAST(CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS BIGINT)"
+)
+_ANY_STOP_SQL = " + ".join(_lang_score_sql(lang) for lang in STOPWORDS)
+
+
+@register(
+    "filter_chain_verdicts",
+    f"""
+    SELECT doc_id,
+           CAST(CASE WHEN ntok >= 5 THEN 1 ELSE 0 END AS BIGINT) AS f_min_tokens,
+           CAST(CASE WHEN ntok <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS f_max_tokens,
+           CAST(CASE WHEN mwl BETWEEN 200 AND 1200 THEN 1 ELSE 0 END AS BIGINT) AS f_word_len,
+           CAST(CASE WHEN stops >= 1 THEN 1 ELSE 0 END AS BIGINT) AS f_stopword,
+           CAST(CASE WHEN ell * 10 <= ntok THEN 1 ELSE 0 END AS BIGINT) AS f_ellipsis,
+           CAST(CASE WHEN brace = 0 THEN 1 ELSE 0 END AS BIGINT) AS f_brace,
+           CAST((CASE WHEN ntok >= 5 THEN 1 ELSE 0 END)
+              * (CASE WHEN ntok <= 100000 THEN 1 ELSE 0 END)
+              * (CASE WHEN mwl BETWEEN 200 AND 1200 THEN 1 ELSE 0 END)
+              * (CASE WHEN stops >= 1 THEN 1 ELSE 0 END)
+              * (CASE WHEN ell * 10 <= ntok THEN 1 ELSE 0 END)
+              * (CASE WHEN brace = 0 THEN 1 ELSE 0 END) AS BIGINT) AS keep
+    FROM (
+      SELECT doc_id, ntok,
+             CAST(floor(CASE WHEN ntok > 0
+                  THEN ((length(text) - (length(text) - length(replace(text, ' ', '')))) * 100 / ntok)
+                  ELSE 0 END) AS BIGINT) AS mwl,
+             ({_ANY_STOP_SQL}) AS stops,
+             CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS ell,
+             CAST(length(text) - length(replace(text, '{{', '')) AS BIGINT) AS brace
+      FROM (SELECT doc_id, text, {_NTOK_SQL} AS ntok FROM documents))
+    """,
+)
+def q_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style composed document filter: per-rule 0/1 verdicts plus
+    their AND, so the pipeline can both drop documents and log the per-rule
+    funnel.  Pure narrow projection — rides the scan at any scale."""
+    return filter_chain(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "pack_manifest",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             ((doc_id * 2654435761 + 777) % 4294967296) % 8 AS shard,
+             ((doc_id * 2654435761 + 777) % 4294967296) % 1000003 AS pos_key,
+             ntok AS n_tokens
+      FROM (SELECT doc_id, {_NTOK_SQL} AS ntok FROM documents)
+      WHERE ntok > 0),
+    laid AS (
+      SELECT *, SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY pos_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+      FROM base)
+    SELECT doc_id, shard, n_tokens,
+           CAST(e - n_tokens AS BIGINT) AS tok_offset,
+           CAST(floor((e - n_tokens) / 2048) AS BIGINT) AS start_bin,
+           CAST(floor((e - 1) / 2048) AS BIGINT) AS end_bin,
+           CAST(floor((e - 1) / 2048) - floor((e - n_tokens) / 2048) + 1 AS BIGINT) AS n_bins
+    FROM laid
+    """,
+)
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence-packing manifest (budget=2048 tokens,
+    8 shards): each doc's shard, token offset, and the training-sequence
+    index range it occupies.  One shard-keyed window cumsum — a single
+    bounded shuffle, no global sort."""
+    return pack_manifest(_read(spark, sf_dir, "documents"), budget=2048, n_shards=8)
+
+
+@register(
+    "doc_chunks",
+    """
+    SELECT doc_id,
+           CAST(s / 48 AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS start,
+           substr(text, CAST(s + 1 AS INTEGER), 64) AS chunk_text,
+           CAST(length(substr(text, CAST(s + 1 AS INTEGER), 64)) AS BIGINT) AS chunk_len
+    FROM (SELECT doc_id, text, unnest(range(0, length(text), 48)) AS s
+          FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-char windows, stride 48) for
+    embedding/RAG context preparation.  sequence+explode narrow flatMap —
+    no shuffle; offsets are code-point-based in both engines."""
+    return doc_chunks(_read(spark, sf_dir, "documents"), size=64, stride=48)
