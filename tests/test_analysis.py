@@ -821,3 +821,24 @@ def test_doc_chunks(spark):
     assert (2, 0) not in got and (3, 0) not in got
     assert got[(4, 0)] == (0, "xy")
     assert all(r["chunk_len"] == len(r["chunk_text"]) for r in out)
+
+
+def test_dup_ngram_spans(spark):
+    from wolf_quake_spark.analysis.dedup import dup_ngram_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # grams: "a b c","b c d","c d e","d e f"
+            (2, "a b c x y"),        # grams: "a b c","b c x","c x y"
+            (3, "z z z z"),          # grams: "z z z" x2 (intra-doc dup)
+            (4, "p q"),              # too short for n=3 -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in dup_ngram_spans(df, n=3).collect()}
+    assert out[1]["n_grams"] == 4 and out[1]["dup_ngrams"] == 1  # "a b c"
+    assert out[2]["n_grams"] == 3 and out[2]["dup_ngrams"] == 1
+    assert out[3]["n_grams"] == 2 and out[3]["dup_ngrams"] == 2  # intra-doc
+    assert out[3]["dup_frac"] == 1.0
+    assert 4 not in out
+    getattr(dup_ngram_spans(df, n=3), "_wqs_persisted").unpersist()

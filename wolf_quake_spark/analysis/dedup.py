@@ -582,3 +582,68 @@ def label_propagate(
     )
     out._wqs_persisted = labels
     return out
+
+
+def dup_ngram_spans(docs: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
+    """Exact-substring duplication signal (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape):
+    for each document, the fraction of its word ``n``-gram start positions
+    whose n-gram occurs ≥ 2 times anywhere in the corpus (intra- or
+    cross-document).  High ``dup_frac`` docs are the memorization-risk
+    candidates that the suffix-array method removes span-wise; the n-gram
+    start-position fraction is its hash-join-friendly approximation.
+
+    Docs with fewer than ``n`` tokens emit no n-grams and are absent from
+    the output (no denominator).
+
+    100 TB shape: explode is narrow; one doc-keyed window (lead) builds the
+    grams in a single shuffle; the gram-keyed duplicate set is a hash agg
+    with map-side partials, and the join back is LEFT SEMI against only the
+    *duplicated* grams — typically a small fraction of all grams, so the
+    join's build side shrinks with corpus cleanliness.  The gram frame is
+    persisted DISK_ONLY across its three consumers (dup set, denominator,
+    semi join); handle exposed as ``result._wqs_persisted``.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    raw = F.split(F.col(text_col), " ")
+    tok = docs.select(
+        "doc_id", F.posexplode(raw).alias("pos", "term")
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("term")] + [F.lead("term", k).over(w) for k in range(1, n)]
+    grams = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("gram"),
+            F.lead("term", n - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    dupg = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    perdoc = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    dupcnt = (
+        grams.join(dupg, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_ngrams"))
+    )
+    out = perdoc.join(dupcnt, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("dup_ngrams"), F.lit(0)).alias("dup_ngrams"),
+        F.round(
+            F.coalesce(F.col("dup_ngrams"), F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )
+    out._wqs_persisted = grams
+    return out

@@ -27,6 +27,7 @@ from wolf_quake_spark.analysis.dedup import (
     SIMHASH64_WORDS,
     SIMHASH_BITS,
     dedup_components,
+    dup_ngram_spans,
     exact_duplicate_groups,
     lsh_buckets,
     normalized_fingerprint,
@@ -2049,3 +2050,39 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding/RAG context preparation.  sequence+explode narrow flatMap —
     no shuffle; offsets are code-point-based in both engines."""
     return doc_chunks(_read(spark, sf_dir, "documents"), size=64, stride=48)
+
+
+@register(
+    "dup_ngram_spans",
+    """
+    WITH tokpos AS (
+      SELECT doc_id, pos, term FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS term,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+      WHERE term <> ''),
+    grams AS (
+      SELECT doc_id,
+             term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+                  || ' ' || lead(term, 3) OVER w || ' ' || lead(term, 4) OVER w AS gram
+      FROM tokpos
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(term, 4) OVER w IS NOT NULL),
+    dupg AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+    perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams GROUP BY doc_id),
+    dupcnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_ngrams
+               FROM grams JOIN dupg USING (gram) GROUP BY doc_id)
+    SELECT p.doc_id, p.n_grams,
+           COALESCE(d.dup_ngrams, 0) AS dup_ngrams,
+           round(CAST(COALESCE(d.dup_ngrams, 0) AS DOUBLE)
+                 / CAST(p.n_grams AS DOUBLE), 6) AS dup_frac
+    FROM perdoc p LEFT JOIN dupcnt d USING (doc_id)
+    """,
+)
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal: per-doc fraction of word 5-gram
+    positions whose 5-gram repeats anywhere in the corpus (Lee et al. 2022
+    suffix-array dedup, hash-join approximation).  One doc-keyed window +
+    one gram hash agg + a LEFT SEMI join against duplicated grams only."""
+    return dup_ngram_spans(_read(spark, sf_dir, "documents"), n=5)
