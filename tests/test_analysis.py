@@ -473,6 +473,23 @@ def test_contamination_report(spark):
     assert got == {train_ids[0]: 4}
 
 
+def test_bloom_contamination_matches_exact(spark):
+    """Bloom prefilter + exact verify must equal the exact join (no false
+    negatives by Bloom construction; FPs removed by the verify join) — even
+    with a deliberately tiny, collision-heavy bitset."""
+    from wolf_quake_spark.analysis.contamination import (
+        bloom_contamination_report,
+        contamination_report,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = sorted(contamination_report(docs, n=5).collect())
+    # bits_per_item=1 forces a saturated bitset: every FP must be verified away
+    for bpi in (1, 16):
+        got = sorted(bloom_contamination_report(docs, n=5, bits_per_item=bpi).collect())
+        assert got == exact, f"bits_per_item={bpi}"
+
+
 def test_tfidf_top_terms(spark):
     from wolf_quake_spark.analysis.textstats import tfidf_top_terms
 

@@ -39,7 +39,10 @@ from wolf_quake_spark.analysis.dedup import (
     winnow_neardup_pairs,
 )
 from wolf_quake_spark.analysis.boilerplate import remove_boilerplate
-from wolf_quake_spark.analysis.contamination import contamination_report
+from wolf_quake_spark.analysis.contamination import (
+    bloom_contamination_report,
+    contamination_report,
+)
 from wolf_quake_spark.analysis.filters import doc_chunks, filter_chain, pack_manifest
 from wolf_quake_spark.analysis.multimodal import (
     extract_features,
@@ -1094,9 +1097,10 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAM_N = 5
 _CONTAM_JOIN = " || ' ' || ".join(f"w[i+{j}]" for j in range(_CONTAM_N))
 
-@register(
-    "decontamination_hits",
-    f"""
+# Shared by the exact and Bloom-prefiltered variants: the Bloom pass has no
+# false negatives and its exact verify join removes false positives, so both
+# must hash-match the same exact-join oracle.
+_CONTAM_SQL = f"""
     WITH tagged AS (
       SELECT doc_id, text,
              ((doc_id * 2654435761) % 4294967296) % 1000 AS b
@@ -1113,13 +1117,28 @@ _CONTAM_JOIN = " || ' ' || ".join(f"w[i+{j}]" for j in range(_CONTAM_N))
            FROM bw, UNNEST(range(1, greatest(len(w) - {_CONTAM_N - 2}, 1))) AS t(i))
     SELECT ts.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_ngrams
     FROM ts JOIN bs USING (h) GROUP BY ts.doc_id
-    """,
-)
+    """
+
+
+@register("decontamination_hits", _CONTAM_SQL)
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train-split docs sharing ≥1 word 5-gram
     with the held-out test split.  Broadcast the (small) benchmark shingle
     set; the train side never shuffles."""
     return contamination_report(_read(spark, sf_dir, "documents"), n=_CONTAM_N)
+
+
+@register("decontamination_bloom", _CONTAM_SQL)
+def q_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a broadcast Bloom-bitset prefilter + exact verify
+    join — the scale path for when the benchmark shingle set outgrows a
+    broadcast hash relation but fits as a ~2 GB bitset.  Probes are k seeded
+    xxhash64 bit tests in pure SQL (no Python, corpus side map-only); the
+    verify join removes false positives, so the output is bit-identical to
+    the exact-join oracle."""
+    return bloom_contamination_report(
+        _read(spark, sf_dir, "documents"), n=_CONTAM_N
+    )
 
 
 @register(
