@@ -475,6 +475,46 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 @register(
+    "events_lww_compaction",
+    """
+    SELECT user_id, event_type, event_id AS latest_event_id,
+           ts AS latest_ts, value AS latest_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_events_lww_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins upsert compaction: one surviving row per
+    (user_id, event_type) merge key, latest by (ts, event_id).
+
+    The MERGE-on-read compaction shape for an append-only Iceberg event log
+    (retries / replays / CDC upserts collapse to the newest version).  Scale
+    shape: exactly one hash shuffle on the merge key feeding a partition-local
+    row_number — no global window, no sort of the full table; AQE skew-split
+    handles hot keys.  At Iceberg scale the same plan runs per partition
+    (`WHERE part = ...`) so compaction parallelizes across partitions.
+    """
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("ts").alias("latest_ts"),
+            F.col("value").alias("latest_value"),
+        )
+    )
+
+
+@register(
     "broadcast_enrich_region",
     """
     SELECT r_name,
@@ -670,6 +710,62 @@ def q_orders_without_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "top_unshipped_revenue",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_x10000,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_x10000 DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (`shipping priority`): selective dim filter → fact
+    join → grouped revenue → global top-10 with a total-order tiebreak.
+
+    Scale shape: both filters reach the parquet scans as pushed predicates
+    (segment on customer, dates on orders/lineitem); the filtered customer
+    side broadcasts; at 100 TB orders⋈lineitem shuffles once on the order
+    key, which the grouped aggregate reuses (same key — no second exchange;
+    at bench SF Catalyst broadcasts that join too, verified via explain).
+    The LIMIT plans as TakeOrderedAndProject: per-partition top-10 heaps
+    merged on the driver, never a global sort of the aggregate output.
+    """
+    cutoff = "1998-06-01 00:00:00"
+    cust = _read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_x10000"))
+        .select("l_orderkey", "revenue_x10000", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.desc("revenue_x10000"), F.asc("o_orderdate"), F.asc("l_orderkey")
+        )
+        .limit(10)
     )
 
 
