@@ -703,6 +703,24 @@ def test_dedup_components_exact_dups_cluster(spark):
     assert out == {1: (1, True), 2: (1, False), 3: (3, True)}
 
 
+def test_dedup_apply_survivors(spark):
+    # same fixture as the components test plus n_chars: docs 1+2 cluster
+    # (keeper 1, doc 2's chars removed); doc 3 is a singleton survivor.
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight", 52),
+        (2, "the quick brown fox jumps over the lazy dog tonight", 52),
+        (3, "completely different content about spark engines at scale", 58),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    from wolf_quake_spark.analysis.dedup import dedup_apply
+
+    out = {r["doc_id"]: (r["n_members"], r["chars_removed"])
+           for r in dedup_apply(docs, threshold=0.5).collect()}
+    assert out == {1: (2, 52), 3: (1, 0)}
+    # invariant: members across survivors account for every input doc
+    assert sum(m for m, _ in out.values()) == len(rows)
+
+
 def test_events_asof_window(spark):
     # click before any purchase → NULL; after → value of latest prior
     # purchase; same-user ordering by (ts, event_id).

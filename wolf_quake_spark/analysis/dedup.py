@@ -531,6 +531,36 @@ def dedup_components(
     )
 
 
+def dedup_apply(docs: DataFrame, threshold: float = 0.5, **kw) -> DataFrame:
+    """Apply the near-dup dedup: one row per surviving (canonical) document
+    with the cluster size and the characters the collapse removed.
+
+    This is the step that actually shrinks the corpus: everything
+    non-canonical in a component is dropped, and ``chars_removed`` is the
+    bytes-saved accounting a curation pipeline reports per keeper.  Scale
+    shape: components ⋈ documents is a same-key hash join on doc_id followed
+    by one hash aggregate on component_id — two shuffles beyond the
+    component computation itself, no driver-side state.
+    """
+    comp = dedup_components(docs, threshold=threshold, **kw).select(
+        "doc_id", "component_id"
+    )
+    joined = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return (
+        joined.groupBy("component_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("component_id"), F.lit(0))
+                .otherwise(F.col("n_chars"))
+            ).alias("chars_removed"),
+        )
+        .select(
+            F.col("component_id").alias("doc_id"), "n_members", "chars_removed"
+        )
+    )
+
+
 def label_propagate(
     nodes: DataFrame,
     pairs: DataFrame,

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from wolf_quake_spark.analysis.dedup import (
     SIMHASH64_WORDS,
     SIMHASH_BITS,
+    dedup_apply,
     dedup_components,
     dup_ngram_spans,
     exact_duplicate_groups,
@@ -1934,11 +1935,7 @@ def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_pairs(_read(spark, sf_dir, "documents"))
 
 
-@register(
-    "dedup_components",
-    _MINHASH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
-    + _LSH_JACCARD_CTES
-    + """
+_COMPONENT_GRAPH_CTES = """
     , e AS (
       SELECT doc_a AS src, doc_b AS dst FROM jp WHERE jaccard >= 0.5
       UNION ALL
@@ -1949,6 +1946,15 @@ def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.id
     )
+"""
+
+
+@register(
+    "dedup_components",
+    _MINHASH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _LSH_JACCARD_CTES
+    + _COMPONENT_GRAPH_CTES
+    + """
     SELECT id AS doc_id, MIN(lab) AS component_id,
            MIN(lab) = id AS is_canonical
     FROM reach GROUP BY id
@@ -1959,6 +1965,28 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation) over the Jaccard>=0.5 LSH pair graph; the oracle computes
     the same components with a recursive reachability CTE."""
     return dedup_components(_read(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "dedup_apply_survivors",
+    _MINHASH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _LSH_JACCARD_CTES
+    + _COMPONENT_GRAPH_CTES
+    + """
+    , comp AS (SELECT id AS did, MIN(lab) AS component_id FROM reach GROUP BY id)
+    SELECT c.component_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN c.did = c.component_id THEN 0 ELSE d.n_chars END)
+                AS BIGINT) AS chars_removed
+    FROM comp c JOIN documents d ON d.doc_id = c.did
+    GROUP BY c.component_id
+    """,
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup step itself: one row per surviving canonical document with
+    cluster size and characters removed by the collapse — the corpus-shrink
+    accounting a curation pipeline reports."""
+    return dedup_apply(_read(spark, sf_dir, "documents"), threshold=0.5)
 
 
 # Winnowing (Schleimer et al. 2003): k=8 char-grams of normalized text,
