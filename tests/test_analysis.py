@@ -473,6 +473,24 @@ def test_contamination_report(spark):
     assert got == {train_ids[0]: 4}
 
 
+def test_bigram_logprob_scores(spark):
+    from wolf_quake_spark.analysis.textstats import bigram_logprob_scores
+    import math
+
+    rows = [
+        (1, "a b a b"),   # P(b|a)=2/2, P(a|b)=1/1 → nll 0 over 3 bigrams
+        (2, "a c"),       # P(c|a)=1/3 (context a: 2× a→b from doc 1 + this)
+        (3, "x"),         # <2 tokens → no bigrams → absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_bigrams"], r["mean_nll"])
+           for r in bigram_logprob_scores(docs).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: 2·(-ln(2/3)) + 1·(-ln 1) over 3 bigrams
+    assert out[1] == (3, round(2 * -math.log(2 / 3) / 3, 6))
+    assert out[2] == (1, round(-math.log(1 / 3), 6))
+
+
 def test_bloom_contamination_matches_exact(spark):
     """Bloom prefilter + exact verify must equal the exact join (no false
     negatives by Bloom construction; FPs removed by the verify join) — even

@@ -209,6 +209,59 @@ def unigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame
     )
 
 
+def bigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc mean negative log-likelihood under the corpus's own bigram
+    LM — the order-2 step up from :func:`unigram_logprob_scores`, with the
+    same KenLM-shaped plan (model join keyed on the n-gram).
+
+    Conditional probability P(w2|w1) = c(w1,w2) / c(w1,·) where the context
+    count is the sum of bigram counts sharing w1, so probabilities per
+    context sum to 1.  Scored on the training corpus itself every observed
+    bigram has count ≥ 1 — no smoothing needed.  Bigrams are adjacent pairs
+    of the empty-filtered token sequence; docs with < 2 tokens have no
+    bigrams and are absent.  Quantized to 6 decimals for the same 1-ulp
+    libm-vs-Java-Math.log reason as the unigram scorer.
+
+    Scale shape: one (doc, w1, w2) hash agg → bigram-keyed model agg →
+    w1-keyed context agg → two shuffled joins (bigram key, then w1) → one
+    doc-keyed agg.  The model side is distinct-corpus-bigrams-sized; at
+    100 TB both join sides hash-partition on their key (no broadcast
+    assumption), and AQE handles stop-word-context skew on the w1 join.
+    """
+    t = F.col(text_col)
+    toks = F.filter(F.split(t, " "), lambda x: x != "")
+    n_bg = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_bg),
+        F.slice(toks, 2, n_bg),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bf = (
+        docs.select("doc_id", F.explode(bigrams).alias("bg"))
+        .select("doc_id", "bg.w1", "bg.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("bf"))
+    )
+    model = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c12"))
+    ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    scored = bf.join(model, ["w1", "w2"]).join(ctx, "w1")
+    ll = F.sum(
+        F.col("bf").cast("double")
+        * F.log(F.col("c12").cast("double") / F.col("c1").cast("double"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("bf").alias("n_bigrams"), ll.alias("_ll"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(-F.col("_ll") / F.col("n_bigrams").cast("double"), 6).alias(
+                "mean_nll"
+            ),
+        )
+    )
+
+
 def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals per document: distinct-token
     ratio, most-frequent token (and its share), most-frequent bigram (and

@@ -70,6 +70,7 @@ from wolf_quake_spark.analysis.textstats import (
     BPE_PATTERN,
     NGRAM_PROFILES,
     STOPWORDS,
+    bigram_logprob_scores,
     bpe_token_count,
     lang_id,
     lang_id_ngram,
@@ -1134,6 +1135,33 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the corpus unigram LM (KenLM-shaped plan: score join on the
     model table, one doc-keyed aggregate)."""
     return unigram_logprob_scores(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "bigram_logprob_scores",
+    """
+    WITH tw AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM tw, UNNEST(range(1, greatest(len(w), 1))) AS t(i)),
+    bf AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS bf
+           FROM bg GROUP BY doc_id, w1, w2),
+    m AS (SELECT w1, w2, CAST(SUM(bf) AS BIGINT) AS c12 FROM bf GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM m GROUP BY w1)
+    SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+           round(-SUM(CAST(bf AS DOUBLE) * ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)))
+                 / CAST(SUM(bf) AS DOUBLE), 6) AS mean_nll
+    FROM bf JOIN m USING (w1, w2) JOIN ctx USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 perplexity-filter signal: mean NLL under the corpus bigram
+    LM with exact conditional probabilities P(w2|w1) — the KenLM plan shape
+    with the model join keyed on the bigram."""
+    return bigram_logprob_scores(_read(spark, sf_dir, "documents"))
 
 
 @register(
