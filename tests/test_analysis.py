@@ -473,6 +473,23 @@ def test_contamination_report(spark):
     assert got == {train_ids[0]: 4}
 
 
+def test_training_order_deterministic_permutation(spark):
+    """Positions are a 1..N permutation, identical regardless of input
+    partitioning (the whole point vs rand()), and reseeding permutes."""
+    from wolf_quake_spark.analysis.sampling import training_order
+
+    docs = spark.range(97).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["position"] for r in training_order(docs).collect()}
+    b = {r["doc_id"]: r["position"]
+         for r in training_order(docs.repartition(7)).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(1, 98))
+    c = {r["doc_id"]: r["position"]
+         for r in training_order(docs, seed="epoch-1").collect()}
+    assert sorted(c.values()) == list(range(1, 98))
+    assert c != a
+
+
 def test_bigram_logprob_scores(spark):
     from wolf_quake_spark.analysis.textstats import bigram_logprob_scores
     import math

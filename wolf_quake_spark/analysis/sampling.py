@@ -50,3 +50,68 @@ def stratified_sample(
         else F.lit(int(round(default_rate * 1000)))
     )
     return docs.filter(hash_bucket(F.col("doc_id"), salt) < thresh)
+
+
+def global_enumerate(
+    df: DataFrame, order: list[Column], out_col: str = "position"
+) -> DataFrame:
+    """Total-order global row numbering WITHOUT a single-partition window.
+
+    Three stages, all parallel in the data size:
+
+    1. ``repartitionByRange`` on the sort keys — ascending partition id is
+       ascending global order;
+    2. partition-local ``row_number`` (parallel across partitions);
+    3. global position = local number + offset, where offsets come from a
+       per-partition count frame (#partitions rows, broadcast back).
+
+    The only single-partition window runs over that count frame, bounded by
+    the partition count, never the data size.  ``order`` must be a total
+    order (include a unique tiebreak) or positions are nondeterministic.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 2)
+    local = (
+        df.repartitionByRange(nparts, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrn",
+            F.row_number().over(Window.partitionBy("_pid").orderBy(*order)),
+        )
+    )
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def training_order(docs: DataFrame, seed: str = "epoch-0") -> DataFrame:
+    """Reproducible global shuffle of the corpus into a training order.
+
+    Training runs need the corpus in a pseudo-random order that is identical
+    across cluster sizes, task retries, and re-runs — ``df.sample``-style
+    RNG or ``rand()`` ordering is partition-dependent and unacceptable.  The
+    shuffle key is ``md5(seed || doc_id)``: changing ``seed`` gives a fresh
+    epoch permutation, and the enumeration is the two-stage range-partition
+    pattern (:func:`global_enumerate`) so no stage touches more than one
+    partition's rows at a time.
+    """
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit(seed), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    return global_enumerate(
+        keyed, [F.asc("shuffle_key"), F.asc("doc_id")], out_col="position"
+    )

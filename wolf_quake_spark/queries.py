@@ -52,7 +52,11 @@ from wolf_quake_spark.analysis.multimodal import (
     to_media,
     wav_features,
 )
-from wolf_quake_spark.analysis.sampling import stratified_sample
+from wolf_quake_spark.analysis.sampling import (
+    global_enumerate,
+    stratified_sample,
+    training_order,
+)
 from wolf_quake_spark.analysis.scrub import EMAIL_RE, IPV4_RE, PHONE_RE, redact_pii
 from wolf_quake_spark.analysis.similarity import (
     SRP_BITS,
@@ -269,37 +273,17 @@ def q_signed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_user_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1 analog: descending-score ranking with deterministic tiebreak.
 
-    Distributed two-stage global rank (no single-partition Window, which
-    would serialize all rows through one task at scale):
-
-    1. ``repartitionByRange`` on the sort key — ascending partition id is
-       descending global order;
-    2. partition-local ``row_number`` (parallel across partitions);
-    3. global rank = local rank + offset, where offsets come from a
-       per-partition count frame (``#partitions`` rows, broadcast back).
-
-    The only single-partition window runs over that count frame, bounded by
-    the partition count, never the data size.
+    Distributed two-stage global rank via
+    :func:`wolf_quake_spark.analysis.sampling.global_enumerate` (no
+    single-partition Window, which would serialize all rows through one
+    task at scale): range-repartition on the sort key, partition-local
+    row_number, plus broadcast per-partition offsets.
     """
     scores = q_signed_score(spark, sf_dir)
-    order = [F.desc("score"), F.asc("user_id")]
-    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 2)
-    local = (
-        scores.repartitionByRange(nparts, *order)
-        .withColumn("pid", F.spark_partition_id())
-        .withColumn("lrn", F.row_number().over(Window.partitionBy("pid").orderBy(*order)))
+    ranked = global_enumerate(
+        scores, [F.desc("score"), F.asc("user_id")], out_col="rank"
     )
-    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        local.groupBy("pid")
-        .agg(F.count("*").alias("n"))
-        .withColumn("offset", F.coalesce(F.sum("n").over(off_w), F.lit(0)))
-        .select("pid", "offset")
-    )
-    return (
-        local.join(F.broadcast(offsets), "pid")
-        .select("user_id", "score", (F.col("offset") + F.col("lrn")).cast("long").alias("rank"))
-    )
+    return ranked.select("user_id", "score", "rank")
 
 
 @register(
@@ -1292,6 +1276,25 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         F.sum("n_chars").alias("sampled_chars"),
     )
+
+
+@register(
+    "training_order_manifest",
+    """
+    SELECT doc_id, shuffle_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS position
+    FROM (SELECT doc_id, md5('epoch-0' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+          FROM documents)
+    """,
+)
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global corpus shuffle for a training epoch: every doc
+    enumerated 1..N in md5(seed||doc_id) order — identical on 1 core or
+    1000 executors, retry-safe (no rand()), new seed → new permutation.
+    Positions come from the two-stage range-partition enumeration, never a
+    single-partition window."""
+    return training_order(_read(spark, sf_dir, "documents"), seed="epoch-0")
 
 
 # per-bin positional byte sums over the WAV data chunk == ascii codepoint
