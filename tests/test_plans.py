@@ -1,0 +1,80 @@
+"""Physical-plan audits: codify the scale claims the query docstrings make.
+
+Correctness is the oracle gate's job; these tests pin the *plan shape* so a
+future edit can't silently reintroduce a scale-killer: a cartesian product,
+a single-partition global window over the data, a lost pushed predicate, or
+a dimension join that stops broadcasting.  Plans are inspected via the
+executed-plan string (same surface `.explain("formatted")` prints).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from wolf_quake_spark.queries import queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_topk_plan(spark):
+    p = plan_of(spark, "top_unshipped_revenue")
+    assert "TakeOrderedAndProject" in p  # top-k, not a global sort
+    assert "BroadcastHashJoin" in p  # filtered dim broadcasts
+    assert "CartesianProduct" not in p
+    # selective predicates reach the scans
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in p
+    assert "LessThan(o_orderdate" in p
+    assert "GreaterThan(l_shipdate" in p
+
+
+def test_lww_compaction_single_shuffle(spark):
+    p = plan_of(spark, "events_lww_compaction")
+    # exactly one data exchange: the merge-key hash partitioning
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in p
+    assert "user_id" in p.split("Exchange hashpartitioning", 1)[1][:80]
+
+
+def test_no_single_partition_window_in_rankings(spark):
+    # the round-1 verdict flagged a global Window here; keep it fixed
+    for name in ("user_ranking", "training_order_manifest"):
+        p = plan_of(spark, name)
+        assert "rangepartitioning" in p, name  # stage 1 of the two-stage rank
+        # at most one SinglePartition exchange: the #partitions-sized offsets
+        # frame — never the data path (which is range-partitioned)
+        assert p.count("Exchange SinglePartition") <= 1, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_broadcast_enrich_stays_broadcast(spark):
+    p = plan_of(spark, "broadcast_enrich_region")
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_decontamination_broadcasts_bench_side(spark):
+    p = plan_of(spark, "decontamination_hits")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_bloom_probe_is_jvm_side(spark):
+    p = plan_of(spark, "decontamination_bloom")
+    # the bitset probe must stay in codegen: no Python/Arrow eval operators
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_pricing_summary_pruned_scan(spark):
+    p = plan_of(spark, "pricing_summary")
+    # column pruning: the lineitem scan must not read all 11 columns
+    scan = p.split("FileScan parquet", 1)[1]
+    read_schema = scan.split("ReadSchema:", 1)[1]
+    assert "l_partkey" not in read_schema
+    assert "l_suppkey" not in read_schema

@@ -346,3 +346,75 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     batch_fps = {r["fingerprint"] for r in dedup_stream(all_rows).collect()}
     stream_fps = {r["fingerprint"] for r in spark.table("dedup_stream").collect()}
     assert batch_fps == stream_fps
+
+
+def test_lww_view_stream_equals_batch(spark, tmp_path):
+    """Streaming LWW upsert view across micro-batch boundaries equals the
+    batch window formulation: a later version in a later batch replaces the
+    winner; an out-of-order replay of an older version does not."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from wolf_quake_spark.streaming.lww import lww_view
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+
+    def land(rows, name):
+        tmp = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        shutil.copyfile(
+            glob.glob(f"{tmp}/part-*.parquet")[0], str(landing / name)
+        )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    land(
+        [
+            (1, t(10), 7, "click", 1.0),
+            (2, t(20), 7, "click", 2.0),   # batch-1 winner for (7, click)
+            (3, t(10), 8, "buy", 9.0),
+        ],
+        "f1.parquet",
+    )
+    land(
+        [
+            (4, t(30), 7, "click", 3.0),   # later version → replaces
+            (5, t(5), 8, "buy", 0.5),      # out-of-order older version → loses
+            (6, t(10), 9, "click", 4.0),   # new key
+        ],
+        "f2.parquet",
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    q = (
+        lww_view(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("lww_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_type"]): (
+            r["latest_event_id"],
+            r["latest_value"],
+        )
+        for r in spark.table("lww_stream").collect()
+    }
+    assert got == {(7, "click"): (4, 3.0), (8, "buy"): (3, 9.0), (9, "click"): (6, 4.0)}
+
+    # batch face: identical expression on the full landing dir
+    batch = {
+        (r["user_id"], r["event_type"]): (r["latest_event_id"], r["latest_value"])
+        for r in lww_view(spark.read.parquet(str(landing))).collect()
+    }
+    assert batch == got
