@@ -1619,6 +1619,26 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(_read(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
+@register(
+    "ivf_kmeans_purity",
+    "SELECT cent_id, label, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+    + _kmeans_sql()
+    + ") a JOIN embeddings USING (vec_id) GROUP BY cent_id, label",
+)
+def q_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-composition diagnostic: per (k-means cluster, gold label)
+    counts — the purity/balance table cluster-based curation (SemDeDup-style
+    pruning, cluster-stratified sampling) reads before trusting a
+    clustering.  One extra vec_id join + hash agg over the assignment."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return (
+        kmeans_assign(emb, k=8, iters=2)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cent_id", "label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # --- SRP-LSH (cosine LSH) --------------------------------------------------
 
 _SRP_DIM = 64  # embeddings table dimensionality (TESTDATA.md)
