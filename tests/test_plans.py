@@ -78,3 +78,20 @@ def test_pricing_summary_pruned_scan(spark):
     read_schema = scan.split("ReadSchema:", 1)[1]
     assert "l_partkey" not in read_schema
     assert "l_suppkey" not in read_schema
+
+
+def test_q5_join_graph_plan(spark):
+    p = plan_of(spark, "local_supplier_volume")
+    # the only big-big edge is orders⋈lineitem; everything else broadcasts
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "GreaterThanOrEqual(o_orderdate" in p  # date range pushed to scan
+    assert "EqualTo(r_name,ASIA)" in p  # region filter pushed
+
+
+def test_funnel_single_aggregate_plan(spark):
+    p = plan_of(spark, "funnel_conversion")
+    # one user-keyed exchange + one global reduce; no joins or windows
+    assert "Join" not in p
+    assert "Window" not in p
+    assert p.count("Exchange hashpartitioning") == 1

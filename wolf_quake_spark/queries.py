@@ -461,6 +461,54 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 @register(
+    "funnel_conversion",
+    """
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+      FROM events GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS reached_signup,
+           CAST(SUM(CASE WHEN t2 > t1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS reached_click,
+           CAST(SUM(CASE WHEN t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS reached_purchase
+    FROM f
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (signup → click → purchase): users counted at
+    a stage only if their first-occurrence timestamps are strictly ordered
+    through it — the standard first-touch funnel.
+
+    Scale shape: ONE user-keyed hash aggregate (conditional MIN per stage,
+    map-side partials) followed by a constant-width global reduce — no
+    joins, no windows, no per-event state.  NULL stage times fail the
+    strict `<` chain in both engines, so missing stages drop out without
+    explicit null handling.
+    """
+    ev = _read(spark, sf_dir, "events")
+    first = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))
+    f = ev.groupBy("user_id").agg(
+        first("signup").alias("t1"),
+        first("click").alias("t2"),
+        first("purchase").alias("t3"),
+    )
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    return f.agg(
+        F.count("*").alias("n_users"),
+        flag(F.col("t1").isNotNull()).alias("reached_signup"),
+        flag(F.col("t2") > F.col("t1")).alias("reached_click"),
+        flag((F.col("t2") > F.col("t1")) & (F.col("t3") > F.col("t2"))).alias(
+            "reached_purchase"
+        ),
+    )
+
+
+@register(
     "events_lww_compaction",
     """
     SELECT user_id, event_type, event_id AS latest_event_id,
@@ -755,6 +803,61 @@ def q_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_x10000
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (`local supplier volume`): six-table join graph with
+    a same-nation customer↔supplier constraint, revenue by nation.
+
+    Scale shape: the only big⋈big edge is orders⋈lineitem (one shuffle on
+    the order key); supplier/nation/region broadcast, and the same-nation
+    constraint rides the supplier broadcast join as an extra key — no
+    second shuffle.  Date range is a pushed scan predicate on orders;
+    region filter prunes the nation broadcast to one region's rows before
+    it ships.
+    """
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    supp = F.broadcast(_read(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_read(spark, sf_dir, "nation"))
+    region = F.broadcast(_read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(F.sum(rev).alias("revenue_x10000"))
+
+
 # ===========================================================================
 # Deduplication (documents)
 # ===========================================================================
@@ -955,6 +1058,60 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_metrics(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_median_filter",
+    None,  # SQL attached below — needs the quality_scores oracle text
+)
+def q_quality_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-threshold curation: per language, keep documents at or
+    above the language's exact median token length; report kept counts and
+    the threshold used.
+
+    The composed shape a corpus-quality cut actually runs: metric →
+    per-group exact quantile (bounded group count) → broadcast the tiny
+    per-group threshold frame back → pushed filter + count.  At 100 TB the
+    quantile switches to ``percentile_approx`` (mergeable sketch) and the
+    rest of the plan is unchanged.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    q = quality_metrics(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    med = q.groupBy("lang").agg(
+        F.percentile("mean_tok_len_x100", 0.5).alias("median_tok_len_x100")
+    )
+    return (
+        q.join(F.broadcast(med), "lang")
+        .groupBy("lang", "median_tok_len_x100")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("mean_tok_len_x100") >= F.col("median_tok_len_x100"), 1
+                ).otherwise(0)
+            ).alias("n_kept"),
+        )
+        .select("lang", "n_docs", "n_kept", "median_tok_len_x100")
+    )
+
+
+_REGISTRY["quality_median_filter"] = (
+    q_quality_median_filter,
+    f"""
+    WITH q AS (
+      SELECT d.lang, s.mean_tok_len_x100
+      FROM ({{QS}}) s JOIN documents d USING (doc_id)),
+    med AS (SELECT lang, quantile_cont(mean_tok_len_x100, 0.5)
+                     AS median_tok_len_x100
+            FROM q GROUP BY lang)
+    SELECT q.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN q.mean_tok_len_x100 >= med.median_tok_len_x100
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           med.median_tok_len_x100
+    FROM q JOIN med USING (lang)
+    GROUP BY q.lang, med.median_tok_len_x100
+    """.replace("{QS}", _REGISTRY["quality_scores"][1]),
+)
 
 
 @register(
