@@ -177,6 +177,57 @@ def verified_pairs(
     return out
 
 
+def minhash_estimate(
+    docs: DataFrame,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Estimator-accuracy table: per LSH candidate pair, the exact shingle
+    Jaccard next to the MinHash signature-agreement estimate (matching
+    components out of k).
+
+    The table a pipeline operator reads before trusting signature-only
+    dedup at a given threshold (E[est/k] = J by min-wise independence; the
+    spread at small k is what this measures).  Same shared-shingle plan as
+    :func:`verified_pairs` plus two signature joins keyed on doc id; the
+    persisted shingle handle is exposed as ``_wqs_persisted`` (caller
+    unpersists).
+    """
+    from pyspark import StorageLevel
+
+    sh = word_shingles(docs, n=shingle_n, text_col=text_col).persist(
+        StorageLevel.DISK_ONLY
+    )
+    pairs = candidate_pairs(
+        docs, k=k, bands=bands, shingle_n=shingle_n, text_col=text_col, shingles=sh
+    )
+    jac = ngram_jaccard(docs, pairs, shingle_n=shingle_n, shingles=sh)
+    sig = minhash_signatures(
+        docs, k=k, shingle_n=shingle_n, text_col=text_col, shingles=sh
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)]
+    )
+    est = None
+    for i in range(k):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        est = term if est is None else est + term
+    out = (
+        jac.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "jaccard", est.cast("long").alias(f"est_x{k}")
+        )
+    )
+    out._wqs_persisted = sh
+    return out
+
+
 SIMHASH_BITS = 16  # md5-derived, engine-portable (4 hex chars)
 
 

@@ -31,6 +31,7 @@ from wolf_quake_spark.analysis.dedup import (
     dup_ngram_spans,
     exact_duplicate_groups,
     lsh_buckets,
+    minhash_estimate,
     normalized_fingerprint,
     simhash,
     simhash64,
@@ -2141,6 +2142,32 @@ _LSH_JACCARD_CTES = """
 def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH band-bucket candidate pairs verified with exact n-gram Jaccard."""
     return verified_pairs(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_estimate_error",
+    _MINHASH_SQL
+    + _LSH_JACCARD_CTES
+    + """
+    SELECT jp.doc_a, jp.doc_b, jp.jaccard,
+           CAST((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END)
+              + (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END)
+              + (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END)
+              + (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END)
+              + (CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END)
+              + (CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END)
+              + (CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END)
+              + (CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END) AS BIGINT) AS est_x8
+    FROM jp
+    JOIN sig sa ON sa.doc_id = jp.doc_a
+    JOIN sig sb ON sb.doc_id = jp.doc_b
+    """,
+)
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator accuracy: exact Jaccard vs signature-agreement
+    estimate per LSH candidate pair — the calibration table for trusting
+    signature-only dedup at a chosen threshold."""
+    return minhash_estimate(_read(spark, sf_dir, "documents"))
 
 
 _COMPONENT_GRAPH_CTES = """
