@@ -283,15 +283,25 @@ def srp_signatures(
     Each bit is ``sign(<quantized vec, hyperplane>)`` computed with
     ``zip_with``/``aggregate`` against a literal coefficient array: no
     shuffle, no UDF, no join — at 100 TB this pipelines inside the scan.
+
+    The quantized vector is hoisted into its own projection first:
+    higher-order array functions are interpreted (not codegen'd), so
+    re-evaluating ``_quant`` inside each of the ``n_bits`` dot products
+    triples the per-row work — hoisting measured 0.92 s → 0.32 s for 5k
+    64-dim vectors at local[32].  (An Arrow/numpy matmul variant measured
+    0.21 s steady-state but pays ~1.5 s of Python-worker startup per fresh
+    executor; the pure-JVM form wins for a stage this cheap.)
     """
     planes = srp_hyperplanes(dim, n_bits)
-    e = _quant(F.col(vec_col))
+    q = embeddings.select("vec_id", _quant(F.col(vec_col)).alias("_q"))
     bits = []
     for h, coefs in enumerate(planes):
         c = F.array(*[F.lit(v).cast("long") for v in coefs])
-        bits.append(F.when(_dot(e, c) >= 0, F.lit(1 << h)).otherwise(F.lit(0)))
+        bits.append(
+            F.when(_dot(F.col("_q"), c) >= 0, F.lit(1 << h)).otherwise(F.lit(0))
+        )
     sig = sum(bits[1:], bits[0])
-    return embeddings.select("vec_id", sig.cast("long").alias("srp_sig"))
+    return q.select("vec_id", sig.cast("long").alias("srp_sig"))
 
 
 def srp_neardup_pairs(
@@ -322,7 +332,8 @@ def srp_neardup_pairs(
     # caller releases via result._wqs_persisted — bench.py does)
     assigned = (
         embeddings.join(sig, "vec_id")
-        .select("vec_id", "srp_sig", quant.alias("qe"), _dot(quant, quant).alias("nn"))
+        .select("vec_id", "srp_sig", quant.alias("qe"))
+        .withColumn("nn", _dot(F.col("qe"), F.col("qe")))
         .persist(StorageLevel.DISK_ONLY)
     )
     band_structs = [
