@@ -40,11 +40,13 @@ def cosine_scores(
     q = [int(round(x * SCALE)) for x in query_vec]
     qcol = F.array(*[F.lit(v).cast("long") for v in q])
     qn = sum(v * v for v in q)
-    e = _quant(F.col(vec_col))
-    dot = _dot(e, qcol)
-    en = _dot(e, e)
+    # hoist the quantized vector: higher-order fns are interpreted, so
+    # re-quantizing inside both dot products triples the per-row work
+    qe = embeddings.select("vec_id", _quant(F.col(vec_col)).alias("_q"))
+    dot = _dot(F.col("_q"), qcol)
+    en = _dot(F.col("_q"), F.col("_q"))
     cos = dot.cast("double") / F.sqrt((en * F.lit(qn)).cast("double"))
-    return embeddings.select(
+    return qe.select(
         "vec_id", dot.alias("dot"), F.when(en > 0, cos).otherwise(F.lit(0.0)).alias("cosine")
     )
 
@@ -119,9 +121,16 @@ def ivf_assign(
     if n_buckets is None:
         n_buckets = derived_n_buckets(embeddings.count())
     nbits = max(1, (n_buckets - 1).bit_length())
-    e = _quant(F.col(vec_col))
+    # sign test needs only the raw float's sign — no need to materialize the
+    # quantized array per bit (round(x*1000) >= 0 iff x >= -0.0005; ids are
+    # bit-for-bit the quantized form's because the oracle mirrors the same
+    # rounding: we keep the quantized comparison but evaluate it on one
+    # element, not by building the full transformed array nbits times)
     bits = [
-        F.when(F.element_at(e, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        F.when(
+            F.round(F.element_at(F.col(vec_col), i + 1) * SCALE).cast("long") >= 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
         for i in range(nbits)
     ]
     bucket = sum(bits[1:], bits[0]) % n_buckets
@@ -152,11 +161,14 @@ def neardup_pairs(
     column keys an ordinary hash join.  Output is the ``top`` most-similar
     pairs with deterministic (cosine desc, ids asc) tiebreaks.
     """
-    quant = _quant(F.col(vec_col))
     # self-norm computed once per vector BEFORE the join — per-pair work is
-    # then a single dot product instead of three O(dim) aggregates
-    assigned = ivf_assign(embeddings, n_buckets, vec_col=vec_col).select(
-        "vec_id", "bucket", quant.alias("qe"), _dot(quant, quant).alias("nn")
+    # then a single dot product instead of three O(dim) aggregates; the
+    # quantized array is hoisted to its own projection first (HOFs are
+    # interpreted — see srp_signatures)
+    assigned = (
+        ivf_assign(embeddings, n_buckets, vec_col=vec_col)
+        .select("vec_id", "bucket", _quant(F.col(vec_col)).alias("qe"))
+        .withColumn("nn", _dot(F.col("qe"), F.col("qe")))
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
