@@ -912,3 +912,29 @@ def test_dup_ngram_spans(spark):
     assert out[3]["dup_frac"] == 1.0
     assert 4 not in out
     getattr(dup_ngram_spans(df, n=3), "_wqs_persisted").unpersist()
+
+
+def test_run_curation_end_to_end(spark, tmp_path):
+    """Materialized curation run: funnel is monotone per language, the
+    manifest is consistent with the written survivors table, and survivors
+    satisfy every signal cut."""
+    from wolf_quake_spark.plans.curate import run_curation
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "curated")
+    manifest = run_curation(spark, docs, out)
+
+    for lang, stages in manifest["per_lang"].items():
+        assert stages == sorted(stages, reverse=True), (lang, stages)
+        assert stages[0] > 0
+    survivors = spark.read.parquet(f"{out}/survivors")
+    n_final = sum(s[-1] for s in manifest["per_lang"].values())
+    assert survivors.count() == n_final
+    sig = spark.read.parquet(f"{out}/signals")
+    assert sig.count() == docs.count()
+    joined = survivors.join(sig, "doc_id")
+    from pyspark.sql import functions as F
+    bad = joined.filter(
+        (F.col("q") * F.col("canon") * F.col("clean") * F.col("samp")) != 1
+    ).count()
+    assert bad == 0

@@ -46,6 +46,7 @@ from wolf_quake_spark.analysis.contamination import (
     contamination_report,
 )
 from wolf_quake_spark.analysis.filters import doc_chunks, filter_chain, pack_manifest
+from wolf_quake_spark.plans.curate import curation_funnel
 from wolf_quake_spark.analysis.multimodal import (
     extract_features,
     frame_sample,
@@ -2224,6 +2225,16 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_apply(_read(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@register("curation_funnel", None)  # SQL attached at module end (fragment order)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end curation job: per-language cumulative funnel
+    through quality filter → near-dup dedup → benchmark decontamination →
+    stratified sampling.  Signals are independent passes over the immutable
+    corpus combined by one predicate (see plans/curate.py); the oracle
+    chains the standalone fragments' SQL so composition can't drift."""
+    return curation_funnel(_read(spark, sf_dir, "documents"), threshold=0.5)
+
+
 # Winnowing (Schleimer et al. 2003): k=8 char-grams of normalized text,
 # window w=4 minima, md5-hex lexicographic min — mirrors
 # analysis/dedup.py:winnow_fingerprints exactly.
@@ -2464,3 +2475,38 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix-array dedup, hash-join approximation).  One doc-keyed window +
     one gram hash agg + a LEFT SEMI join against duplicated grams only."""
     return dup_ngram_spans(_read(spark, sf_dir, "documents"), n=5)
+
+
+# ===========================================================================
+# Composed-pipeline oracles (assembled from the fragments above, so the
+# composition can never drift from the standalone parts)
+# ===========================================================================
+
+_COMPONENTS_SUBQUERY = (
+    _MINHASH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _LSH_JACCARD_CTES
+    + _COMPONENT_GRAPH_CTES
+    + "SELECT id AS doc_id, MIN(lab) AS component_id FROM reach GROUP BY id"
+)
+
+_REGISTRY["curation_funnel"] = (
+    q_curation_funnel,
+    f"""
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_input,
+           CAST(SUM(f.keep) AS BIGINT) AS n_quality,
+           CAST(SUM(f.keep * (CASE WHEN c.component_id = d.doc_id THEN 1 ELSE 0 END)) AS BIGINT) AS n_dedup,
+           CAST(SUM(f.keep * (CASE WHEN c.component_id = d.doc_id THEN 1 ELSE 0 END)
+                           * (CASE WHEN ct.doc_id IS NULL THEN 1 ELSE 0 END)) AS BIGINT) AS n_decontam,
+           CAST(SUM(f.keep * (CASE WHEN c.component_id = d.doc_id THEN 1 ELSE 0 END)
+                           * (CASE WHEN ct.doc_id IS NULL THEN 1 ELSE 0 END)
+                           * (CASE WHEN ((d.doc_id * 2654435761 + 12345) % 4294967296) % 1000
+                                   < (CASE d.lang WHEN 'en' THEN 250 WHEN 'zh' THEN 1000 ELSE 500 END)
+                              THEN 1 ELSE 0 END)) AS BIGINT) AS n_final
+    FROM documents d
+    JOIN ({_REGISTRY["filter_chain_verdicts"][1]}) f USING (doc_id)
+    JOIN ({_COMPONENTS_SUBQUERY}) c USING (doc_id)
+    LEFT JOIN ({_CONTAM_SQL}) ct USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
