@@ -938,3 +938,29 @@ def test_run_curation_end_to_end(spark, tmp_path):
         (F.col("q") * F.col("canon") * F.col("clean") * F.col("samp")) != 1
     ).count()
     assert bad == 0
+
+
+def test_read_documents_jsonl_and_csv_with_rejects(spark, tmp_path):
+    from wolf_quake_spark.sources.documents import read_documents_with_rejects
+
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s", "n_chars": 11}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "s", "n_chars": 7}\n'
+        'this is not json at all\n'
+        '{"doc_id": "NOT_A_NUMBER", "text": 5}\n'
+    )
+    valid, rejects = read_documents_with_rejects(spark, str(jl), fmt="jsonl")
+    rows = {r["doc_id"]: r["lang"] for r in valid.collect()}
+    assert rows == {1: "en", 2: "fr"}
+    assert rejects.count() == 2  # both bad lines quarantined, neither crashes
+
+    cv = tmp_path / "docs.csv"
+    cv.write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "1,hello world,en,s,11\n"
+        "oops,not,a,valid,row_number\n"
+    )
+    valid, rejects = read_documents_with_rejects(spark, str(cv), fmt="csv")
+    assert [r["doc_id"] for r in valid.collect()] == [1]
+    assert rejects.count() == 1

@@ -79,6 +79,16 @@ def _cmd_report(args: argparse.Namespace) -> None:
         print(rendered)
 
 
+def _cmd_curate(args: argparse.Namespace) -> None:
+    from wolf_quake_spark.plans.curate import run_curation
+    from wolf_quake_spark.sources.documents import read_documents
+
+    spark = build_session("wqs-curate", master=args.master)
+    docs = read_documents(spark, args.input, fmt=args.input_format)
+    manifest = run_curation(spark, docs, args.out, threshold=args.threshold)
+    print(json.dumps(manifest, sort_keys=True))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="wolf_quake_spark")
     p.add_argument("--master", default=None, help="spark master override")
@@ -127,6 +137,17 @@ def main(argv: list[str] | None = None) -> None:
         help="restrict the report to these conv_id(s); repeatable",
     )
     rep.set_defaults(fn=_cmd_report)
+
+    c = sub.add_parser(
+        "curate", help="run the composed corpus-curation job over a documents table"
+    )
+    c.add_argument("--input", required=True, help="documents table path")
+    c.add_argument(
+        "--input-format", choices=["parquet", "jsonl", "csv"], default="parquet"
+    )
+    c.add_argument("--out", required=True, help="curation output dir")
+    c.add_argument("--threshold", type=float, default=0.5, help="near-dup Jaccard")
+    c.set_defaults(fn=_cmd_curate)
 
     args = p.parse_args(argv)
     args.fn(args)
