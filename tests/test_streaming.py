@@ -418,3 +418,78 @@ def test_lww_view_stream_equals_batch(spark, tmp_path):
         for r in lww_view(spark.read.parquet(str(landing))).collect()
     }
     assert batch == got
+
+
+def test_curate_documents_stream_parity(spark, tmp_path):
+    """Streaming curation (quality → Bloom decontam → first-wins dedup)
+    across micro-batches equals the identical batch expression on the
+    union of the files; each cut drops what it should."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+    from wolf_quake_spark.analysis.contamination import _bloom_words
+    from wolf_quake_spark.analysis.dedup import word_shingles
+    from wolf_quake_spark.streaming.curate import curate_documents_stream
+
+    leak = "the secret benchmark answer is forty two exactly today"
+    bench = spark.createDataFrame([(999, leak)], "doc_id long, text string")
+    bsh = word_shingles(bench, n=5).select(F.md5("shingle").alias("h"))
+    words, m = _bloom_words(bsh, bsh.count(), bits_per_item=16, k=4)
+
+    good1 = "this is a perfectly ordinary document about the weather and the sea"
+    good2 = "another fine document with plenty of common stopwords in it for you"
+    schema = "doc_id long, ts timestamp, text string"
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+
+    def land(rows, name):
+        tmp = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        shutil.copyfile(glob.glob(f"{tmp}/part-*.parquet")[0], str(landing / name))
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    land(
+        [
+            (1, t(1), good1),
+            (2, t(2), "short junk"),                      # quality cut (< 5 tokens)
+            (3, t(3), f"prefix words {leak} suffix here"), # contamination cut
+        ],
+        "f1.parquet",
+    )
+    land(
+        [
+            (4, t(10), good1),   # exact dup of doc 1 across the batch boundary
+            (5, t(11), good2),
+        ],
+        "f2.parquet",
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    q = (
+        curate_documents_stream(stream, words, m, delay="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curate_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.table("curate_stream").collect()}
+    assert kept == {1, 5}
+
+    # batch face: identical expression chain on the union of the files.
+    # batch dropDuplicates keeps an arbitrary row per fingerprint, so
+    # compare the surviving CONTENT (fingerprints), not row identity.
+    batch = curate_documents_stream(
+        spark.read.parquet(str(landing)), words, m, delay="1 hour"
+    )
+    stream_fps = {r["fingerprint"] for r in spark.table("curate_stream").collect()}
+    assert {r["fingerprint"] for r in batch.collect()} == stream_fps

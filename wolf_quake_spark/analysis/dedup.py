@@ -40,8 +40,8 @@ def normalized_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
-def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per doc (docs shorter than n words → none).
+def shingle_array(words_col, n: int = 3):
+    """Array of word n-gram shingles from a word-array column.
 
     Built as ``arrays_zip`` over n shifted ``slice``s of the word array —
     a constant number of array ops per row.  (The naive
@@ -49,17 +49,21 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
     re-evaluates the split per element and is O(words²) per doc: measured
     ~9 s for 5,000 docs vs sub-second for this formulation.)
     """
-    words = F.split(F.trim(F.col(text_col)), WS_SPLIT)
-    w = docs.select("doc_id", words.alias("_w"))
-    sz = F.greatest(F.size("_w") - (n - 1), F.lit(0))
+    sz = F.greatest(F.size(words_col) - (n - 1), F.lit(0))
     zipped = F.arrays_zip(
-        *[F.slice("_w", i + 1, sz).alias(str(i)) for i in range(n)]
+        *[F.slice(words_col, i + 1, sz).alias(str(i)) for i in range(n)]
     )
-    shingle = F.transform(
+    return F.transform(
         zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
     )
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc (docs shorter than n words → none)."""
+    words = F.split(F.trim(F.col(text_col)), WS_SPLIT)
+    w = docs.select("doc_id", words.alias("_w"))
     return (
-        w.select("doc_id", F.explode(shingle).alias("shingle"))
+        w.select("doc_id", F.explode(shingle_array(F.col("_w"), n)).alias("shingle"))
         .distinct()
     )
 

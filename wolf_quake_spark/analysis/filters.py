@@ -27,7 +27,9 @@ from wolf_quake_spark.analysis.textstats import (
 )
 
 
-def filter_chain(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def filter_chain(
+    docs: DataFrame, text_col: str = "text", keep_all: bool = False
+) -> DataFrame:
     """Per-document verdicts from a chain of named quality rules, C4 /
     Gopher style: each rule is a column of 0/1, ``keep`` is their AND, so
     downstream can both filter (``keep = 1``) and report per-rule drop
@@ -46,6 +48,9 @@ def filter_chain(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     100 TB shape: pure narrow projection — no shuffle, no UDF; the whole
     chain rides the parquet scan and Catalyst prunes to (doc_id, text).
+
+    ``keep_all=True`` returns the input columns plus ``keep`` (no per-rule
+    verdicts) — the streaming-safe form (pure projection of the stream).
     """
     t = F.col(text_col)
     n_tokens = token_count(t).cast("long")
@@ -68,6 +73,8 @@ def filter_chain(docs: DataFrame, text_col: str = "text") -> DataFrame:
     f_ell = b(ellipsis * 10 <= n_tokens)
     f_brace = b(substring_count(t, "{") == 0)
     keep = f_min * f_max * f_wl * f_stop * f_ell * f_brace
+    if keep_all:
+        return docs.withColumn("keep", keep)
     return docs.select(
         "doc_id",
         f_min.alias("f_min_tokens"),

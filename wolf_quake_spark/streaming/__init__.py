@@ -27,6 +27,7 @@ watermarks and tumbling windows — live in streaming.windowed
 """
 
 from wolf_quake_spark.streaming.adapter import run_streaming, transcripts_stream
+from wolf_quake_spark.streaming.curate import curate_documents_stream
 from wolf_quake_spark.streaming.lww import lww_view
 from wolf_quake_spark.streaming.stateful import (
     run_streaming_stateful,
@@ -35,6 +36,7 @@ from wolf_quake_spark.streaming.stateful import (
 from wolf_quake_spark.streaming.windowed import windowed_event_rollup
 
 __all__ = [
+    "curate_documents_stream",
     "lww_view",
     "run_streaming",
     "run_streaming_stateful",
