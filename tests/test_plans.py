@@ -95,3 +95,43 @@ def test_funnel_single_aggregate_plan(spark):
     assert "Join" not in p
     assert "Window" not in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketing evidence for the 100 TB claims: two tables bucketed+sorted
+    on the join key sort-merge join with NO Exchange on either side — the
+    co-located join layout the docs prescribe for repeated big-big joins."""
+    import uuid
+
+    db = f"wqs_bucket_test_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    # at fixture scale the optimizer would (rightly) broadcast this join;
+    # pin sort-merge so the test exercises the big-big co-located layout
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .saveAsTable(f"{db}.orders_b"))
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .saveAsTable(f"{db}.lineitem_b"))
+        ob = spark.table(f"{db}.orders_b")
+        lb = spark.table(f"{db}.lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # no shuffle below the join: bucket layout satisfies the join's
+        # distribution requirement on both sides
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        # result sanity vs the plain (shuffling) join
+        plain = orders.join(li, orders.o_orderkey == li.l_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP DATABASE {db} CASCADE")
