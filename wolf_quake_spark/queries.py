@@ -463,6 +463,64 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 @register(
+    "events_value_outliers",
+    """
+    WITH s AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sv,
+             CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)
+                      * CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS svv
+      FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id,
+           CAST(ROUND(e.value * 1000) AS BIGINT) AS v_x1000,
+           round((CAST(ROUND(e.value * 1000) AS BIGINT) - CAST(s.sv AS DOUBLE) / s.n)
+                 / sqrt(CAST(s.svv AS DOUBLE) / s.n
+                        - (CAST(s.sv AS DOUBLE) / s.n) * (CAST(s.sv AS DOUBLE) / s.n)),
+                 4) AS zscore
+    FROM events e JOIN s USING (user_id)
+    WHERE s.n >= 20
+      AND CAST(s.svv AS DOUBLE) / s.n
+          - (CAST(s.sv AS DOUBLE) / s.n) * (CAST(s.sv AS DOUBLE) / s.n) > 0
+      AND abs(CAST(ROUND(e.value * 1000) AS BIGINT) - CAST(s.sv AS DOUBLE) / s.n)
+          > 3 * sqrt(CAST(s.svv AS DOUBLE) / s.n
+                     - (CAST(s.sv AS DOUBLE) / s.n) * (CAST(s.sv AS DOUBLE) / s.n))
+    """,
+)
+def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly detection: events whose value is > 3σ from that
+    user's own mean (population σ over quantized values, so the moments are
+    integer-exact and both engines compute the identical doubles).
+
+    The telemetry staple for flagging abusive/broken clients.  Scale shape:
+    one user-keyed hash aggregate for the (n, Σv, Σv²) moment triple — a
+    MAP-SIDE-combinable single pass, never a window over the raw events —
+    then a same-key join back and a narrow filter.  Users with fewer than
+    20 events or zero variance are skipped (σ undefined/degenerate).
+    """
+    ev = _read(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 1000).cast("long")
+    s = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("sv"),
+        F.sum(v * v).alias("svv"),
+    )
+    mean = F.col("sv").cast("double") / F.col("n")
+    var = F.col("svv").cast("double") / F.col("n") - mean * mean
+    joined = ev.select("event_id", "user_id", v.alias("v_x1000")).join(s, "user_id")
+    return (
+        joined.filter((F.col("n") >= 20) & (var > 0))
+        .filter(F.abs(F.col("v_x1000") - mean) > 3 * F.sqrt(var))
+        .select(
+            "event_id",
+            "user_id",
+            "v_x1000",
+            F.round((F.col("v_x1000") - mean) / F.sqrt(var), 4).alias("zscore"),
+        )
+    )
+
+
+@register(
     "funnel_conversion",
     """
     WITH f AS (
