@@ -135,3 +135,52 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Skew evidence beyond the salted sessionizer: AQE detects the hot key
+    at runtime and splits its partition across tasks (skew=true in the
+    final SortMergeJoin), with results identical to the unoptimized join.
+    Thresholds are lowered because a constant hot key compresses to almost
+    nothing in shuffle blocks at test scale."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2k")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    # the groupBy after the join would make AQE skip the split (it adds a
+    # shuffle); force it so the test pins the mechanism itself
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    try:
+        left = spark.range(300000).select(
+            F.when(F.col("id") % 10 == 0, F.col("id") % 97)
+            .otherwise(F.lit(1))
+            .alias("k")
+        )
+        right = spark.range(97).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("grp")
+        )
+        j = left.join(right, "k").groupBy("grp").count()
+        got = sorted(map(tuple, j.collect()))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        plain = sorted(
+            map(tuple, left.join(right, "k").groupBy("grp").count().collect())
+        )
+        assert got == plain
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        for k, v in saved.items():
+            spark.conf.set(k, v)
