@@ -89,6 +89,39 @@ def _cmd_curate(args: argparse.Namespace) -> None:
     print(json.dumps(manifest, sort_keys=True))
 
 
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _register_views(spark, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _cmd_sql(args: argparse.Namespace) -> None:
+    spark = build_session("wqs-sql", master=args.master)
+    _register_views(spark, args.sf_dir)
+    df = spark.sql(args.query)
+    if args.explain:
+        df.explain("formatted")
+    rows = df.limit(args.limit).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+
+
+def _cmd_explain(args: argparse.Namespace) -> None:
+    from wolf_quake_spark.queries import queries
+
+    spark = build_session("wqs-explain", master=args.master)
+    fn = queries().get(args.query)
+    if fn is None:
+        print(f"unknown query {args.query!r}; known: {sorted(queries())}")
+        sys.exit(2)
+    fn(spark, args.sf_dir).explain("formatted")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="wolf_quake_spark")
     p.add_argument("--master", default=None, help="spark master override")
@@ -148,6 +181,18 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--out", required=True, help="curation output dir")
     c.add_argument("--threshold", type=float, default=0.5, help="near-dup Jaccard")
     c.set_defaults(fn=_cmd_curate)
+
+    s = sub.add_parser("sql", help="ad-hoc SQL over the benchmark tables")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    s.add_argument("--query", required=True)
+    s.add_argument("--limit", type=int, default=100)
+    s.add_argument("--explain", action="store_true")
+    s.set_defaults(fn=_cmd_sql)
+
+    e = sub.add_parser("explain", help="formatted physical plan of a registry query")
+    e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    e.add_argument("--query", required=True, help="registry query name")
+    e.set_defaults(fn=_cmd_explain)
 
     args = p.parse_args(argv)
     args.fn(args)
