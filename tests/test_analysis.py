@@ -938,6 +938,11 @@ def test_run_curation_end_to_end(spark, tmp_path):
         (F.col("q") * F.col("canon") * F.col("clean") * F.col("samp")) != 1
     ).count()
     assert bad == 0
+    # lang-partitioned layout: a per-language read prunes partitions
+    one_lang = spark.read.parquet(f"{out}/survivors").filter(F.col("lang") == "en")
+    plan = one_lang._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert one_lang.count() == manifest["per_lang"]["en"][-1]
 
 
 def test_read_documents_jsonl_and_csv_with_rejects(spark, tmp_path):

@@ -112,7 +112,16 @@ def run_curation(
             "doc_id",
         )
     )
-    survivors.write.mode("overwrite").parquet(os.path.join(out_dir, "survivors"))
+    # lang-partitioned layout: downstream per-language jobs (tokenizer
+    # training, per-lang sampling) read with partition pruning instead of
+    # scanning the whole corpus; maxRecordsPerFile bounds file sizes so the
+    # layout stays balanced as the corpus grows
+    (
+        survivors.write.mode("overwrite")
+        .option("maxRecordsPerFile", 1_000_000)
+        .partitionBy("lang")
+        .parquet(os.path.join(out_dir, "survivors"))
+    )
     funnel_rows = (
         sig.groupBy("lang")
         .agg(
