@@ -463,6 +463,99 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 @register(
+    "retention_cohorts",
+    """
+    WITH first_signup AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT cohort_date,
+           CAST(date_diff('day', cohort_date, d) AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN first_signup USING (user_id)
+    WHERE d >= cohort_date
+    GROUP BY cohort_date, day_offset
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention-cohort table: users grouped by first-signup date,
+    counted on each later day they were active.
+
+    Scale shape: two user-keyed hash aggregates (first signup; distinct
+    active days) + one same-key join + one (cohort, offset) hash agg —
+    everything map-side-combinable, no windows.  The distinct-activity
+    projection bounds the join input to user×active-days, not raw events.
+    """
+    ev = _read(spark, sf_dir, "events")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_date"))
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        activity.join(first_signup, "user_id")
+        .filter(F.col("d") >= F.col("cohort_date"))
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date")).cast("long").alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "integrity_audit",
+    """
+    SELECT 'lineitem_without_order' AS check_name, CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'order_without_customer', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    UNION ALL
+    SELECT 'customer_without_nation', CAST(COUNT(*) AS BIGINT)
+    FROM customer WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+    """,
+)
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    per foreign-key edge, one row per check — the data-quality gate a
+    warehouse pipeline runs after every load (the J2/J3 orphan checks
+    generalized to the whole schema).
+
+    Scale shape: three LEFT ANTI joins (each one shuffle on its key, or a
+    broadcast when the parent side is dim-sized) + constant-width counts,
+    unioned.  Zero rows out means zero orphans — the audit table is always
+    3 rows regardless of corpus size.
+    """
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = F.broadcast(_read(spark, sf_dir, "nation").select("n_nationkey"))
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"), F.count("*").alias("n_orphans")
+        )
+
+    a = check(
+        "lineitem_without_order",
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti"),
+    )
+    b = check(
+        "order_without_customer",
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti"),
+    )
+    c = check(
+        "customer_without_nation",
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey, "left_anti"),
+    )
+    return a.unionAll(b).unionAll(c)
+
+
+@register(
     "events_value_outliers",
     """
     WITH s AS (
