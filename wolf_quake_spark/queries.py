@@ -463,6 +463,77 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 @register(
+    "events_daily_pivot",
+    """
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def q_events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event-type matrix via the native ``pivot`` operator with an
+    EXPLICIT value list — with the values supplied, Catalyst plans one
+    conditional-aggregate pass (no extra distinct-values job, no second
+    shuffle), identical to the CASE-sum formulation the oracle spells out.
+    Omitting the list would add a full distinct scan at 100 TB."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "session_gap_stats",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(date_diff('millisecond',
+                            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                            ts) AS BIGINT) AS gap_ms
+      FROM events)
+    SELECT user_id,
+           CAST(COUNT(gap_ms) AS BIGINT) AS n_gaps,
+           CAST(MAX(gap_ms) AS BIGINT) AS max_gap_ms,
+           CAST(SUM(gap_ms) AS BIGINT) AS total_gap_ms
+    FROM gaps WHERE gap_ms IS NOT NULL GROUP BY user_id
+    """,
+)
+def q_session_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per user via a lag window — the idle-time
+    telemetry behind inactivity sessionization thresholds.
+
+    Scale shape: ONE hash exchange on user_id feeding the lag window and
+    the per-user aggregate (same key — Catalyst reuses the partitioning,
+    no second shuffle); partitions are per-user, never global.  Gap is an
+    exact integer millisecond difference so both engines agree bit-for-bit.
+    """
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestamp_diff works on TIMESTAMP_NTZ directly — no timezone cast, so
+    # the gap is exact even across DST transitions
+    gap = F.timestamp_diff(
+        "MILLISECOND", F.lag("ts").over(w), F.col("ts")
+    ).alias("gap_ms")
+    return (
+        ev.select("user_id", gap)
+        .filter(F.col("gap_ms").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_ms").alias("n_gaps"),
+            F.max("gap_ms").alias("max_gap_ms"),
+            F.sum("gap_ms").alias("total_gap_ms"),
+        )
+    )
+
+
+@register(
     "retention_cohorts",
     """
     WITH first_signup AS (
