@@ -516,11 +516,14 @@ def q_session_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # timestamp_diff works on TIMESTAMP_NTZ directly — no timezone cast, so
-    # the gap is exact even across DST transitions
-    gap = F.timestamp_diff(
-        "MILLISECOND", F.lag("ts").over(w), F.col("ts")
-    ).alias("gap_ms")
+    # gap = millisecond BOUNDARIES crossed (floor each instant to ms, then
+    # subtract) — DuckDB date_diff semantics; Spark's timestamp_diff counts
+    # whole-ms DURATION instead and disagrees when sub-ms parts straddle a
+    # boundary.  unix_millis needs TIMESTAMP: the NTZ cast shifts both
+    # terms by the same session-TZ offset (fixture data is far from any
+    # DST edge; a TZ-sensitive deployment should store instants, not NTZ).
+    ms = lambda c: F.unix_millis(c.cast("timestamp"))
+    gap = (ms(F.col("ts")) - ms(F.lag("ts").over(w))).alias("gap_ms")
     return (
         ev.select("user_id", gap)
         .filter(F.col("gap_ms").isNotNull())
