@@ -184,3 +184,19 @@ def test_aqe_splits_skewed_join_partition(spark):
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_gap_stats_single_exchange(spark):
+    p = plan_of(spark, "session_gap_stats")
+    # the lag window's user_id partitioning is reused by the aggregate
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in p
+
+
+def test_pivot_no_distinct_values_job(spark):
+    # explicit pivot values → pivotfirst with the list baked in (no eager
+    # distinct-values scan); (day,type) pre-agg + day agg = two exchanges
+    p = plan_of(spark, "events_daily_pivot")
+    assert "pivotfirst(event_type" in p
+    assert "click, error, purchase, signup, view" in p
+    assert p.count("Exchange hashpartitioning") == 2

@@ -476,10 +476,12 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day × event-type matrix via the native ``pivot`` operator with an
-    EXPLICIT value list — with the values supplied, Catalyst plans one
-    conditional-aggregate pass (no extra distinct-values job, no second
-    shuffle), identical to the CASE-sum formulation the oracle spells out.
-    Omitting the list would add a full distinct scan at 100 TB."""
+    EXPLICIT value list — omitting the list adds an eager full-table
+    distinct job before planning even starts, which is a second scan at
+    100 TB.  Catalyst plans the listed pivot as a (day, type) partial
+    count feeding a ``pivotfirst`` aggregate on day: two bounded-width
+    exchanges, one pass over the data, same result as the oracle's
+    CASE-sum formulation."""
     ev = _read(spark, sf_dir, "events")
     return (
         ev.groupBy(F.to_date("ts").alias("d"))
