@@ -200,3 +200,10 @@ def test_pivot_no_distinct_values_job(spark):
     assert "pivotfirst(event_type" in p
     assert "click, error, purchase, signup, view" in p
     assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_inactivity_sessions_single_exchange(spark):
+    p = plan_of(spark, "inactivity_sessions")
+    # lag window, running sum, and final agg all share the user_id key
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in p

@@ -539,6 +539,86 @@ def q_session_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "inactivity_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR date_diff('millisecond', LAG(ts) OVER w, ts) > 3600000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM g)
+    SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(event_id) AS first_event_id
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_inactivity_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization: a session break wherever a user is
+    idle for more than an hour — the timeout-based counterpart to the
+    marker-based sessionizer (`sessionize_user_events`), and the same
+    prefix-sum-over-boundary-flags shape as the pipeline's game
+    sessionization.
+
+    Scale shape: one user-keyed exchange feeds the lag window, the running
+    sum, AND the final aggregate (same key throughout — Catalyst reuses the
+    partitioning; verified one Exchange in the plan).  Gap uses the same
+    ms-boundary arithmetic as `session_gap_stats`.
+    """
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = lambda c: F.unix_millis(c.cast("timestamp"))
+    gap = ms(F.col("ts")) - ms(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 3_600_000), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.sum(new_sess).over(run).cast("long").alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.min("event_id").alias("first_event_id"))
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT event_type,
+           CAST(CASE WHEN value < 0.0 THEN 0
+                     WHEN value >= 100.0 THEN 21
+                     ELSE CAST(floor((value - 0.0) / ((100.0 - 0.0) / 20)) AS BIGINT) + 1
+                END AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, bucket
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram per event type via ``width_bucket`` — the
+    distribution telemetry a pipeline dashboard plots.  Pure narrow
+    projection + one hash agg; bucket count is constant so output width is
+    bounded at any scale."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.width_bucket("value", F.lit(0.0), F.lit(100.0), F.lit(20))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
     "retention_cohorts",
     """
     WITH first_signup AS (
