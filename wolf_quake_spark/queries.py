@@ -1113,6 +1113,52 @@ def q_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promo_revenue_share",
+    """
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS promo_x10000,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                AS BIGINT) AS total_x10000,
+           round(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                          ELSE 0 END) AS DOUBLE) * 100
+                 / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE),
+                 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+    """,
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (`promotion effect`): conditional revenue share of
+    promo parts in one ship month.  Ship-date range pushes to the lineitem
+    scan; the part side broadcasts; one constant-width global aggregate —
+    no groupBy key at all, so the reduce is two stages of partial sums.
+    Revenue quantized to integer ten-thousandths before summation so the
+    share division is a single IEEE op on identical integers in both
+    engines (quantize-then-sum, never sum-then-round)."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+    )
+    part = F.broadcast(_read(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+    total = F.sum(rev)
+    return j.agg(
+        promo.alias("promo_x10000"),
+        total.alias("total_x10000"),
+        F.round(
+            promo.cast("double") * 100 / total.cast("double"), 6
+        ).alias("promo_pct"),
+    )
+
+
+@register(
     "local_supplier_volume",
     """
     SELECT n_name,
