@@ -181,6 +181,51 @@ def verified_pairs(
     return out
 
 
+def fuzzy_key_pairs(
+    docs: DataFrame,
+    prefix_len: int = 32,
+    max_edits: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Entity-resolution-style fuzzy matching: document pairs whose
+    normalized text prefix is within ``max_edits`` Levenshtein edits,
+    candidate-blocked on the prefix's first token.
+
+    The classic blocked record-linkage shape: normalize → block (cheap
+    equality key) → verify (expensive edit distance) only within blocks —
+    never all-pairs.  Blocking on the first token is O(Σ block²); at 100 TB
+    a skew-prone first token (boilerplate openers) needs a composite block
+    key (token + length bucket) or the same salting used elsewhere — the
+    block column is exposed so callers can extend it.  Edit distance runs
+    JVM-side (``levenshtein``), and the prefix cap bounds its O(len²) cost
+    per pair.
+    """
+    key = F.substring(
+        F.lower(F.regexp_replace(F.col(text_col), WS_SPLIT, " ")), 1, prefix_len
+    )
+    keyed = docs.select(
+        "doc_id",
+        key.alias("k"),
+        F.split(key, " ")[0].alias("block"),
+    ).filter(F.col("k") != "")
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("k").alias("ka"), "block"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("k").alias("kb"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ka", "kb").cast("long").alias("edits"),
+        )
+        .filter(F.col("edits") <= max_edits)
+    )
+
+
 def minhash_estimate(
     docs: DataFrame,
     k: int = DEFAULT_K,

@@ -30,6 +30,7 @@ from wolf_quake_spark.analysis.dedup import (
     dedup_components,
     dup_ngram_spans,
     exact_duplicate_groups,
+    fuzzy_key_pairs,
     lsh_buckets,
     minhash_estimate,
     normalized_fingerprint,
@@ -2496,6 +2497,29 @@ _LSH_JACCARD_CTES = """
 def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH band-bucket candidate pairs verified with exact n-gram Jaccard."""
     return verified_pairs(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "fuzzy_prefix_pairs",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             substr(lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),
+                    1, 32) AS k
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, k, string_split(k, ' ')[1] AS block FROM k WHERE k <> '')
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.k, b.k) AS BIGINT) AS edits
+    FROM keyed a JOIN keyed b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.k, b.k) <= 5
+    """,
+)
+def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (record linkage): doc pairs within 5 edits on
+    the normalized 32-char prefix, candidates blocked on the first token so
+    the edit distance never runs all-pairs."""
+    return fuzzy_key_pairs(_read(spark, sf_dir, "documents"))
 
 
 @register(
