@@ -207,3 +207,65 @@ def test_inactivity_sessions_single_exchange(spark):
     # lag window, running sum, and final agg all share the user_id key
     assert p.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in p
+
+
+def test_q13_preaggregates_before_join(spark):
+    p = plan_of(spark, "cust_order_count_histogram")
+    assert "CartesianProduct" not in p
+    # orders must collapse to (custkey, count) before any join: the order
+    # scan feeds a hash aggregate, never the join directly
+    scan_part = p.split("orders.parquet", 1)[0]
+    assert "Join" not in scan_part.rsplit("HashAggregate", 1)[-1]
+    # two keyed exchanges: custkey pre-agg + the tiny histogram agg
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_q17_brand_filter_pushed_and_no_cartesian(spark):
+    p = plan_of(spark, "small_qty_part_revenue")
+    assert "CartesianProduct" not in p
+    assert "EqualTo(p_brand,Brand#5)" in p  # pushed to the part scan
+    assert "BroadcastHashJoin" in p  # filtered part dim broadcasts
+
+
+def test_q18_topk_and_semi_enrich(spark):
+    p = plan_of(spark, "big_order_customers")
+    assert "TakeOrderedAndProject" in p  # top-20 heaps, not a global sort
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q21_scans_lineitem_once(spark):
+    # the EXISTS/NOT-EXISTS decorrelation means NO lineitem self-join:
+    # exactly one scan of the fact table in the whole plan
+    p = plan_of(spark, "supplier_wait_blame")
+    assert p.count("lineitem.parquet") == 1
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+
+
+def test_cube_is_one_pass(spark):
+    p = plan_of(spark, "sales_cube")
+    assert "Expand" in p  # cube = Expand -> ONE aggregate, not 4 scans
+    assert p.count("orders.parquet") == 1
+
+
+def test_moving_stats_single_exchange(spark):
+    p = plan_of(spark, "events_moving_stats")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in p
+
+
+def test_value_ranks_single_window_pass(spark):
+    p = plan_of(spark, "events_value_ranks")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in p
+    assert p.count("Window") == 1  # all four functions share one window spec
+
+
+def test_range_join_stays_equi(spark):
+    # the bucketized band join must plan as an equi-join on the composite
+    # (user, bucket) key — never a nested-loop over the range predicate
+    p = plan_of(spark, "purchase_window_clicks")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p

@@ -1215,6 +1215,405 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Further relational shapes: group-size histogram, per-group-mean join-back,
+# HAVING semi-join, decorrelated EXISTS/NOT-EXISTS, CUBE, bounded window
+# frames, distribution window functions, and a bucketized range join.
+# ===========================================================================
+
+@register(
+    "cust_order_count_histogram",
+    """
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey)
+    GROUP BY n_orders
+    """,
+)
+def q_cust_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (`customer distribution`): histogram of per-customer
+    order counts, customers with zero orders included.
+
+    Scale shape: the naive plan left-joins customer⋈orders then counts —
+    shipping every order row through the join.  Here orders pre-aggregates
+    to (custkey, count) FIRST (map-side partial sums), so the join input
+    shrinks from |orders| to |customers-with-orders| before any wide join;
+    the final histogram groupBy is over tiny ints.  The oracle states the
+    naive form; both reduce to the same answer.
+    """
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        _read(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "small_qty_part_revenue",
+    """
+    WITH pq AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_x100,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) AS BIGINT) AS revenue_x10000,
+           CAST(COUNT(*) AS BIGINT) AS n_small_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#5'
+      AND 5 * CAST(ROUND(l.l_quantity * 100) AS BIGINT) * pq.n_items < pq.sum_qty_x100
+    """,
+)
+def q_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (`small-quantity-order revenue`): revenue from line
+    items whose quantity is below 20% of the per-part mean quantity.
+
+    The correlated scalar subquery (``l_quantity < 0.2 * avg(...) per
+    part``) is decorrelated into a per-part aggregate joined back on the
+    part key.  Exactness: the fraction test is restated as
+    ``5·qty·n_items < Σqty`` over integer-quantized quantities, so no
+    engine-dependent float division decides membership.
+
+    Scale shape: a part determines its brand, so the brand filter is
+    applied (via broadcast of the filtered part dim) BEFORE the per-part
+    aggregate — the avg over a part's items is unchanged, but the shuffle
+    shrinks from all parts to one brand's parts (~1/25th).  One partkey
+    shuffle feeds both the aggregate and the join-back (same key).
+    """
+    li = _read(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#5")
+        .select("p_partkey")
+    )
+    qty_q = F.round(F.col("l_quantity") * 100).cast("long")
+    li_b = li.join(part, li.l_partkey == part.p_partkey)
+    pq = li_b.groupBy("l_partkey").agg(
+        F.sum(qty_q).alias("sum_qty_x100"), F.count("*").alias("n_items")
+    )
+    small = li_b.join(pq, "l_partkey").filter(
+        qty_q * 5 * F.col("n_items") < F.col("sum_qty_x100")
+    )
+    rev = F.round(F.col("l_extendedprice") * 10000).cast("long")
+    return small.agg(
+        F.sum(rev).alias("revenue_x10000"),
+        F.count("*").alias("n_small_items"),
+    )
+
+
+@register(
+    "big_order_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_x100
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 30000)
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_x100,
+           sum_qty_x100
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY sum_qty_x100 DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (`large-volume customers`): orders whose summed line
+    quantity clears a threshold (300 units = 30000 x100; ≈ p99 here), with
+    their customer, top-20 by volume.
+
+    Scale shape: the HAVING aggregate runs first and is intensely
+    selective (~1% of orders survive), so the surviving key set broadcasts
+    into the orders join — a semi-join-then-enrich, never orders⋈lineitem
+    in full.  The top-20 plans as TakeOrderedAndProject (per-partition
+    heaps), not a global sort.
+    """
+    li = _read(spark, sf_dir, "lineitem")
+    qty_q = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_q).alias("sum_qty_x100"))
+        .filter(F.col("sum_qty_x100") > 30000)
+    )
+    orders = _read(spark, sf_dir, "orders")
+    cust = F.broadcast(
+        _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    )
+    return (
+        F.broadcast(big)
+        .join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_x100"),
+            "sum_qty_x100",
+        )
+        .orderBy(F.desc("sum_qty_x100"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "supplier_wait_blame",
+    """
+    WITH fo AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+    per AS (
+      SELECT l_orderkey, l_suppkey,
+             CAST(MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
+                           THEN 1 ELSE 0 END) AS BIGINT) AS late
+      FROM lineitem JOIN fo ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey, l_suppkey),
+    ord AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_supp,
+             CAST(SUM(late) AS BIGINT) AS n_late
+      FROM per GROUP BY l_orderkey)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per JOIN ord USING (l_orderkey) JOIN supplier ON s_suppkey = l_suppkey
+    WHERE per.late = 1 AND ord.n_supp > 1 AND ord.n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 10
+    """,
+)
+def q_supplier_wait_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (`suppliers who kept orders waiting`): for finished
+    orders with ≥2 suppliers, blame the supplier who was the ONLY one to
+    ship >45 days after the order date.
+
+    The reference formulation is a correlated EXISTS + NOT-EXISTS pair;
+    both decorrelate into one per-(order, supplier) aggregate followed by a
+    per-order window (supplier count, late-supplier count) — no self-join
+    of lineitem at all.
+
+    Scale shape: one shuffle for the (orderkey, suppkey) aggregate; the
+    order-level window repartitions only the aggregated rows (≤ suppliers
+    per order each).  Supplier dim broadcasts for the final name lookup.
+    """
+    fo = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"), 1
+    ).otherwise(0)
+    per = (
+        li.join(fo, li.l_orderkey == fo.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).cast("long").alias("late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per.withColumn("n_supp", F.count("*").over(w)).withColumn(
+        "n_late", F.sum("late").over(w)
+    )
+    supp = F.broadcast(
+        _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        flagged.filter(
+            (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .join(supp, flagged.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@register(
+    "sales_cube",
+    """
+    SELECT r_name, o_orderpriority,
+           CAST(GROUPING(r_name) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE (r_name, o_orderpriority)
+    """,
+)
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (region, order priority): all four grouping levels in
+    one pass, disambiguated by ``grouping_id``.
+
+    Scale shape: like the rollup entry, Catalyst plans cube as one Expand
+    (4 rows per input here) into ONE partial+final hash aggregate — the
+    fact table is scanned once, not four times.  Dim joins broadcast.
+    """
+    orders = _read(spark, sf_dir, "orders")
+    cust = F.broadcast(_read(spark, sf_dir, "customer"))
+    nation = F.broadcast(_read(spark, sf_dir, "nation"))
+    region = F.broadcast(_read(spark, sf_dir, "region"))
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.cube("r_name", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+    )
+
+
+@register(
+    "events_moving_stats",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(vq) OVER w AS BIGINT) AS msum_x100,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_frame,
+           round(CAST(SUM(vq) OVER w AS DOUBLE) / (100.0 * COUNT(*) OVER w), 6) AS mavg
+    FROM (SELECT event_id, user_id, ts,
+                 CAST(ROUND(value * 100) AS BIGINT) AS vq FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_events_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame moving aggregate (trailing window of 4 events per
+    user): running sum/count/mean over ``ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW``.
+
+    Scale shape: one user-keyed shuffle + sort; the frame is O(1) per row
+    (sliding-sum update), so state never grows with conversation length —
+    the same property the sessionizer relies on.  Mean is a single IEEE
+    division over exact integer sums, identical in both engines.
+    """
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("vq")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    msum = F.sum("vq").over(w)
+    cnt = F.count("*").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        msum.alias("msum_x100"),
+        cnt.alias("n_frame"),
+        F.round(msum.cast("double") / (F.lit(100.0) * cnt), 6).alias("mavg"),
+    )
+
+
+@register(
+    "events_value_ranks",
+    """
+    SELECT event_id, event_type,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           round(CUME_DIST() OVER w, 6) AS cume,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM (SELECT event_id, event_type,
+                 CAST(ROUND(value * 100) AS BIGINT) AS vq FROM events)
+    WINDOW w AS (PARTITION BY event_type ORDER BY vq, event_id)
+    """,
+)
+def q_events_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (rank / percent_rank / cume_dist /
+    ntile) per event type over a total order — the quantile-bucketing
+    primitive for per-shard calibration curves.
+
+    Scale shape: one shuffle+sort on the partition key.  percent_rank and
+    cume_dist are rank arithmetic over exact integers ((r−1)/(N−1), n≤/N),
+    so the doubles are single correctly-rounded IEEE divisions in both
+    engines; the (vq, event_id) order is total, making every rank unique.
+    """
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("vq")
+    )
+    w = Window.partitionBy("event_type").orderBy("vq", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "purchase_window_clicks",
+    """
+    SELECT p.event_id, CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_1h
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts > p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def q_purchase_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: for every purchase, the number of clicks by
+    the same user in the trailing hour.
+
+    Spark has no native band-join operator, and the naive plan — an
+    equi-join on user_id with the range as a post-filter — degenerates to
+    a per-user cartesian on power users.  This restates it as an equi-join
+    on (user_id, hour_bucket): each purchase expands to the only TWO hour
+    buckets a trailing 1-hour window can overlap, the join runs on the
+    composite key, and the exact range predicate rides in the join
+    condition.  Candidate fan-out is bounded (2×), buckets subdivide hot
+    users by time, and every click lands in exactly one bucket so no
+    dedup pass is needed.  A purchase's two bucket rows both survive the
+    left join; the final count(*) over non-null clicks re-merges them.
+    """
+    ev = _read(spark, sf_dir, "events")
+    # any consistent epoch mapping works for bucketing (NTZ needs the
+    # two-step cast); the exact range predicate below decides membership
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            F.floor(epoch / 3600).alias("b"),
+        )
+        .withColumn("bucket", F.explode(F.array(F.col("b") - 1, F.col("b"))))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+        F.floor(epoch / 3600).alias("bucket"),
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.p_user_id == clicks.c_user_id)
+        & (purchases.bucket == clicks.bucket)
+        & (clicks.c_ts > purchases.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (clicks.c_ts <= purchases.p_ts),
+        "left",
+    )
+    return joined.groupBy(F.col("p_event_id").alias("event_id")).agg(
+        F.count("c_event_id").alias("n_clicks_1h")
+    )
+
+
+# ===========================================================================
 # Deduplication (documents)
 # ===========================================================================
 
