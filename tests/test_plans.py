@@ -269,3 +269,28 @@ def test_range_join_stays_equi(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_scd2_single_exchange(spark):
+    # lag filter and lead stitch share one (user_id; ts, event_id) sort
+    p = plan_of(spark, "user_props_scd2")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") <= 2  # no extra sort between the two windows
+    assert "Exchange SinglePartition" not in p
+
+
+def test_set_ops_plan_as_joins(spark):
+    p = plan_of(spark, "clickers_not_buyers")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    p = plan_of(spark, "signup_to_purchase_users")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q7_two_row_nation_broadcasts(spark):
+    p = plan_of(spark, "nation_trade_flows")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 4
+    # nation-pair filter pushed into both nation scans
+    assert p.count("In(n_name, [NATION_1,NATION_2])") == 2

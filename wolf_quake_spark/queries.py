@@ -1613,6 +1613,160 @@ def q_purchase_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_props_scd2",
+    """
+    SELECT user_id, props, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_current
+    FROM (
+      SELECT user_id, props, ts, event_id,
+             lag(props) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_props
+      FROM events)
+    WHERE prev_props IS NULL OR props IS DISTINCT FROM prev_props
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_user_props_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build from a change log: collapse
+    consecutive identical props values per user, then stitch the survivors
+    into [valid_from, valid_to) validity intervals with an is_current flag
+    — the A5 last-name-wins operator generalized to full history.
+
+    Scale shape: two windows over the SAME (user_id; ts, event_id) spec —
+    one shuffle+sort serves both (change detection via lag, interval close
+    via lead on the filtered rows).  Null-safe comparison so a NULL↔value
+    transition counts as a change.
+    """
+    ev = _read(spark, sf_dir, "events").select("user_id", "props", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn("prev_props", F.lag("props").over(w)).filter(
+        F.col("prev_props").isNull()
+        | ~F.col("props").eqNullSafe(F.col("prev_props"))
+    )
+    return changes.select(
+        "user_id",
+        "props",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.when(F.lead("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_current"),
+    )
+
+
+@register(
+    "clickers_not_buyers",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click' AND value > 420
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 420
+    """,
+)
+def q_clickers_not_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native set difference (EXCEPT DISTINCT): users with a high-value
+    click but no high-value purchase.  Catalyst plans ``subtract`` as a
+    left-anti join over distincts — one hash-partitioned exchange per
+    side, no sort."""
+    ev = _read(spark, sf_dir, "events")
+    clickers = ev.filter(
+        (F.col("event_type") == "click") & (F.col("value") > 420)
+    ).select("user_id")
+    buyers = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 420)
+    ).select("user_id")
+    return clickers.subtract(buyers)
+
+
+@register(
+    "signup_to_purchase_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_signup_to_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native set intersection (INTERSECT DISTINCT): users present in both
+    the signup and purchase event sets — plans as a left-semi join over
+    distincts, the dual of the EXCEPT entry."""
+    ev = _read(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return signups.intersect(buyers)
+
+
+@register(
+    "nation_trade_flows",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_x10000
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice, l_discount
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (`volume shipping`): bidirectional revenue between a
+    nation pair, by ship year.
+
+    Scale shape: the disjunctive nation-pair predicate can't push into a
+    single scan, but both nation joins broadcast 2-row filtered dims, so
+    the candidate space collapses before the only big⋈big edge
+    (orders⋈lineitem).  Year bucketing is a narrow projection.
+    """
+    pair = ["NATION_1", "NATION_2"]
+    n1 = F.broadcast(
+        _read(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _read(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    supp = F.broadcast(_read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    cust = F.broadcast(_read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    joined = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(F.sum(rev).alias("revenue_x10000"))
+
+
 # ===========================================================================
 # Deduplication (documents)
 # ===========================================================================
