@@ -969,3 +969,31 @@ def test_read_documents_jsonl_and_csv_with_rejects(spark, tmp_path):
     valid, rejects = read_documents_with_rejects(spark, str(cv), fmt="csv")
     assert [r["doc_id"] for r in valid.collect()] == [1]
     assert rejects.count() == 1
+
+
+def test_user_value_trend_kernel(spark):
+    """Grouped-map OLS kernel: hand-computed slope on a tiny group, and the
+    zero-variance degenerate group emits slope 0.0 (not NULL/NaN)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from wolf_quake_spark.analysis.trends import user_value_trend
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: y(cents) = 100, 200, 300 at hours 0, 1, 2 -> slope 100/h
+        (1, base, 1.0),
+        (1, base + dt.timedelta(hours=1), 2.0),
+        (1, base + dt.timedelta(hours=2), 3.0),
+        # user 2: all events in the same hour -> zero x-variance -> 0.0
+        (2, base, 5.0),
+        (2, base + dt.timedelta(minutes=30), 9.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        r["user_id"]: (r["n_events"], r["slope_x100_per_hour"])
+        for r in user_value_trend(df).collect()
+    }
+    assert got[1] == (3, 100.0)
+    assert got[2] == (2, 0.0)

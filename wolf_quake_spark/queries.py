@@ -73,6 +73,7 @@ from wolf_quake_spark.analysis.similarity import (
     srp_neardup_pairs,
     srp_signatures,
 )
+from wolf_quake_spark.analysis.trends import user_value_trend
 from wolf_quake_spark.analysis.textstats import (
     BPE_PATTERN,
     NGRAM_PROFILES,
@@ -1765,6 +1766,36 @@ def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
     ).agg(F.sum(rev).alias("revenue_x10000"))
+
+
+@register(
+    "user_value_trend",
+    """
+    WITH b AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS y,
+             (epoch_ns(ts) - MIN(epoch_ns(ts)) OVER (PARTITION BY user_id))
+               // 3600000000000 AS x
+      FROM events),
+    s AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM b GROUP BY user_id)
+    SELECT user_id, n_events,
+           CASE WHEN n_events * sxx - sx * sx = 0 THEN 0.0
+                ELSE round(CAST(n_events * sxy - sx * sy AS DOUBLE)
+                           / CAST(n_events * sxx - sx * sx AS DOUBLE), 6) END
+             AS slope_x100_per_hour
+    FROM s
+    """,
+)
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` kernel: per-user OLS trend of event
+    value over time, exact-math design (integer sums, one IEEE division)
+    so the DuckDB oracle reproduces the Python kernel bit-for-bit.  See
+    analysis/trends.py for the overflow and determinism analysis."""
+    return user_value_trend(_read(spark, sf_dir, "events"))
 
 
 # ===========================================================================
