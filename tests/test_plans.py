@@ -294,3 +294,11 @@ def test_q7_two_row_nation_broadcasts(spark):
     assert p.count("BroadcastHashJoin") >= 4
     # nation-pair filter pushed into both nation scans
     assert p.count("In(n_name, [NATION_1,NATION_2])") == 2
+
+
+def test_daily_dense_spine_is_distributed(spark):
+    p = plan_of(spark, "events_daily_dense")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # daily counts broadcast into the spine
+    # the only SinglePartition exchange allowed is the 1-row bounds agg
+    assert p.count("Exchange SinglePartition") <= 1

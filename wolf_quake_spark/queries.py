@@ -1798,6 +1798,53 @@ def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_value_trend(_read(spark, sf_dir, "events"))
 
 
+@register(
+    "events_daily_dense",
+    """
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT s.day, COALESCE(d.n_events, 0) AS n_events,
+           CAST(CASE WHEN d.day IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+    FROM spine s LEFT JOIN daily d USING (day)
+    """,
+)
+def q_events_daily_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine densification: daily purchase counts with every calendar
+    day between the first and last event present, zero-filled and flagged
+    when no purchases occurred — the gap-filling step dashboards and
+    anomaly detectors need before differencing.
+
+    Scale shape: the spine is generated distributed (``sequence`` +
+    ``explode`` off a 1-row global-bound aggregate — no driver collect,
+    no Python range loop); the daily aggregate is a narrow groupBy over
+    projected dates and broadcasts into the spine join (spine cardinality
+    = days, tiny at any data scale).
+    """
+    ev = _read(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return spine.join(F.broadcast(daily), "day", "left").select(
+        "day",
+        F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("n_events"),
+        F.when(F.col("cnt").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
+    )
+
+
 # ===========================================================================
 # Deduplication (documents)
 # ===========================================================================
