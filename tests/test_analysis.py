@@ -997,3 +997,37 @@ def test_user_value_trend_kernel(spark):
     }
     assert got[1] == (3, 100.0)
     assert got[2] == (2, 0.0)
+
+
+def test_decode_bmp_real_kernel():
+    """BMP decode: round-trips the synth container, honors top-down height,
+    per-row stride padding, and rejects truncation/compression."""
+    import pytest
+
+    from wolf_quake_spark.analysis.multimodal import decode_bmp, synth_bmp
+
+    data = bytes(range(97)) * 2  # 194 bytes -> 5 rows of 48, padded
+    w, h, bpp, td, npix, bins = decode_bmp(synth_bmp(data))
+    assert (w, h, bpp, td) == (16, 5, 24, 0)
+    assert npix == 5 * 48
+    assert sum(bins) == sum(data[: (npix // 8) * 8])  # zero pad adds nothing
+
+    # top-down variant: negative height in the header, same raster size
+    buf = bytearray(synth_bmp(data))
+    buf[22:26] = (-5).to_bytes(4, "little", signed=True)
+    w2, h2, _, td2, npix2, _ = decode_bmp(bytes(buf))
+    assert (w2, h2, td2, npix2) == (16, 5, 1, 240)
+
+    # odd width forces stride alignment: 15*3=45 -> stride 48
+    buf = bytearray(synth_bmp(data))
+    buf[18:22] = (15).to_bytes(4, "little", signed=True)
+    assert decode_bmp(bytes(buf))[4] == 240
+
+    with pytest.raises(ValueError):
+        decode_bmp(synth_bmp(data)[:-1])  # truncated raster
+    comp = bytearray(synth_bmp(data))
+    comp[30] = 1  # BI_RLE8
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(comp))
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG\x00" + b"\x00" * 60)

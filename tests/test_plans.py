@@ -302,3 +302,12 @@ def test_daily_dense_spine_is_distributed(spark):
     assert "BroadcastHashJoin" in p  # daily counts broadcast into the spine
     # the only SinglePartition exchange allowed is the 1-row bounds agg
     assert p.count("Exchange SinglePartition") <= 1
+
+
+def test_q22_scalar_broadcast_and_anti_join(spark):
+    p = plan_of(spark, "idle_rich_customers")
+    # the global-average scalar joins as a 1-row broadcast, not a data-sized
+    # cartesian; NOT EXISTS plans as LeftAnti on date-filtered orders
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in p
+    assert "LeftAnti" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p  # pushed to the orders scan

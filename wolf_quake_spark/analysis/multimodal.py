@@ -360,6 +360,112 @@ def wav_features(media: DataFrame, sample_rate: int = 8000) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Image: real BMP container (dependency-free BITMAPINFOHEADER parse)
+# ---------------------------------------------------------------------------
+
+BMP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("bpp", T.IntegerType(), True),
+        T.StructField("top_down", T.IntegerType(), True),
+        T.StructField("n_pixel_bytes", T.LongType(), True),
+    ]
+    + [T.StructField(f"bin{i}", T.LongType(), True) for i in range(8)]
+)
+
+
+def synth_bmp(data: bytes, width: int = 16) -> bytes:
+    """Canonical 24-bpp bottom-up BMP wrapping ``data`` as the pixel array —
+    the deterministic image-ingest stand-in (no image libs in this env).
+
+    ``width=16`` gives a 48-byte stride, already 4-byte aligned, so the
+    pixel array is ``data`` zero-padded to ``height * 48`` with no per-row
+    padding bytes interleaved.
+    """
+    stride = ((width * 3 + 3) // 4) * 4
+    height = max((len(data) + stride - 1) // stride, 1)
+    pixels = data + b"\x00" * (height * stride - len(data))
+    off, size = 54, 54 + len(pixels)
+    return (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")                  # BI_RGB, uncompressed
+        + len(pixels).to_bytes(4, "little")
+        + b"\x00" * 16                               # ppm/palette fields
+        + pixels
+    )
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, int, int, list[int]]:
+    """Dependency-free decode of a third real container: BMP
+    (BITMAPINFOHEADER).
+
+    Validates the magic, reads the pixel-array offset, dimensions (negative
+    height = top-down rows), planes/bpp/compression, derives the 4-byte-
+    aligned stride, checks the raster isn't truncated, and computes 8-bin
+    positional byte sums over the actual pixel array.  Raises ``ValueError``
+    on malformed input.
+    """
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    dib = int.from_bytes(payload[14:18], "little")
+    if dib < 40:
+        raise ValueError(f"unsupported DIB header size {dib}")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    planes = int.from_bytes(payload[26:28], "little")
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if w <= 0 or h == 0 or planes != 1:
+        raise ValueError(f"invalid BMP dimensions {w}x{h} planes={planes}")
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) unsupported")
+    top_down = 1 if h < 0 else 0
+    ah = -h if h < 0 else h
+    stride = ((w * bpp + 31) // 32) * 4
+    need = stride * ah
+    pixels = payload[off : off + need]
+    if len(pixels) < need:
+        raise ValueError("truncated BMP pixel array")
+    binsz = max(need // 8, 1)
+    bins = [sum(pixels[i * binsz : (i + 1) * binsz]) for i in range(8)]
+    return w, ah, bpp, top_down, need, bins
+
+
+def bmp_features(media: DataFrame, width: int = 16) -> DataFrame:
+    """Arrow-batched image feature stage: wrap each payload as a canonical
+    BMP (ingest stand-in), then decode with the REAL header parser.  Same
+    mapInPandas shape as the WAV stage; all outputs are integer-exact
+    closed forms of the payload bytes for the DuckDB oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                decode_bmp(synth_bmp(p or b"", width)) for p in pdf["payload"]
+            ]
+            out = {
+                "doc_id": pdf["doc_id"],
+                "width": [r[0] for r in rows],
+                "height": [r[1] for r in rows],
+                "bpp": [r[2] for r in rows],
+                "top_down": [r[3] for r in rows],
+                "n_pixel_bytes": [r[4] for r in rows],
+            }
+            for i in range(8):
+                out[f"bin{i}"] = [r[5][i] for r in rows]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(gen, schema=BMP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Frame sampling (pure Catalyst — no Python in the path)
 # ---------------------------------------------------------------------------
 

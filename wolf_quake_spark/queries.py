@@ -1845,6 +1845,54 @@ def q_events_daily_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "idle_rich_customers",
+    """
+    WITH thresh AS (
+      SELECT AVG(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS avg_bal_x100
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_x100
+    FROM customer, thresh
+    WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > avg_bal_x100
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (`global sales opportunity`): customers with an
+    above-average positive balance and no recent orders, by market segment.
+
+    Two classic decorrelations in one query: the global-average scalar
+    subquery becomes a 1-row aggregate cross-joined in (Catalyst plans a
+    BroadcastNestedLoopJoin over exactly one row — a broadcast scalar, not
+    a data-sized cartesian), and NOT EXISTS becomes a LEFT ANTI join
+    against the date-filtered orders (filter pushed to the orders scan,
+    shrinking the anti-join build side ~10×).  The balance comparison
+    promotes exact integer cents against the single-division average, so
+    membership is the same IEEE comparison in both engines.
+    """
+    cust = _read(spark, sf_dir, "customer")
+    bal_q = F.round(F.col("c_acctbal") * 100).cast("long")
+    thresh = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(bal_q).alias("avg_bal_x100")
+    )
+    recent = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(bal_q > F.col("avg_bal_x100"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum(bal_q).alias("total_bal_x100"),
+        )
+    )
+
+
 # ===========================================================================
 # Deduplication (documents)
 # ===========================================================================
@@ -2473,6 +2521,43 @@ def q_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed forms over the text column."""
     media = to_media(_read(spark, sf_dir, "documents"))
     return wav_features(media)
+
+
+_BMP_BIN_SQL = ",\n           ".join(
+    f"CAST(coalesce(list_sum(list_transform("
+    f"range({i} * bz + 1, least(({i} + 1) * bz, nb) + 1), "
+    f"j -> unicode(text[j]))), 0) AS BIGINT) AS bin{i}"
+    for i in range(8)
+)
+
+@register(
+    "media_bmp_features",
+    f"""
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(24 AS INTEGER) AS bpp,
+           CAST(0 AS INTEGER) AS top_down,
+           CAST(h * 48 AS BIGINT) AS n_pixel_bytes,
+           {_BMP_BIN_SQL}
+    FROM (SELECT doc_id, text, nb, h, greatest((h * 48) // 8, 1) AS bz
+          FROM (SELECT doc_id, text, length(text) AS nb,
+                       greatest((length(text) + 47) // 48, 1) AS h
+                FROM documents))
+    """,
+)
+def q_media_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-container plumbing with a REAL decode kernel (third real
+    container beside PPM and WAV): each payload wraps as a canonical
+    24-bpp BMP and is decoded by the dependency-free BITMAPINFOHEADER
+    parser — dimensions, stride-derived raster size, and 8-bin pixel byte
+    sums all come from actual payload bytes, mirrored in the oracle as
+    integer closed forms over the text column (zero padding contributes
+    zero, so the bins cap at the text length)."""
+    media = to_media(_read(spark, sf_dir, "documents"))
+    from wolf_quake_spark.analysis.multimodal import bmp_features
+
+    return bmp_features(media)
 
 
 _SEG_RE = r"[^ \t\n\x0B\f\r]+(?:[ \t\n\x0B\f\r]+[^ \t\n\x0B\f\r]+){0,2}"
