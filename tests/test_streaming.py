@@ -561,3 +561,67 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
     sc = Counter(p for p, _ in streamed)
     bc = Counter(p for p, _ in batch)
     assert sc == bc
+
+
+def test_interval_join_left_outer_emits_nulls_after_expiry(spark, tmp_path):
+    """Left-outer interval join: a click-less purchase is emitted with NULL
+    click columns once the watermark proves no match can still arrive, and
+    the matched pairs equal the batch left join on the same rows."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from wolf_quake_spark.streaming.interval_join import purchase_click_pairs
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    rows = [
+        (1, base, 7, "purchase"),                                # has a click
+        (2, base - dt.timedelta(minutes=10), 7, "click"),        # its match
+        (3, base + dt.timedelta(minutes=5), 8, "purchase"),      # click-less
+        # far-future rows must reach BOTH watermark operators (the global
+        # watermark is the min across them, and each only sees rows that
+        # survive its side's filter) to expire the early purchases' state
+        (5, base + dt.timedelta(hours=8), 10, "purchase"),
+        (6, base + dt.timedelta(hours=8), 11, "click"),
+    ]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i, chunk in enumerate([rows[:3], rows[3:]]):  # futures land last
+        st = str(tmp_path / f"s{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("overwrite").parquet(st)
+        dst = str(landing / f"f{i}.parquet")
+        shutil.copyfile(glob.glob(st + "/part-*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    q = (
+        purchase_click_pairs(stream, how="left_outer")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ivj_outer")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["p_event_id"], r["c_event_id"]) for r in spark.table("ivj_outer").collect()
+    }
+    batch = {
+        (r["p_event_id"], r["c_event_id"])
+        for r in purchase_click_pairs(
+            spark.createDataFrame(rows, schema), how="left_outer"
+        ).collect()
+    }
+    # the click-less early purchase emitted its null after state expiry;
+    # the far-future purchase (5) is still in state when the drain ends, so
+    # only the batch face shows its null — streaming holds it back until a
+    # later watermark could prove it unmatched (correct append semantics)
+    assert (1, 2) in streamed and (3, None) in streamed
+    assert batch == {(1, 2), (3, None), (5, None)}
+    assert streamed == batch - {(5, None)}

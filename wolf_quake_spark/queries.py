@@ -2523,6 +2523,69 @@ def q_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_features(media)
 
 
+@register(
+    "monthly_revenue_growth",
+    """
+    WITH m AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mon,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1, 2)
+    SELECT yr, mon, rev_cents,
+           lag(rev_cents) OVER (ORDER BY yr, mon) AS prev_cents,
+           CASE WHEN lag(rev_cents) OVER (ORDER BY yr, mon) IS NULL THEN NULL
+                ELSE round((CAST(rev_cents AS DOUBLE)
+                            - CAST(lag(rev_cents) OVER (ORDER BY yr, mon) AS DOUBLE)) * 100
+                           / CAST(lag(rev_cents) OVER (ORDER BY yr, mon) AS DOUBLE), 6) END
+             AS mom_growth_pct,
+           round(CAST(rev_cents AS DOUBLE) * 100
+                 / CAST(SUM(rev_cents) OVER (PARTITION BY yr) AS DOUBLE), 6)
+             AS share_of_year_pct
+    FROM m
+    """,
+)
+def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-after-aggregate: monthly revenue with month-over-month growth
+    (lag over the global month order) and each month's share of its year
+    (partition-total window) — the KPI-trend shape every telemetry pipeline
+    reports.
+
+    Scale shape: the windows run over AGGREGATED rows (≤ 12·years,
+    regardless of data size), so the global-order lag window's single
+    partition is a dozen-row frame, not a data path — the heavy lifting is
+    the one map-side-partial month aggregate underneath.  Both ratios are
+    single IEEE divisions over exact integer cents.
+    """
+    orders = _read(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"))
+    w = Window.orderBy("yr", "mon")
+    wy = Window.partitionBy("yr")
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        "yr",
+        "mon",
+        "rev_cents",
+        prev.alias("prev_cents"),
+        F.when(
+            prev.isNull(), F.lit(None).cast("double")
+        ).otherwise(
+            F.round(
+                (F.col("rev_cents").cast("double") - prev.cast("double")) * 100
+                / prev.cast("double"),
+                6,
+            )
+        ).alias("mom_growth_pct"),
+        F.round(
+            F.col("rev_cents").cast("double") * 100
+            / F.sum("rev_cents").over(wy).cast("double"),
+            6,
+        ).alias("share_of_year_pct"),
+    )
+
+
 _BMP_BIN_SQL = ",\n           ".join(
     f"CAST(coalesce(list_sum(list_transform("
     f"range({i} * bz + 1, least(({i} + 1) * bz, nb) + 1), "

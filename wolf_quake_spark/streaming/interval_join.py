@@ -37,10 +37,18 @@ def purchase_click_pairs(
     events: DataFrame,
     horizon: str = "1 hour",
     delay: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Pairs every purchase with each same-user click in the trailing
     ``horizon``.  ``events`` is an events-shaped frame (event_id, ts,
     user_id, event_type), streaming or batch.
+
+    ``how="left_outer"`` additionally emits click-less purchases with NULL
+    click columns — in streaming mode such a row is emitted only once the
+    watermark proves no matching click can still arrive (purchase state
+    expiry), so the null is a *decision*, not a race; batch mode emits it
+    immediately.  Left-outer interval joins require exactly the watermark +
+    time-bound condition this function already carries.
     """
     purchases = (
         events.filter(F.col("event_type") == "purchase")
@@ -65,6 +73,6 @@ def purchase_click_pairs(
         & (clicks.c_ts > purchases.p_ts - F.expr(f"INTERVAL {horizon}"))
         & (clicks.c_ts <= purchases.p_ts)
     )
-    return purchases.join(clicks, cond, "inner").select(
+    return purchases.join(clicks, cond, how).select(
         "p_event_id", "c_event_id", "p_user_id", "p_ts", "c_ts"
     )
