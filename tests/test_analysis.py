@@ -1031,3 +1031,39 @@ def test_decode_bmp_real_kernel():
         decode_bmp(bytes(comp))
     with pytest.raises(ValueError):
         decode_bmp(b"PNG\x00" + b"\x00" * 60)
+
+
+def test_sketch_profile_accuracy(spark):
+    """The sketch entry has no SQL oracle (algorithm-specific state); this
+    gates its accuracy against exact answers instead: HLL distinct within
+    2% relative error, approximate percentiles bracketed by the exact
+    neighboring order statistics."""
+    from pyspark.sql import functions as F
+
+    from wolf_quake_spark.queries import queries
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["lang"]: r for r in queries()["sketch_profile"](spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    exact = {
+        r["lang"]: r
+        for r in docs.groupBy("lang")
+        .agg(
+            F.countDistinct("text").alias("nd"),
+            F.expr("percentile(length(text), array(0.45, 0.55, 0.85, 0.95))").alias("ps"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for lang, r in got.items():
+        e = exact[lang]
+        assert abs(r["approx_distinct_texts"] - e["nd"]) <= max(0.05 * e["nd"], 2), (
+            lang,
+            dict(r.asDict()),
+            e["nd"],
+        )
+        lo45, hi55, lo85, hi95 = e["ps"]
+        assert lo45 <= r["p50_len"] <= hi55, (lang, dict(r.asDict()), e["ps"])
+        assert lo85 <= r["p90_len"] <= hi95, (lang, dict(r.asDict()), e["ps"])

@@ -2586,6 +2586,86 @@ def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sketch_profile", None)  # sketches are algorithm-specific: no SQL
+def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch telemetry per language: HyperLogLog++ distinct text
+    fingerprints and t-digest-style approximate length percentiles.
+
+    No DuckDB oracle on purpose — each engine's sketch is algorithm- and
+    seed-specific, so value equality is the wrong gate; the driver records
+    the weaker rows-only check and pytest gates accuracy against the exact
+    answers (≤2% relative error for HLL at this cardinality, percentile
+    within the neighboring exact order statistics).
+
+    Scale shape: this is WHY sketches are here — both aggregates are
+    constant-size mergeable state, combining map-side like any partial sum
+    (one exchange, no giant exact-distinct hash or full sort at 100 TB,
+    which is exactly what the exact variants in ``length_quantiles_by_lang``
+    cannot avoid on unbounded groups).
+    """
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.approx_count_distinct(F.md5("text"), rsd=0.01).alias("approx_distinct_texts"),
+        F.percentile_approx(F.length("text"), 0.5, 10000).alias("p50_len"),
+        F.percentile_approx(F.length("text"), 0.9, 10000).alias("p90_len"),
+    )
+
+
+# bit-interleave closed forms, generated once and shared verbatim by both
+# engines (DuckDB and Spark SQL agree on >>, << and & for integers)
+_Z_BITS = 14
+_ZX_SQL = " + ".join(f"(((x >> {i}) & 1) << {2 * i})" for i in range(_Z_BITS))
+_ZY_SQL = " + ".join(f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(_Z_BITS))
+
+
+@register(
+    "zorder_layout_manifest",
+    f"""
+    SELECT event_id, x, y,
+           CAST({_ZX_SQL} + {_ZY_SQL} AS BIGINT) AS zval,
+           CAST(({_ZX_SQL} + {_ZY_SQL}) >> 18 AS BIGINT) AS zfile
+    FROM (
+      SELECT event_id,
+             CAST(user_id & 16383 AS BIGINT) AS x,
+             CAST((EXTRACT(doy FROM ts) * 24 + EXTRACT(hour FROM ts)) & 16383
+                  AS BIGINT) AS y
+      FROM events)
+    """,
+)
+def q_zorder_layout_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering manifest: interleave 14 bits of
+    user_id with 14 bits of the hour-of-year, giving the sort key that
+    co-locates rows close in BOTH dimensions — the data-layout step that
+    makes min/max file statistics prune multi-dimensional predicates
+    (user range × time range) instead of only the leading sort column.
+    ``zfile`` is the resulting coarse file assignment (zval >> 18).
+
+    Scale shape: pure narrow bit arithmetic in whole-stage codegen — the
+    actual layout job is ``repartitionByRange(zval).sortWithinPartitions``
+    feeding the writer, which adds exactly one range exchange.  The bit
+    expressions are generated once and shared verbatim with the oracle.
+    """
+    ev = _read(spark, sf_dir, "events")
+    prepped = ev.select(
+        "event_id",
+        F.expr("CAST(user_id & 16383 AS BIGINT)").alias("x"),
+        (
+            (F.dayofyear("ts") * 24 + F.hour("ts")).cast("long") % (1 << 20)
+        ).alias("hr"),
+    ).select(
+        "event_id", "x", F.expr("CAST(hr & 16383 AS BIGINT)").alias("y")
+    )
+    z = F.expr(f"CAST({_ZX_SQL} + {_ZY_SQL} AS BIGINT)")
+    return prepped.select(
+        "event_id",
+        "x",
+        "y",
+        z.alias("zval"),
+        F.expr(f"CAST(({_ZX_SQL} + {_ZY_SQL}) >> 18 AS BIGINT)").alias("zfile"),
+    )
+
+
 _BMP_BIN_SQL = ",\n           ".join(
     f"CAST(coalesce(list_sum(list_transform("
     f"range({i} * bz + 1, least(({i} + 1) * bz, nb) + 1), "
