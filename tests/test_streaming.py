@@ -625,3 +625,90 @@ def test_interval_join_left_outer_emits_nulls_after_expiry(spark, tmp_path):
     assert (1, 2) in streamed and (3, None) in streamed
     assert batch == {(1, 2), (3, None), (5, None)}
     assert streamed == batch - {(5, None)}
+
+
+def test_stateful_idle_timeout_evicts_conversation_state(spark, tmp_path):
+    """Event-time idle eviction: a conversation idle past the watermark
+    horizon loses its state (open game dropped, G4 mid-stream); turns
+    arriving after eviction start a FRESH parser state, and active
+    conversations are unaffected."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from wolf_quake_spark.streaming.stateful import sessionize_stream
+
+    base = dt.datetime(2024, 7, 1, 0, 0, 0)
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+    def turns(conv, idx, ts, lines):
+        return (conv, idx, "tool", "\n".join(lines), "game", ts)
+
+    f1 = [
+        # conv A: opens a game with kills, never closes -> state held open
+        turns("A", 0, base, [
+            "0:01 InitGame: x",
+            "0:02 ClientConnect: 2",
+            "0:03 Kill: 2 2 7: s killed s by MOD_ROCKET_SPLASH",
+        ]),
+        # conv B: a complete game in one batch
+        turns("B", 0, base, [
+            "0:01 InitGame: x",
+            "0:02 ClientConnect: 3",
+            "0:03 Kill: 3 3 7: s killed s by MOD_ROCKET_SPLASH",
+            "0:04 Kill: 3 3 7: s killed s by MOD_ROCKET_SPLASH",
+            "0:05 ShutdownGame:",
+        ]),
+    ]
+    # batch 2: conv C far in the future -> watermark sails past A's deadline
+    f2 = [turns("C", 0, base + dt.timedelta(hours=10),
+                ["0:01 InitGame: x", "0:02 ShutdownGame:"])]
+    # batch 3: unrelated conv D — A receives NO data this batch, so its
+    # expired timer actually fires (data arrival preempts a timeout)
+    f2b = [turns("D", 0, base + dt.timedelta(hours=10, minutes=1),
+                 ["0:01 InitGame: x", "0:02 ShutdownGame:"])]
+    # batch 4: conv A returns AFTER eviction; fresh state, one kill, closes
+    f3 = [turns("A", 1, base + dt.timedelta(hours=11), [
+        "0:06 InitGame: x",
+        "0:07 ClientConnect: 2",
+        "0:08 Kill: 2 2 7: s killed s by MOD_ROCKET_SPLASH",
+        "0:09 ShutdownGame:",
+    ])]
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i, chunk in enumerate([f1, f2, f2b, f3]):
+        st = str(tmp_path / f"s{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("overwrite").parquet(st)
+        dst = str(landing / f"f{i}.parquet")
+        shutil.copyfile(glob.glob(st + "/part-*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    q = (
+        sessionize_stream(stream, idle_timeout_ms=3_600_000)  # 1 hour idle
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("idle_evict")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["conv_id"], r["game_id"]): r["total_kills"]
+        for r in spark.table("idle_evict").collect()
+    }
+    # B's complete game emitted; C's empty game flushed by its shutdown;
+    # A emitted ONLY the post-eviction game — numbered 1 again (fresh
+    # state proves the old accumulators and flush counter were dropped)
+    assert got[("B", 1)] == 2
+    assert got[("C", 1)] == 0
+    assert got[("D", 1)] == 0
+    assert got[("A", 1)] == 1
+    assert len(got) == 4  # A's pre-eviction open game never surfaced

@@ -2586,6 +2586,54 @@ def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_sliding_rollup",
+    """
+    SELECT CAST(to_timestamp(ws) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM (
+      SELECT event_type, value,
+             (epoch_ns(ts) // 1000000000 // 900) * 900 - k * 900 AS ws
+      FROM events, UNNEST([0, 1, 2, 3]) AS t(k))
+    GROUP BY ws, event_type
+    """,
+)
+def q_events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (1-hour windows every 15 minutes): each event
+    lands in exactly window/slide = 4 overlapping windows.
+
+    Uses Spark's native ``F.window(ts, '1 hour', '15 minutes')`` — the
+    engine plans the overlap as an internal 4-way expand feeding ONE hash
+    aggregate, the same one-pass property the rollup/cube entries rely on.
+    The oracle states the expansion explicitly (epoch floor-div to the
+    slide grid, minus k slides).  Epoch alignment: both engines anchor
+    window origins at the epoch, and 900 divides exactly, so bucket edges
+    agree without any timezone assumption on the naive timestamps.
+
+    Streaming face: the identical expression with ``withWatermark`` is the
+    windowed_event_rollup pattern (streaming/windowed.py) — sliding just
+    multiplies open-state windows by window/slide.
+    """
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("window").getField("start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
 @register("sketch_profile", None)  # sketches are algorithm-specific: no SQL
 def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch telemetry per language: HyperLogLog++ distinct text

@@ -155,33 +155,82 @@ def _flush(st: dict, out: list[dict], conv_id: str) -> None:
     st["n_rejects"] = 0
 
 
-def _sessionize_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    conv_id = key[0]
-    st = json.loads(state.get[0]) if state.exists else dict(_FRESH, hist={}, players={})
-    out: list[dict] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("turn_idx")
-        pdf = pdf[pdf["turn_idx"] > st["last_turn"]]  # replay drop
-        for turn_idx, text in zip(pdf["turn_idx"], pdf["text"]):
-            if text is not None and not (isinstance(text, float) and pd.isna(text)):
-                for line in str(text).split("\n"):
-                    _fold_line(st, line, out, conv_id)
-            st["last_turn"] = int(turn_idx)
-    state.update((json.dumps(st),))
-    if out:
-        yield pd.DataFrame(out)
+def _make_sessionize_fn(idle_ms: int | None):
+    def _sessionize_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if idle_ms is not None and state.hasTimedOut:
+            # the conversation idled past the watermark horizon: evict its
+            # state.  The open game is dropped unemitted — the same G4
+            # EOF-drop the batch pipeline applies, decided mid-stream —
+            # and per-key memory stops growing with abandoned convs.
+            state.remove()
+            return
+        conv_id = key[0]
+        st = (
+            json.loads(state.get[0])
+            if state.exists
+            else dict(_FRESH, hist={}, players={})
+        )
+        out: list[dict] = []
+        last_ts_ms = None
+        for pdf in pdfs:
+            if idle_ms is not None and len(pdf):
+                ts_max = int(pdf["ts"].astype("int64").max()) // 1_000_000
+                last_ts_ms = ts_max if last_ts_ms is None else max(last_ts_ms, ts_max)
+            pdf = pdf.sort_values("turn_idx")
+            pdf = pdf[pdf["turn_idx"] > st["last_turn"]]  # replay drop
+            for turn_idx, text in zip(pdf["turn_idx"], pdf["text"]):
+                if text is not None and not (isinstance(text, float) and pd.isna(text)):
+                    for line in str(text).split("\n"):
+                        _fold_line(st, line, out, conv_id)
+                st["last_turn"] = int(turn_idx)
+        state.update((json.dumps(st),))
+        if idle_ms is not None and last_ts_ms is not None:
+            state.setTimeoutTimestamp(last_ts_ms + idle_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    return _sessionize_fn
 
 
-def sessionize_stream(transcripts: DataFrame) -> DataFrame:
-    """Streaming DataFrame of flushed games from a transcripts stream."""
-    return transcripts.groupBy("conv_id").applyInPandasWithState(
-        _sessionize_fn,
-        GAME_SCHEMA,
-        STATE_SCHEMA,
-        "append",
-        GroupStateTimeout.NoTimeout,
+_sessionize_fn = _make_sessionize_fn(None)  # no-timeout fold, shared/tested
+
+
+def sessionize_stream(
+    transcripts: DataFrame,
+    idle_timeout_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming DataFrame of flushed games from a transcripts stream.
+
+    ``idle_timeout_ms`` arms event-time state eviction: a conversation
+    whose last turn is older than the watermark by the timeout has its
+    state removed (open game dropped, G4), so state-store size tracks the
+    ACTIVE conversation set, not every conv_id ever seen — the difference
+    between O(active) and O(total) executor memory at 10¹²-turn scale.  A
+    turn arriving after eviction starts a fresh parser state (its replay
+    high-water mark is gone), matching what a batch re-run over only the
+    retained window would compute.
+    """
+    if idle_timeout_ms is None:
+        return transcripts.groupBy("conv_id").applyInPandasWithState(
+            _sessionize_fn,
+            GAME_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    return (
+        transcripts.withWatermark("ts", watermark_delay)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _make_sessionize_fn(idle_timeout_ms),
+            GAME_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 
