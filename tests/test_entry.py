@@ -29,13 +29,15 @@ def ddb():
 
 
 def _norm(v):
+    if v is None:
+        return "NULL"  # sortable alongside strings (driver comparator rule)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return repr(v)  # exact: engines must agree bit-for-bit
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    return v
+    return str(v)
 
 
 def _canon(cols, rows):

@@ -2634,6 +2634,52 @@ def q_events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    cnt AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type)
+    SELECT prev_type, event_type, n,
+           round(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+             AS p_transition
+    FROM cnt
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    counts and conditional probabilities P(next | prev) — the behavioral
+    fingerprint used for journey analysis and bot detection.
+
+    Scale shape: one user-keyed lag window (the raw-data pass), then the
+    pair counting and the row-normalizing window both run over the tiny
+    |types|² aggregate.  The probability is one IEEE division of exact
+    counts, normalized per row of the matrix.
+    """
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy("prev_type", "event_type").agg(F.count("*").alias("n"))
+    wrow = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wrow).cast("double"), 6
+        ).alias("p_transition"),
+    )
+
+
 @register("sketch_profile", None)  # sketches are algorithm-specific: no SQL
 def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch telemetry per language: HyperLogLog++ distinct text
