@@ -38,3 +38,18 @@ def test_cli_explain_unknown_query_exits(spark, capsys):
         main(["explain", "--sf-dir", SF, "--query", "no_such_query"])
     assert e.value.code == 2
     assert "unknown query" in capsys.readouterr().out
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    import json
+
+    from wolf_quake_spark.cli import main
+
+    root = str(tmp_path / "sink")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(8).write.parquet(root)
+    main(["compact", "--path", root, "--target-mb", "64"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files_before"] == 8 and out["files_after"] == 1
+    assert out["rows"] == 500
+    assert spark.read.parquet(root).count() == 500

@@ -140,3 +140,44 @@ def test_manifest_atomicity(tmp_path):
     m2 = Manifest(str(tmp_path))
     assert m2.completed == {"b1", "b2"}
     assert m2.totals() == {"kills": 7}
+
+
+def test_compaction_preserves_rows_and_partitions(spark, tmp_path):
+    """Small-file compaction: file counts collapse to the byte-target,
+    footer-verified row counts and full content are unchanged, Hive
+    partition columns still derive from directory names, and a second run
+    is a no-op."""
+    from pyspark.sql import functions as F
+
+    from wolf_quake_spark.plans.compact import compact_dir
+
+    root = str(tmp_path / "sink")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # deliberately shatter into many tiny files per language partition
+    docs.repartition(12).write.partitionBy("lang").parquet(root)
+    before = spark.read.parquet(root)
+    n_before = before.count()
+    sig_before = sorted(
+        (r["doc_id"], r["lang"]) for r in before.select("doc_id", "lang").collect()
+    )
+
+    rep = compact_dir(spark, root, target_bytes=64 * 1024 * 1024)
+    assert rep.files_before > rep.files_after
+    assert all(v["files_after"] == 1 for v in rep.leaves.values())
+    assert rep.rows == n_before
+
+    after = spark.read.parquet(root)
+    assert after.count() == n_before
+    sig_after = sorted(
+        (r["doc_id"], r["lang"]) for r in after.select("doc_id", "lang").collect()
+    )
+    assert sig_after == sig_before  # content identical, partitions intact
+    # partition pruning still works on the compacted layout
+    plan = (
+        after.filter(F.col("lang") == "en")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(lang" in plan
+
+    rep2 = compact_dir(spark, root, target_bytes=64 * 1024 * 1024)
+    assert all(v["skipped"] for v in rep2.leaves.values())  # idempotent

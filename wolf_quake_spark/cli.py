@@ -89,6 +89,23 @@ def _cmd_curate(args: argparse.Namespace) -> None:
     print(json.dumps(manifest, sort_keys=True))
 
 
+def _cmd_compact(args: argparse.Namespace) -> None:
+    from wolf_quake_spark.plans.compact import compact_dir
+
+    spark = build_session("wqs-compact", master=args.master)
+    rep = compact_dir(spark, args.path, target_bytes=args.target_mb * 1024 * 1024)
+    print(
+        json.dumps(
+            {
+                "files_before": rep.files_before,
+                "files_after": rep.files_after,
+                "rows": rep.rows,
+                "leaves": len(rep.leaves),
+            }
+        )
+    )
+
+
 TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -181,6 +198,13 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--out", required=True, help="curation output dir")
     c.add_argument("--threshold", type=float, default=0.5, help="near-dup Jaccard")
     c.set_defaults(fn=_cmd_curate)
+
+    k = sub.add_parser(
+        "compact", help="rewrite small sink files to the target size (footer-verified)"
+    )
+    k.add_argument("--path", required=True, help="sink root directory")
+    k.add_argument("--target-mb", type=int, default=128)
+    k.set_defaults(fn=_cmd_compact)
 
     s = sub.add_parser("sql", help="ad-hoc SQL over the benchmark tables")
     s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
