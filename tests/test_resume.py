@@ -181,3 +181,33 @@ def test_compaction_preserves_rows_and_partitions(spark, tmp_path):
 
     rep2 = compact_dir(spark, root, target_bytes=64 * 1024 * 1024)
     assert all(v["skipped"] for v in rep2.leaves.values())  # idempotent
+
+
+def test_read_as_of_snapshot_semantics(spark, small_input, tmp_path):
+    """Time-travel reads over the lineage manifest: 'as of batch k' equals
+    the union of the first k committed batches, prefixes nest, the full
+    snapshot equals a plain read, and unknown ids / empty selections
+    raise."""
+    import pytest
+
+    from wolf_quake_spark.plans.checkpoint import Manifest, read_as_of
+
+    out = str(tmp_path / "out")
+    run_resumable(spark, small_input, out, files_per_batch=2)
+    recs = Manifest(out).records()
+    assert len(recs) >= 3  # multiple commits to travel across
+
+    running = 0
+    for k, rec in enumerate(recs, start=1):
+        running += rec.sink_counts["kills"]
+        # int form: first k commits; str form: up to this batch id
+        assert read_as_of(spark, out, "kills", k).count() == running
+        assert read_as_of(spark, out, "kills", rec.batch_id).count() == running
+
+    full = spark.read.parquet(out + "/kills/*").count()
+    assert read_as_of(spark, out, "kills", len(recs)).count() == full
+
+    with pytest.raises(KeyError):
+        read_as_of(spark, out, "kills", "nope")
+    with pytest.raises(ValueError):
+        read_as_of(spark, out, "kills", 0)

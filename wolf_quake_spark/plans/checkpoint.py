@@ -82,6 +82,36 @@ class Manifest:
                 os.unlink(tmp)
 
 
+def read_as_of(spark, out_dir: str, sink: str, upto: int | str):
+    """Snapshot read: the sink as of the first ``upto`` committed batches
+    (int), or up to and including batch id ``upto`` (str) — the
+    Iceberg read-at-snapshot analog over the lineage manifest.
+
+    The manifest's record order IS the commit sequence (each batch appends
+    its record only after its sinks land, and the JSON round-trips in
+    insertion order), so "as of batch k" is exactly the union of the first
+    k ``batch=<id>`` directories — no data is rewritten or copied to serve
+    historical reads, same as Iceberg snapshot isolation.  Raises
+    ``KeyError`` for an unknown batch id and ``ValueError`` for an empty
+    selection.
+    """
+    recs = Manifest(out_dir).records()
+    if isinstance(upto, str):
+        ids: list[str] = []
+        for r in recs:
+            ids.append(r.batch_id)
+            if r.batch_id == upto:
+                break
+        else:
+            raise KeyError(f"unknown batch id {upto!r}")
+    else:
+        ids = [r.batch_id for r in recs[:upto]]
+    if not ids:
+        raise ValueError("empty snapshot selection")
+    paths = [os.path.join(out_dir, sink, f"batch={i}") for i in ids]
+    return spark.read.parquet(*paths)
+
+
 def batch_id_for(files: list[str]) -> str:
     h = hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()
     return h[:16]
