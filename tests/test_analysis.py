@@ -1067,3 +1067,25 @@ def test_sketch_profile_accuracy(spark):
         lo45, hi55, lo85, hi95 = e["ps"]
         assert lo45 <= r["p50_len"] <= hi55, (lang, dict(r.asDict()), e["ps"])
         assert lo85 <= r["p90_len"] <= hi95, (lang, dict(r.asDict()), e["ps"])
+
+
+def test_global_cumsum_matches_naive_window(spark):
+    """Distributed prefix sum == the single-partition window answer, with
+    ties broken by the unique tiebreak, across partition-count choices."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wolf_quake_spark.analysis.sampling import global_cumsum
+
+    rows = [(i, (i * 37) % 11) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: r["cum"]
+        for r in global_cumsum(df, "v", [F.asc("v"), F.asc("id")], "cum").collect()
+    }
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want

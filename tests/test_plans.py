@@ -311,3 +311,12 @@ def test_q22_scalar_broadcast_and_anti_join(spark):
     assert "BroadcastNestedLoopJoin BuildRight, Cross" in p
     assert "LeftAnti" in p
     assert "GreaterThanOrEqual(o_orderdate" in p  # pushed to the orders scan
+
+
+def test_pareto_uses_distributed_prefix_sum(spark):
+    p = plan_of(spark, "revenue_pareto_front")
+    assert "rangepartitioning" in p  # stage 1 of the two-stage cumsum
+    # SinglePartition allowed only for the #partitions offsets frame and
+    # the 1-row final/total aggregates — never the customer data path
+    assert p.count("Exchange SinglePartition") <= 3
+    assert "CartesianProduct" not in p

@@ -95,6 +95,44 @@ def global_enumerate(
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order: list[Column],
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Total-order global running sum WITHOUT a single-partition window —
+    the prefix-sum sibling of :func:`global_enumerate` (same three stages;
+    stage 3's offset is the sum of all earlier partitions' values instead
+    of their row counts).  ``order`` must be a total order."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 2)
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = (
+        df.repartitionByRange(nparts, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lcs", F.sum(value_col).over(local_w))
+    )
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lcs")).cast("long"))
+        .drop("_pid", "_lcs", "_off")
+    )
+
+
 def training_order(docs: DataFrame, seed: str = "epoch-0") -> DataFrame:
     """Reproducible global shuffle of the corpus into a training order.
 

@@ -2680,6 +2680,61 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "revenue_pareto_front",
+    """
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT o_custkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM c),
+    t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM c)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_top_customers,
+           CAST(MAX(cum) AS BIGINT) AS covered_cents,
+           CAST(MAX(tot) AS BIGINT) AS total_cents
+    FROM r, t
+    WHERE (cum - cents) * 10 < tot * 8
+    """,
+)
+def q_revenue_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto front: the smallest prefix of customers (by descending spend)
+    covering 80% of total revenue — the concentration-curve cutoff.
+
+    A customer belongs to the front while the cumulative revenue BEFORE
+    them is under the threshold, restated as ``(cum − cents)·10 < tot·8``
+    over exact integer cents, so no float decides membership.
+
+    Scale shape: the cumulative sum over the global spend order uses the
+    distributed prefix-sum primitive (``global_cumsum`` — range partition,
+    partition-local running sums, #partitions-row offset frame), NOT a
+    single-partition window; the grand total rides in as a 1-row broadcast.
+    """
+    from wolf_quake_spark.analysis.sampling import global_cumsum
+
+    c = (
+        _read(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    ranked = global_cumsum(
+        c, "cents", [F.desc("cents"), F.asc("o_custkey")], out_col="cum"
+    )
+    tot = c.agg(F.sum("cents").cast("long").alias("tot"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter((F.col("cum") - F.col("cents")) * 10 < F.col("tot") * 8)
+        .agg(
+            F.count("*").alias("n_top_customers"),
+            F.max("cum").alias("covered_cents"),
+            F.max("tot").alias("total_cents"),
+        )
+    )
+
+
 @register("sketch_profile", None)  # sketches are algorithm-specific: no SQL
 def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch telemetry per language: HyperLogLog++ distinct text
