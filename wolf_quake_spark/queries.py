@@ -2735,6 +2735,50 @@ def q_revenue_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_expectations",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_event_ids,
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS dup_event_ids,
+           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_values,
+           CAST(SUM(CASE WHEN event_type IN
+                    ('click', 'view', 'purchase', 'signup', 'error')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS unknown_types,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '1990-01-01 00:00:00'
+                           OR ts >= TIMESTAMP '2035-01-01 00:00:00'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ts_out_of_range
+    FROM events
+    """,
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations audit in ONE pass: null-key count, key
+    uniqueness, domain membership, range checks — the gate a pipeline runs
+    on every landed batch before exposing it downstream (the generic
+    sibling of the FK-edge ``integrity_audit``).
+
+    Scale shape: all expectations are conditional sums sharing a single
+    scan and one constant-width global aggregate; the only extra exchange
+    is the distinct-count expand, which Catalyst plans as a partial
+    aggregate on event_id before anything shuffles.
+    """
+    ev = _read(spark, sf_dir, "events")
+    known = ("click", "view", "purchase", "signup", "error")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        flag(F.col("event_id").isNull()).alias("null_event_ids"),
+        (F.count("*") - F.countDistinct("event_id")).cast("long").alias("dup_event_ids"),
+        flag(F.col("value") < 0).alias("neg_values"),
+        flag(~F.col("event_type").isin(*known)).alias("unknown_types"),
+        flag(
+            (F.col("ts") < F.lit("1990-01-01 00:00:00").cast("timestamp"))
+            | (F.col("ts") >= F.lit("2035-01-01 00:00:00").cast("timestamp"))
+        ).alias("ts_out_of_range"),
+    )
+
+
 @register("sketch_profile", None)  # sketches are algorithm-specific: no SQL
 def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch telemetry per language: HyperLogLog++ distinct text
