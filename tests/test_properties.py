@@ -174,3 +174,29 @@ def test_report_renders_players_desc(players):
     body = lines[rules[1] + 1 : rules[2]]  # the single game block
     entries = [ln.split("│")[3].strip() for ln in body]
     assert [e for e in entries if e] == [f"{nm}: {sc}" for nm, sc in ordered]
+
+
+# ---- Range-join bucketization (queries.q_purchase_window_clicks) ----------
+
+epochs = st.integers(min_value=0, max_value=4_000_000_000)
+
+
+@settings(max_examples=300, deadline=None)
+@given(p=epochs, delta=st.integers(min_value=0, max_value=3599))
+def test_trailing_hour_bucket_candidates_cover_all_matches(p, delta):
+    """Any click in (p-3600, p] lands in hour bucket b(p)-1 or b(p) — the
+    two candidate buckets the bucketized range join expands a purchase
+    into, so the equi-join can never miss a true match."""
+    c = p - delta  # c in (p-3600, p]
+    assert (c // 3600) in ((p // 3600) - 1, p // 3600)
+
+
+@settings(max_examples=300, deadline=None)
+@given(p=epochs, c=epochs)
+def test_bucket_filter_is_sound_and_candidates_bounded(p, c):
+    """Bucket candidacy is a superset of the true range predicate (no false
+    negatives), and each purchase expands to exactly two buckets."""
+    in_range = (c > p - 3600) and (c <= p)
+    candidate = (c // 3600) in ((p // 3600) - 1, p // 3600)
+    if in_range:
+        assert candidate
