@@ -320,3 +320,21 @@ def test_pareto_uses_distributed_prefix_sum(spark):
     # the 1-row final/total aggregates — never the customer data path
     assert p.count("Exchange SinglePartition") <= 3
     assert "CartesianProduct" not in p
+
+
+def test_q10_filters_push_before_big_join(spark):
+    p = plan_of(spark, "returned_item_losses")
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(l_returnflag,R)" in p  # return flag at the lineitem scan
+    assert "GreaterThanOrEqual(o_orderdate" in p  # quarter at the orders scan
+    assert "CartesianProduct" not in p
+
+
+def test_q19_or_predicate_splits_to_both_scans(spark):
+    p = plan_of(spark, "bracketed_discount_revenue")
+    # Catalyst derives single-side implications from the cross-side OR and
+    # pushes each side's OR-of-ANDs tree into its own scan's PushedFilters
+    assert "Or(Or(And(EqualTo(p_brand,Brand#3)" in p  # part scan
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in p  # lineitem scan
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

@@ -2681,6 +2681,109 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "returned_item_losses",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS lost_revenue_x10000,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_x100
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name, CAST(ROUND(c_acctbal * 100) AS BIGINT)
+    ORDER BY lost_revenue_x10000 DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (`returned item reporting`): the 20 customers who
+    cost the most in returned-item revenue over one quarter.
+
+    Scale shape: quarter range pushes to the orders scan and the return
+    flag to the lineitem scan BEFORE the one big⋈big shuffle; customer and
+    nation broadcast; top-20 plans as TakeOrderedAndProject.
+    """
+    cust = F.broadcast(
+        _read(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+        )
+    )
+    nation = F.broadcast(_read(spark, sf_dir, "nation"))
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_x100"),
+        )
+        .agg(F.sum(rev).alias("lost_revenue_x10000"))
+        .select(
+            "c_custkey", "c_name", "n_name", "lost_revenue_x10000", "acctbal_x100"
+        )
+        .orderBy(F.desc("lost_revenue_x10000"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "bracketed_discount_revenue",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_x10000,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 1 AND l_quantity <= 15)
+       OR (p_brand = 'Brand#7' AND p_size BETWEEN 11 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#9' AND p_size BETWEEN 26 AND 50
+           AND l_quantity >= 25 AND l_quantity <= 50)
+    """,
+)
+def q_bracketed_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (`discounted revenue`): revenue under a disjunction
+    of (brand, size-bracket, quantity-bracket) conjunctions — the query
+    pattern whose OR spans BOTH join sides.
+
+    Scale shape: Catalyst splits the disjunction into single-side
+    implications — ``p_brand IN (...)`` + size bounds push to the part
+    scan, the quantity envelope pushes to the lineitem scan — and the full
+    predicate re-applies after the (broadcast) join.  The filtered part
+    side stays dimension-sized; one constant-width global aggregate.
+    """
+    part = F.broadcast(_read(spark, sf_dir, "part"))
+    li = _read(spark, sf_dir, "lineitem")
+    j = li.join(part, part.p_partkey == li.l_partkey)
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    pred = (
+        ((brand == "Brand#3") & size.between(1, 10) & (qty >= 1) & (qty <= 15))
+        | ((brand == "Brand#7") & size.between(11, 25) & (qty >= 10) & (qty <= 30))
+        | ((brand == "Brand#9") & size.between(26, 50) & (qty >= 25) & (qty <= 50))
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return j.filter(pred).agg(
+        F.sum(rev).alias("revenue_x10000"), F.count("*").alias("n_items")
+    )
+
+
+@register(
     "revenue_pareto_front",
     """
     WITH c AS (
