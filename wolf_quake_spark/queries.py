@@ -2784,6 +2784,75 @@ def q_bracketed_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "timed_funnel_conversion",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > s.s_ts AND e.ts <= s.s_ts + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL 7 DAY
+      GROUP BY e.user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_signup,
+           CAST(COUNT(c.user_id) AS BIGINT) AS n_click_7d,
+           CAST(COUNT(p.user_id) AS BIGINT) AS n_purchase_7d
+    FROM s LEFT JOIN c ON s.user_id = c.user_id
+           LEFT JOIN p ON c.user_id = p.user_id
+    """,
+)
+def q_timed_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained sequential funnel: first signup → first click
+    within 7 days of it → first purchase within 7 days of that.  Unlike
+    the order-only ``funnel_conversion``, each stage must land inside the
+    trailing window anchored at the PREVIOUS stage's timestamp — the
+    attribution-style funnel product analytics actually uses.
+
+    Scale shape: three user-keyed aggregates chained by joins that all
+    share the user_id hash partitioning (one logical key end to end; no
+    re-key); each stage's anchor rides the join row, so no window over the
+    raw stream and no self-cartesian.  Counts reduce constant-width.
+    """
+    ev = _read(spark, sf_dir, "events")
+    week = F.expr("INTERVAL 7 DAYS")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter((F.col("ts") > F.col("s_ts")) & (F.col("ts") <= F.col("s_ts") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("c_ts")) & (F.col("ts") <= F.col("c_ts") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    funnel = (
+        s.join(c.select(F.col("user_id").alias("cu")), s.user_id == F.col("cu"), "left")
+        .join(p.select(F.col("user_id").alias("pu")), F.col("cu") == F.col("pu"), "left")
+    )
+    return funnel.agg(
+        F.count("*").alias("n_signup"),
+        F.count("cu").alias("n_click_7d"),
+        F.count("pu").alias("n_purchase_7d"),
+    )
+
+
+@register(
     "revenue_pareto_front",
     """
     WITH c AS (
