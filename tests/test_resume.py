@@ -211,3 +211,55 @@ def test_read_as_of_snapshot_semantics(spark, small_input, tmp_path):
         read_as_of(spark, out, "kills", "nope")
     with pytest.raises(ValueError):
         read_as_of(spark, out, "kills", 0)
+
+
+def test_incremental_view_refresh_equals_full_recompute(spark, tmp_path):
+    """Materialized-view maintenance: each refresh folds ONLY newly
+    committed batches, the pointer flips atomically, and after every
+    refresh the view equals a from-scratch aggregate over all kills."""
+    from pyspark.sql import functions as F
+
+    from wolf_quake_spark.plans.incremental import read_view, refresh_mod_totals
+
+    inp = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    view = str(tmp_path / "view")
+
+    def full_recompute():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(out + "/kills/*")
+                .groupBy("mod_name")
+                .agg(F.count("*").cast("long").alias("n"))
+                .collect(),
+            )
+        )
+
+    def view_rows():
+        return sorted(map(tuple, read_view(spark, view).collect()))
+
+    def _write_convs(spark_, path, n_convs, seed):
+        df = synth_transcripts(
+            spark_, n_convs=n_convs, lines_per_turn=3, n_games=3,
+            kills_per_game=8, seed=seed,
+        ).withColumn("conv_id", F.concat(F.lit(f"s{seed}-"), F.col("conv_id")))
+        df.repartition(max(2, n_convs // 2), "conv_id").write.mode("append").parquet(path)
+
+    _write_convs(spark, inp, n_convs=4, seed=31)
+    run_resumable(spark, inp, out, files_per_batch=1)
+    r1 = refresh_mod_totals(spark, out, view)
+    assert len(r1["processed_now"]) >= 2 and r1["version"] == 1
+    assert view_rows() == full_recompute()
+
+    # idempotent: nothing new -> no-op, same version
+    r2 = refresh_mod_totals(spark, out, view)
+    assert r2 == {"processed_now": [], "version": 1}
+
+    # more conversations land and run -> only the NEW batches fold in
+    _write_convs(spark, inp, n_convs=3, seed=37)
+    run_resumable(spark, inp, out, files_per_batch=1)
+    r3 = refresh_mod_totals(spark, out, view)
+    assert r3["version"] == 2
+    assert set(r3["processed_now"]).isdisjoint(r1["processed_now"])
+    assert view_rows() == full_recompute()
