@@ -712,3 +712,72 @@ def test_stateful_idle_timeout_evicts_conversation_state(spark, tmp_path):
     assert got[("D", 1)] == 0
     assert got[("A", 1)] == 1
     assert len(got) == 4  # A's pre-eviction open game never surfaced
+
+
+def test_sliding_rollup_streaming_matches_batch(spark, tmp_path):
+    """Sliding-window streaming rollup: every window the watermark closed
+    matches the batch face of the identical function (each event lands in
+    window/slide = 4 overlapping windows)."""
+    import datetime as dt
+    import glob
+    import os
+    import random
+    import shutil
+
+    from wolf_quake_spark.streaming.windowed import windowed_event_rollup
+
+    rng = random.Random(23)
+    base = dt.datetime(2024, 4, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = [
+        (i,
+         base + dt.timedelta(minutes=rng.randrange(0, 6 * 60)),
+         rng.randrange(10),
+         rng.choice(["click", "purchase"]),
+         round(rng.uniform(0, 20), 2))
+        for i in range(300)
+    ]
+    rows.sort(key=lambda r: r[1])
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i in range(3):
+        chunk = rows[i * 100:(i + 1) * 100]
+        st = str(tmp_path / f"s{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("overwrite").parquet(st)
+        dst = str(landing / f"f{i}.parquet")
+        shutil.copyfile(glob.glob(st + "/part-*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    q = (
+        windowed_event_rollup(stream, window="1 hour", delay="1 hour",
+                              slide="15 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("slide_parity")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in spark.table("slide_parity").collect()
+    }
+    assert streamed  # some sliding windows closed
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in windowed_event_rollup(
+            spark.createDataFrame(rows, schema), window="1 hour",
+            delay="1 hour", slide="15 minutes"
+        ).collect()
+    }
+    for key, vals in streamed.items():
+        assert batch[key] == vals
+    # sliding really overlaps: ~4 windows per closed hour of activity
+    starts = sorted({k[0] for k in streamed})
+    assert any((b - a) == dt.timedelta(minutes=15) for a, b in zip(starts, starts[1:]))

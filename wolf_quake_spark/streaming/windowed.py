@@ -43,21 +43,26 @@ def windowed_event_rollup(
     window: str = "1 hour",
     delay: str = "2 hours",
     ts_col: str = "ts",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window rollup with an event-time watermark.
+    """Tumbling (default) or sliding (``slide`` < ``window``) rollup with an
+    event-time watermark.
 
     Works on a streaming OR batch ``events``-shaped frame (ts, event_type,
     user_id, value); on a batch frame ``withWatermark`` is a no-op, so the
     same function body serves both engines — one definition, two execution
-    modes (the Structured Streaming contract).
+    modes (the Structured Streaming contract).  Sliding multiplies open
+    state by window/slide overlapping windows per key; each still closes
+    (and emits, in append mode) when the watermark passes its own end.
     """
     # group on the window struct itself (not a projection of it): the
     # watermark binds to the grouping column's event-time metadata, which a
     # .getField("start") projection would strip — append mode then rejects
     # the plan as an unwatermarked streaming aggregation
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     return (
         events.withWatermark(ts_col, delay)
-        .groupBy(F.window(ts_col, window), "event_type")
+        .groupBy(win, "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
