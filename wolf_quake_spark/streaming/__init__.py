@@ -27,6 +27,8 @@ watermarks and tumbling windows — live in streaming.windowed
 """
 
 from wolf_quake_spark.streaming.adapter import run_streaming, transcripts_stream
+from wolf_quake_spark.streaming.dedup import dedup_stream
+from wolf_quake_spark.streaming.interval_join import purchase_click_pairs
 from wolf_quake_spark.streaming.curate import curate_documents_stream
 from wolf_quake_spark.streaming.lww import lww_view
 from wolf_quake_spark.streaming.stateful import (
@@ -37,6 +39,8 @@ from wolf_quake_spark.streaming.windowed import windowed_event_rollup
 
 __all__ = [
     "curate_documents_stream",
+    "dedup_stream",
+    "purchase_click_pairs",
     "lww_view",
     "run_streaming",
     "run_streaming_stateful",
