@@ -1089,3 +1089,29 @@ def test_global_cumsum_matches_naive_window(spark):
         for r in df.withColumn("cum", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+def test_scd2_null_transitions(spark):
+    """SCD2 change detection is null-safe: NULL→value and value→NULL both
+    open a new validity interval; consecutive NULLs collapse."""
+    import datetime as dt
+
+    from wolf_quake_spark.queries import queries
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, None, base, 1),
+        (1, None, base + dt.timedelta(hours=1), 2),   # same (NULL) — collapse
+        (1, "a", base + dt.timedelta(hours=2), 3),    # NULL -> a: change
+        (1, None, base + dt.timedelta(hours=3), 4),   # a -> NULL: change
+    ]
+    df = spark.createDataFrame(rows, "user_id long, props string, ts timestamp, event_id long")
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(d + "/events.parquet")
+    out = sorted(
+        (r["valid_from"], r["props"], r["is_current"])
+        for r in queries()["user_props_scd2"](spark, d).collect()
+    )
+    assert [(o[1], o[2]) for o in out] == [(None, 0), ("a", 0), (None, 1)]

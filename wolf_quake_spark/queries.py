@@ -1623,10 +1623,11 @@ def q_purchase_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS is_current
     FROM (
       SELECT user_id, props, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
              lag(props) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev_props
       FROM events)
-    WHERE prev_props IS NULL OR props IS DISTINCT FROM prev_props
+    WHERE rn = 1 OR props IS DISTINCT FROM prev_props
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
@@ -1643,9 +1644,17 @@ def q_user_props_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _read(spark, sf_dir, "events").select("user_id", "props", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = ev.withColumn("prev_props", F.lag("props").over(w)).filter(
-        F.col("prev_props").isNull()
-        | ~F.col("props").eqNullSafe(F.col("prev_props"))
+    # first row by explicit marker, NOT "prev IS NULL" — a NULL prev also
+    # occurs on a NULL->NULL transition, which must collapse (null-safe
+    # change test), while a user's opening NULL interval must survive
+    changes = (
+        ev.withColumn("prev_props", F.lag("props").over(w))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            | ~F.col("props").eqNullSafe(F.col("prev_props"))
+        )
+        .drop("rn")
     )
     return changes.select(
         "user_id",
