@@ -2862,6 +2862,53 @@ def q_timed_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "brand_affinity_pairs",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON p_partkey = l_partkey),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand)
+    SELECT brand_a, brand_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY brand_a, brand_b
+    ORDER BY n_orders DESC, brand_a ASC, brand_b ASC
+    LIMIT 15
+    """,
+)
+def q_brand_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the brand pairs most often bought in
+    the same order (support counts), the affinity-mining primitive.
+
+    Scale shape: the self-join is keyed on the ORDER, so its fan-out is
+    bounded by (distinct brands per order)² — a small constant set by
+    basket size, never |orders|² — and the upstream DISTINCT collapses
+    multi-item orders before any pairing.  Brand dim broadcasts; the pair
+    aggregate reduces to |brands|² rows max, then a top-15 take.
+    """
+    part = F.broadcast(_read(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(
+            b,
+            (a.l_orderkey == b.ok_b) & (F.col("brand_a") < F.col("brand_b")),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(15)
+    )
+
+
+@register(
     "revenue_pareto_front",
     """
     WITH c AS (
