@@ -338,3 +338,12 @@ def test_q19_or_predicate_splits_to_both_scans(spark):
     assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in p  # lineitem scan
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_asof_stale_guard_single_exchange(spark):
+    # the tolerance guard must add ZERO shuffles over the plain as-of:
+    # both value and ts carries share one (user_id; ts, event_id) window
+    p = plan_of(spark, "events_asof_stale_guard")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") == 1
+    assert "Exchange SinglePartition" not in p

@@ -421,6 +421,69 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_stale_guard",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN p_ts IS NOT NULL AND p_ts >= ts - INTERVAL 1 HOUR
+                THEN p_val END AS fresh_purchase_value,
+           CASE WHEN p_ts IS NULL THEN 'never'
+                WHEN p_ts >= ts - INTERVAL 1 HOUR THEN 'fresh'
+                ELSE 'stale' END AS asof_status
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS) OVER w AS p_val,
+             LAST_VALUE(CASE WHEN event_type = 'purchase' THEN ts END
+                        IGNORE NULLS) OVER w AS p_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    WHERE event_type = 'click'
+    """,
+)
+def q_events_asof_stale_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join: like ``events_asof_value``, but the
+    carried purchase only counts if it happened within the last hour —
+    the staleness guard feature stores apply so a model never trains on
+    state older than its freshness SLA.  Each click is labeled
+    never/fresh/stale.
+
+    Scale shape: identical to the plain as-of — ONE user-keyed window
+    carries (value, ts) of the latest prior purchase; the tolerance is a
+    row-local comparison after the carry, so the guard adds zero shuffles
+    over the unguarded form.
+    """
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    pt = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    fresh = F.col("p_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return (
+        ev.select(  # one projection -> both carries fuse into ONE Window op
+            "*",
+            F.last(pv, ignorenulls=True).over(w).alias("p_val"),
+            F.last(pt, ignorenulls=True).over(w).alias("p_ts"),
+        )
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            F.when(F.col("p_ts").isNotNull() & fresh, F.col("p_val")).alias(
+                "fresh_purchase_value"
+            ),
+            F.when(F.col("p_ts").isNull(), "never")
+            .when(fresh, "fresh")
+            .otherwise("stale")
+            .alias("asof_status"),
+        )
+    )
+
+
+@register(
     "events_hourly_rollup",
     """
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
