@@ -484,6 +484,40 @@ def q_events_asof_stale_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_favorite_event",
+    """
+    SELECT user_id, event_type AS favorite, n
+    FROM (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type ASC) AS rk
+      FROM (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type))
+    WHERE rk = 1
+    """,
+)
+def q_user_favorite_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with deterministic ties: each user's most frequent
+    event type (ties broken lexicographically) — the categorical-mode
+    aggregate Spark lacks natively, built as count → windowed argmax.
+
+    Scale shape: the count aggregate shuffles once on (user, type); the
+    argmax window re-keys to user over rows already collapsed to ≤|types|
+    per user, and Catalyst rewrites the rk=1 filter to WindowGroupLimit
+    (per-group top-1 pruning before the sort buffer fills).
+    """
+    ev = _read(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("favorite"), "n")
+    )
+
+
+@register(
     "events_hourly_rollup",
     """
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
