@@ -518,6 +518,87 @@ def q_user_favorite_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sales_grouping_sets",
+    """
+    SELECT r_name, o_orderpriority,
+           CAST(GROUPING(r_name) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (o_orderpriority))
+    """,
+)
+def q_sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the two marginal totals (per region, per
+    priority) WITHOUT the cross cells or grand total that CUBE would also
+    produce; the shape reporting layers ask for when only the margins
+    matter.
+
+    Scale shape: same one-pass Expand → single hash aggregate as
+    rollup/cube (2 rows per input here instead of cube's 4 — grouping sets
+    expand exactly the requested sets).  Spark's DataFrame API has
+    rollup/cube but not arbitrary sets, so this entry goes through
+    ``spark.sql`` over temp views — same Catalyst plan surface.
+    """
+    for t in ("orders", "customer", "nation", "region"):
+        _read(spark, sf_dir, t).createOrReplaceTempView(f"wqs_gs_{t}")
+    return spark.sql(
+        """
+        SELECT r_name, o_orderpriority,
+               CAST(grouping(r_name) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM wqs_gs_orders
+        JOIN wqs_gs_customer ON o_custkey = c_custkey
+        JOIN wqs_gs_nation ON c_nationkey = n_nationkey
+        JOIN wqs_gs_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "user_event_paths",
+    """
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+           CAST(COUNT(*) AS BIGINT) AS path_len
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: each user's full event-type journey as a
+    '>'-delimited path string — the input representation for journey
+    clustering and sequence mining.
+
+    Spark's ``collect_list`` is ordering-nondeterministic, so the order is
+    imposed structurally: collect (ts, event_id, type) structs, sort the
+    ARRAY (lexicographic struct compare = the (ts, event_id) total order),
+    then project and join — all JVM-side higher-order functions, one
+    user-keyed exchange, no window.
+    """
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("seq")
+        )
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform(F.col("seq"), lambda x: x["event_type"]), ">"
+            ).alias("path"),
+            F.size("seq").cast("long").alias("path_len"),
+        )
+    )
+
+
+@register(
     "events_hourly_rollup",
     """
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
