@@ -1115,3 +1115,31 @@ def test_scd2_null_transitions(spark):
         for r in queries()["user_props_scd2"](spark, d).collect()
     )
     assert [(o[1], o[2]) for o in out] == [(None, 0), ("a", 0), (None, 1)]
+
+
+def test_new_queries_tolerate_empty_events(spark, tmp_path):
+    """Degenerate-input sweep: the event-stream queries must return clean
+    empty/zero results on an empty events table, not throw — the behavior
+    a pipeline needs when a partition or day has no data."""
+    from wolf_quake_spark.queries import queries
+
+    d = str(tmp_path)
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+    )
+    empty.write.mode("overwrite").parquet(d + "/events.parquet")
+    q = queries()
+    expect_empty = [
+        "events_moving_stats", "events_value_ranks", "purchase_window_clicks",
+        "user_props_scd2", "event_transition_matrix", "user_favorite_event",
+        "user_event_paths", "events_sliding_rollup", "events_daily_dense",
+        "events_asof_stale_guard", "user_value_trend",
+    ]
+    for name in expect_empty:
+        assert q[name](spark, d).count() == 0, name
+    # constant-width aggregates return one all-zero/NULL row, not nothing
+    row = q["dq_expectations"](spark, d).collect()[0]
+    assert row["n_rows"] == 0 and row["dup_event_ids"] == 0
+    f = q["timed_funnel_conversion"](spark, d).collect()[0]
+    assert tuple(f) == (0, 0, 0)
