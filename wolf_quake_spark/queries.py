@@ -599,6 +599,43 @@ def q_user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_weekly_actives",
+    """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d JOIN du u
+      ON u.day > d.day - INTERVAL 7 DAY AND u.day <= d.day
+    GROUP BY d.day
+    """,
+)
+def q_rolling_weekly_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) — exact, not sketched.
+
+    Rolling DISTINCT cannot ride a window frame (distinct is not
+    subtractable), so the classic exact plan is: collapse to the
+    (day, user) distinct grid first — the ONLY data-sized step — then
+    range-join the tiny day spine to the grid (each grid row fans out to
+    ≤7 spine days) and count distinct per day.  Scale shape: fan-out is
+    bounded by the window length, the spine broadcasts, and the final
+    distinct-count is over days × window × daily-actives rows, a tiny
+    fraction of the raw stream.
+    """
+    ev = _read(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = F.broadcast(du.select("day").distinct().withColumnRenamed("day", "d"))
+    return (
+        du.join(
+            days,
+            (F.col("day") > F.col("d") - F.expr("INTERVAL 7 DAYS"))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy(F.col("d").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+@register(
     "events_hourly_rollup",
     """
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
