@@ -636,6 +636,47 @@ def q_rolling_weekly_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "daily_new_vs_returning",
+    """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    fs AS (SELECT user_id, MIN(day) AS first_day FROM du GROUP BY user_id)
+    SELECT day,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users
+    FROM du JOIN fs USING (user_id)
+    GROUP BY day
+    """,
+)
+def q_daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per-day split of active users into new (first
+    ever appearance) vs returning — the companion decomposition to the
+    retention-cohort table.
+
+    Scale shape: one distinct collapse to the (day, user) grid, a min
+    aggregate on the user key, and a same-key join back (the grid is
+    already user-hashed from the distinct, so the join reuses the
+    partitioning); daily counts reduce map-side.
+    """
+    ev = _read(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    fs = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        du.join(fs, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+        )
+    )
+
+
+@register(
     "events_hourly_rollup",
     """
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
