@@ -263,3 +263,35 @@ def test_incremental_view_refresh_equals_full_recompute(spark, tmp_path):
     assert r3["version"] == 2
     assert set(r3["processed_now"]).isdisjoint(r1["processed_now"])
     assert view_rows() == full_recompute()
+
+
+def test_read_changes_consumes_each_commit_exactly_once(spark, small_input, tmp_path):
+    """The changes feed: chaining watermarks partitions the commit log —
+    every row is delivered exactly once across calls, and a caught-up
+    consumer gets (None, same watermark)."""
+    import pytest
+
+    from wolf_quake_spark.plans.checkpoint import read_changes
+
+    out = str(tmp_path / "out")
+    run_resumable(spark, small_input, out, files_per_batch=2)
+
+    df1, wm1 = read_changes(spark, out, "kills", None)
+    n1 = df1.count()
+    assert n1 > 0 and wm1 is not None
+
+    # caught up -> no frame, watermark unchanged
+    df2, wm2 = read_changes(spark, out, "kills", wm1)
+    assert df2 is None and wm2 == wm1
+
+    # consume in two hops from the beginning: first commit, then the rest
+    from wolf_quake_spark.plans.checkpoint import Manifest
+
+    first = Manifest(out).records()[0].batch_id
+    hop1 = spark.read.parquet(out + f"/kills/batch={first}")
+    rest, wm_rest = read_changes(spark, out, "kills", first)
+    assert hop1.count() + rest.count() == n1
+    assert wm_rest == wm1
+
+    with pytest.raises(KeyError):
+        read_changes(spark, out, "kills", "bogus")

@@ -112,6 +112,31 @@ def read_as_of(spark, out_dir: str, sink: str, upto: int | str):
     return spark.read.parquet(*paths)
 
 
+def read_changes(spark, out_dir: str, sink: str, since: str | None):
+    """Incremental-consumption dual of :func:`read_as_of`: the rows
+    committed AFTER batch id ``since`` (``None`` = from the beginning).
+
+    Returns ``(df, watermark)`` where ``watermark`` is the newest batch id
+    covered — pass it back as the next call's ``since`` to consume each
+    commit exactly once (the Iceberg incremental-scan contract).  Returns
+    ``(None, since)`` when nothing new has committed; raises ``KeyError``
+    for an unknown ``since``.
+    """
+    recs = Manifest(out_dir).records()
+    if since is None:
+        start = 0
+    else:
+        ids = [r.batch_id for r in recs]
+        if since not in ids:
+            raise KeyError(f"unknown batch id {since!r}")
+        start = ids.index(since) + 1
+    new = [r.batch_id for r in recs[start:]]
+    if not new:
+        return None, since
+    paths = [os.path.join(out_dir, sink, f"batch={i}") for i in new]
+    return spark.read.parquet(*paths), new[-1]
+
+
 def batch_id_for(files: list[str]) -> str:
     h = hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()
     return h[:16]
