@@ -69,16 +69,23 @@ def refresh_mod_totals(
     os.makedirs(view_dir, exist_ok=True)
     state = _load_state(view_dir)
     done = set(state["processed"])
-    new = [r.batch_id for r in Manifest(out_dir).records() if r.batch_id not in done]
+    recs = Manifest(out_dir).records()
+    new = [r.batch_id for r in recs if r.batch_id not in done]
     if not new:
         return {"processed_now": [], "version": state["version"]}
 
-    paths = [os.path.join(out_dir, "kills", f"batch={b}") for b in new]
-    delta = (
-        spark.read.parquet(*paths)
-        .groupBy("mod_name")
-        .agg(F.count("*").alias("n_kills"))
-    )
+    # consume via the changes feed (checkpoint.read_changes) so this job and
+    # ad-hoc incremental consumers share one definition of "new commits".
+    # `since` must be in COMMIT order (the stored processed list is sorted
+    # for readability, and each refresh consumes every new commit, so the
+    # processed set is always a commit-log prefix — its last element in
+    # manifest order is the true watermark).
+    from wolf_quake_spark.plans.checkpoint import read_changes
+
+    done_in_order = [r.batch_id for r in recs if r.batch_id in done]
+    since = done_in_order[-1] if done_in_order else None
+    changed, _wm = read_changes(spark, out_dir, "kills", since)
+    delta = changed.groupBy("mod_name").agg(F.count("*").alias("n_kills"))
     if state["version"] > 0:
         old = spark.read.parquet(os.path.join(view_dir, f"v{state['version']}"))
         merged = (
