@@ -781,3 +781,66 @@ def test_sliding_rollup_streaming_matches_batch(spark, tmp_path):
     # sliding really overlaps: ~4 windows per closed hour of activity
     starts = sorted({k[0] for k in streamed})
     assert any((b - a) == dt.timedelta(minutes=15) for a, b in zip(starts, starts[1:]))
+
+
+def test_interval_join_restart_recovers_state(spark, tmp_path):
+    """Stream-stream join state survives a stop/restart: a purchase whose
+    click arrives only in the SECOND drain still pairs (state-store
+    recovery from the checkpoint), and no pair is emitted twice."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from wolf_quake_spark.streaming.interval_join import purchase_click_pairs
+
+    base = dt.datetime(2024, 9, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "pairs")
+
+    def land(rows, name, mtime):
+        st = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(st)
+        shutil.copyfile(glob.glob(st + "/part-*.parquet")[0], str(landing / name))
+        os.utime(str(landing / name), (mtime, mtime))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing))
+        )
+        q = (
+            purchase_click_pairs(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # drain 1: a purchase and one matching click
+    land([(1, base, 5, "purchase"), (2, base - dt.timedelta(minutes=5), 5, "click")],
+         "f1.parquet", 1_700_000_000)
+    drain()
+    pairs1 = {(r["p_event_id"], r["c_event_id"])
+              for r in spark.read.parquet(sink).collect()}
+    assert pairs1 == {(1, 2)}
+
+    # drain 2 (fresh query object, same checkpoint): a LATER click for the
+    # same held purchase — only recovered state can produce this pair
+    land([(3, base - dt.timedelta(minutes=2), 5, "click")],
+         "f2.parquet", 1_700_000_100)
+    drain()
+    pairs2 = {(r["p_event_id"], r["c_event_id"])
+              for r in spark.read.parquet(sink).collect()}
+    assert pairs2 == {(1, 2), (1, 3)}  # new pair added, old one not duplicated
+
+    # drain 3: nothing new -> no growth (exactly-once across restarts)
+    drain()
+    assert spark.read.parquet(sink).count() == 2
