@@ -239,13 +239,18 @@ def run_streaming_stateful(
     input_path: str,
     out_dir: str,
     max_files_per_trigger: int | None = None,
+    idle_timeout_ms: int | None = None,
 ) -> None:
     """Drain the landing zone through the stateful sessionizer into a
-    ``games`` parquet sink (restartable via the streaming checkpoint)."""
+    ``games`` parquet sink (restartable via the streaming checkpoint).
+    ``idle_timeout_ms`` arms event-time state eviction for abandoned
+    conversations (see :func:`sessionize_stream`)."""
     reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = sessionize_stream(reader.parquet(input_path))
+    stream = sessionize_stream(
+        reader.parquet(input_path), idle_timeout_ms=idle_timeout_ms
+    )
     query = (
         stream.writeStream.format("parquet")
         .option("path", os.path.join(out_dir, "games"))
