@@ -148,3 +148,37 @@ def test_qgames_report_html_multiset_exact():
         return out
 
     assert cells(got) == cells(want)
+
+
+def test_stateful_sink_report_matches_batch_report(spark, tmp_path):
+    """Execution-path independence: the text report rendered from the
+    stateful streaming sink is byte-identical to the one rendered from the
+    batch pipeline's aggregate sinks, on the qgames fixture."""
+    from wolf_quake_spark.datagen import read_reference_log, transcripts_from_log
+    from wolf_quake_spark.plans.pipeline import run_resumable
+    from wolf_quake_spark.report import (
+        render_text,
+        report_from_out_dir,
+        reports_from_stateful_games,
+    )
+    from wolf_quake_spark.streaming import run_streaming_stateful
+
+    log = read_reference_log("qgames.log")
+    if log is None:
+        import pytest
+
+        pytest.skip("reference examples not present")
+    tr = transcripts_from_log(spark, log, "qgames", lines_per_turn=3)
+    landing = str(tmp_path / "landing")
+    tr.orderBy("turn_idx").coalesce(1).write.parquet(landing)
+
+    batch_out = str(tmp_path / "batch_out")
+    run_resumable(spark, landing, batch_out, files_per_batch=8)
+    batch_report = report_from_out_dir(spark, batch_out)
+
+    stream_out = str(tmp_path / "stream_out")
+    run_streaming_stateful(spark, landing, stream_out, max_files_per_trigger=1)
+    games = spark.read.parquet(stream_out + "/games").collect()
+    stream_report = render_text(reports_from_stateful_games(games))
+
+    assert stream_report == batch_report

@@ -178,6 +178,46 @@ def summaries_to_reports(
     return [games[k] for k in sorted(games)]
 
 
+def reports_from_stateful_games(rows, conv_id: str | None = None) -> list[GameReport]:
+    """Build the SAME ordered GameReport list from the stateful streaming
+    sink's rows (streaming/stateful.py GAME_SCHEMA: per-game JSON histogram
+    and roster) — so the report renderer is execution-path-independent:
+    batch aggregates and the incremental state-store drain produce
+    byte-identical reports (parity-tested against ``report_from_out_dir``).
+
+    Ordering matches the batch path exactly: players by (score desc,
+    client_id asc) — the documented deterministic tiebreak — and causes by
+    (count desc, label asc).
+    """
+    import json as _json
+
+    from wolf_quake_spark.data_model import MOD_LOOKUP_ROWS, UNKNOWN_MOD
+
+    mod_names = dict(MOD_LOOKUP_ROWS)
+    out: list[GameReport] = []
+    for r in sorted(
+        (r for r in rows if conv_id is None or r.conv_id == conv_id),
+        key=lambda r: r.game_id,
+    ):
+        roster = _json.loads(r.players_json)
+        players = [
+            (name, kills)
+            for cid, (name, kills) in sorted(
+                roster.items(), key=lambda kv: (-kv[1][1], int(kv[0]))
+            )
+        ]
+        hist = _json.loads(r.hist_json)
+        causes = sorted(
+            (
+                (mod_names.get(int(mid), UNKNOWN_MOD), n)
+                for mid, n in hist.items()
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )
+        out.append(GameReport(r.game_id, r.total_kills, players, causes))
+    return out
+
+
 def report_from_out_dir(
     spark,
     out_dir: str,
