@@ -30,3 +30,28 @@ def test_no_cartesian_or_row_python_anywhere(spark):
         if problems:
             bad[name] = problems
     assert not bad, bad
+
+
+def test_plan_fingerprints_match_snapshot(spark):
+    """Full plan-regression pinning: every registry query's operator
+    fingerprint (scale-determining operator counts) must match the
+    reviewed snapshot.  On intentional plan changes, regenerate with
+    `python scripts/plan_fingerprints.py` and review the diff."""
+    import json
+    import os
+
+    sys_path_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import sys
+
+    sys.path.insert(0, os.path.join(sys_path_dir, "scripts"))
+    from plan_fingerprints import compute_all
+
+    with open(os.path.join(sys_path_dir, "tests", "plan_fingerprints.json")) as fh:
+        want = json.load(fh)
+    got = compute_all(spark)
+    drift = {
+        name: (want.get(name), got.get(name))
+        for name in set(want) | set(got)
+        if want.get(name) != got.get(name)
+    }
+    assert not drift, f"plan drift (regenerate snapshot if intentional): {drift}"
