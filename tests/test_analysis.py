@@ -959,6 +959,14 @@ def test_read_documents_jsonl_and_csv_with_rejects(spark, tmp_path):
     rows = {r["doc_id"]: r["lang"] for r in valid.collect()}
     assert rows == {1: "en", 2: "fr"}
     assert rejects.count() == 2  # both bad lines quarantined, neither crashes
+    # cached raw frame is exposed for release (shared by both splits) and
+    # actually leaves the cache when released
+    from wolf_quake_spark.sources.documents import release
+
+    assert valid._wqs_persisted is rejects._wqs_persisted
+    assert valid._wqs_persisted.storageLevel.useMemory
+    release(valid, rejects)
+    assert not valid._wqs_persisted.storageLevel.useMemory
 
     cv = tmp_path / "docs.csv"
     cv.write_text(
@@ -969,6 +977,7 @@ def test_read_documents_jsonl_and_csv_with_rejects(spark, tmp_path):
     valid, rejects = read_documents_with_rejects(spark, str(cv), fmt="csv")
     assert [r["doc_id"] for r in valid.collect()] == [1]
     assert rejects.count() == 1
+    release(valid)
 
 
 def test_user_value_trend_kernel(spark):

@@ -73,6 +73,22 @@ def test_query_matches_oracle(spark, ddb, name):
         raise AssertionError(f"{name}: values differ, first diffs: {diffs}")
 
 
+def test_registry_releases_persisted_handles(spark):
+    """Operators that persist a shared intermediate expose it as
+    ``_wqs_persisted``; the registry drains every prior query's handle when
+    the next query is built, so a driver looping over queries() leaks at
+    most one cached relation regardless of how many it runs."""
+    if not os.path.exists(SF_DIR):
+        pytest.skip("testdata missing")
+    qs = entry_mod.queries()
+    df1 = qs["minhash_estimate_error"](spark, SF_DIR)
+    df1.collect()
+    h = df1._wqs_persisted
+    assert h.storageLevel.useDisk  # persisted while its consumer runs
+    qs["dedup_exact_groups"](spark, SF_DIR)  # next query drains the handle
+    assert not h.storageLevel.useDisk and not h.storageLevel.useMemory
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()

@@ -183,6 +183,78 @@ def test_compaction_preserves_rows_and_partitions(spark, tmp_path):
     assert all(v["skipped"] for v in rep2.leaves.values())  # idempotent
 
 
+def test_compaction_crash_recovery(spark, tmp_path):
+    """Every crash window of the journaled swap is repaired on the next run
+    with zero row loss: (a) crash after the rewrite but before the journal
+    (orphan tmp dir, invisible to readers, dropped+redone), (b) crash after
+    the journal with moves half-done, (c) crash after moves with originals
+    half-deleted."""
+    import json
+    import os
+    import shutil
+
+    from wolf_quake_spark.plans.compact import (
+        _JOURNAL,
+        _leaf_dirs,
+        compact_dir,
+    )
+
+    def fresh_sink(name):
+        root = str(tmp_path / name)
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        docs.repartition(6).write.parquet(root)
+        return root, spark.read.parquet(root).count()
+
+    # (a) orphan tmp: simulate a rewrite that crashed pre-verification
+    root, n = fresh_sink("a")
+    tmpdir = os.path.join(root, "_compact_tmp_deadbeef")
+    os.makedirs(tmpdir)
+    shutil.copy(
+        next(os.path.join(root, f) for f in os.listdir(root) if f.endswith(".parquet")),
+        os.path.join(tmpdir, "part-junk.parquet"),
+    )
+    assert _leaf_dirs(root) == [root]  # underscore dir is not a leaf
+    rep = compact_dir(spark, root, target_bytes=64 * 1024 * 1024)
+    assert not os.path.exists(tmpdir)  # orphan dropped
+    assert rep.rows == n and spark.read.parquet(root).count() == n
+
+    # (b)+(c): drive the real swap, then rewind it into each crash window
+    root, n = fresh_sink("b")
+    originals = sorted(f for f in os.listdir(root) if f.endswith(".parquet"))
+    tmp = os.path.join(root, "_compact_tmp_cafef00d")
+    spark.read.parquet(root).coalesce(1).write.mode("overwrite").parquet(tmp)
+    new_files = sorted(
+        os.path.join(tmp, f) for f in os.listdir(tmp) if f.endswith(".parquet")
+    )
+    moves = [(f, f"compact-test-{i:05d}.parquet") for i, f in enumerate(new_files)]
+    with open(os.path.join(root, _JOURNAL), "w", encoding="utf-8") as fh:
+        json.dump({"tmp": tmp, "moves": moves, "old": originals}, fh)
+    # crash window (b): journal written, zero moves done
+    compact_dir(spark, root, target_bytes=64 * 1024 * 1024)
+    assert not os.path.exists(os.path.join(root, _JOURNAL))
+    assert spark.read.parquet(root).count() == n
+    kept = sorted(f for f in os.listdir(root) if f.endswith(".parquet"))
+    assert kept == ["compact-test-00000.parquet"]  # originals gone, new in
+
+    # crash window (c): moves done, originals partially deleted
+    root, n = fresh_sink("c")
+    originals = sorted(f for f in os.listdir(root) if f.endswith(".parquet"))
+    tmp = os.path.join(root, "_compact_tmp_0ddba11")
+    spark.read.parquet(root).coalesce(1).write.mode("overwrite").parquet(tmp)
+    new_files = sorted(
+        os.path.join(tmp, f) for f in os.listdir(tmp) if f.endswith(".parquet")
+    )
+    moves = [(f, f"compact-test-{i:05d}.parquet") for i, f in enumerate(new_files)]
+    with open(os.path.join(root, _JOURNAL), "w", encoding="utf-8") as fh:
+        json.dump({"tmp": tmp, "moves": moves, "old": originals}, fh)
+    for src, dst in moves:
+        shutil.move(src, os.path.join(root, dst))
+    os.remove(os.path.join(root, originals[0]))  # crash mid-delete
+    compact_dir(spark, root, target_bytes=64 * 1024 * 1024)
+    assert spark.read.parquet(root).count() == n
+    assert not any(f in os.listdir(root) for f in originals)
+
+
 def test_read_as_of_snapshot_semantics(spark, small_input, tmp_path):
     """Time-travel reads over the lineage manifest: 'as of batch k' equals
     the union of the first k committed batches, prefixes nest, the full
@@ -262,6 +334,19 @@ def test_incremental_view_refresh_equals_full_recompute(spark, tmp_path):
     r3 = refresh_mod_totals(spark, out, view)
     assert r3["version"] == 2
     assert set(r3["processed_now"]).isdisjoint(r1["processed_now"])
+    assert view_rows() == full_recompute()
+
+    # grace retention: v1 survives one flip (a reader that loaded the state
+    # just before the flip can finish reading it), v<N-2> is reclaimed
+    import os
+
+    assert os.path.isdir(os.path.join(view, "v1"))
+    _write_convs(spark, inp, n_convs=2, seed=41)
+    run_resumable(spark, inp, out, files_per_batch=1)
+    r4 = refresh_mod_totals(spark, out, view)
+    assert r4["version"] == 3
+    assert not os.path.isdir(os.path.join(view, "v1"))  # two flips stale
+    assert os.path.isdir(os.path.join(view, "v2"))
     assert view_rows() == full_recompute()
 
 

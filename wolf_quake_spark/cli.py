@@ -81,11 +81,12 @@ def _cmd_report(args: argparse.Namespace) -> None:
 
 def _cmd_curate(args: argparse.Namespace) -> None:
     from wolf_quake_spark.plans.curate import run_curation
-    from wolf_quake_spark.sources.documents import read_documents
+    from wolf_quake_spark.sources.documents import read_documents, release
 
     spark = build_session("wqs-curate", master=args.master)
     docs = read_documents(spark, args.input, fmt=args.input_format)
     manifest = run_curation(spark, docs, args.out, threshold=args.threshold)
+    release(docs)  # jsonl/csv ingest caches the raw frame for reject split
     print(json.dumps(manifest, sort_keys=True))
 
 

@@ -99,11 +99,14 @@ def refresh_mod_totals(
     next_version = state["version"] + 1
     target = os.path.join(view_dir, f"v{next_version}")
     merged.write.mode("overwrite").parquet(target)
-    prev = state["version"]
     _store_state(
         view_dir,
         {"processed": sorted(done | set(new)), "version": next_version},
     )
-    if prev > 0:  # old version is unreachable once the pointer flipped
-        shutil.rmtree(os.path.join(view_dir, f"v{prev}"), ignore_errors=True)
+    # retain the immediately-previous version for one refresh cycle: a reader
+    # that loaded _view_state.json just before the pointer flip may still be
+    # mid-read of v<N-1>, so only v<N-2> (two flips stale) is reclaimed
+    stale = next_version - 2
+    if stale > 0:
+        shutil.rmtree(os.path.join(view_dir, f"v{stale}"), ignore_errors=True)
     return {"processed_now": new, "version": next_version}

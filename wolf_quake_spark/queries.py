@@ -98,9 +98,43 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+# Persisted-handle hygiene: several operators persist an intermediate frame
+# shared across plan branches and expose it as ``result._wqs_persisted``
+# (Spark's CacheManager holds a strong JVM reference, so Python GC never
+# reclaims it).  bench.py releases these itself; for any other registry
+# consumer (the correctness driver, ad-hoc callers) each registered query
+# releases every handle left behind by previously-built queries before it
+# builds its own — by then the earlier result has been materialized (or is
+# abandoned; unpersisting an unmaterialized frame is safe, it just
+# recomputes), so session-lifetime leakage is bounded to ONE handle.
+_OUTSTANDING: list = []
+
+
+def _drain_outstanding() -> None:
+    while _OUTSTANDING:
+        try:
+            _OUTSTANDING.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
+def _track_handle(df: DataFrame) -> DataFrame:
+    h = getattr(df, "_wqs_persisted", None)
+    if h is not None:
+        _OUTSTANDING.append(h)
+    return df
+
+
 def register(name: str, sql: str | None):
     def deco(fn: QueryFn) -> QueryFn:
-        _REGISTRY[name] = (fn, sql)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _drain_outstanding()
+            return _track_handle(fn(spark, sf_dir))
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        _REGISTRY[name] = (wrapped, sql)
         return fn
 
     return deco

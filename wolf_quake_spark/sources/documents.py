@@ -60,16 +60,32 @@ def read_documents_with_rejects(
     else:
         raise ValueError(f"unknown documents format: {fmt!r}")
     # Spark requires the corrupt column to be materialized (cached or
-    # re-selected from a checkpointed frame) before it can be filtered on;
-    # a narrow persist-free split via from_json semantics: select twice.
+    # re-selected from a checkpointed frame) before it can be filtered on.
+    # The cached handle is exposed on BOTH outputs as ``_wqs_persisted``
+    # (repo-wide convention — see dedup.verified_pairs): callers unpersist
+    # once the valid/reject splits are materialized, otherwise repeated
+    # ingest calls accumulate cached relations for the session lifetime.
     df = df.cache()
     valid = df.filter(F.col(_CORRUPT).isNull()).select(*cols)
     rejects = df.filter(F.col(_CORRUPT).isNotNull()).select(
         F.col(_CORRUPT).alias("raw")
     )
+    valid._wqs_persisted = df
+    rejects._wqs_persisted = df
     return valid, rejects
 
 
 def read_documents(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     valid, _ = read_documents_with_rejects(spark, path, fmt)
     return valid
+
+
+def release(*dfs: DataFrame) -> None:
+    """Unpersist the ``_wqs_persisted`` handle(s) behind ingest outputs
+    (idempotent; both splits share one cached frame)."""
+    seen = set()
+    for df in dfs:
+        h = getattr(df, "_wqs_persisted", None)
+        if h is not None and id(h) not in seen:
+            seen.add(id(h))
+            h.unpersist()
