@@ -134,10 +134,23 @@ def test_derived_n_buckets_scales_linearly():
     # occupancy stays ≤ target as n grows; count is a power of two
     assert derived_n_buckets(500) == 8
     assert derived_n_buckets(2000) == 32
-    for n in (100, 1000, 10_000):
+    for n in (100, 1000, 10_000, 1_000_000, 100_000_000):
         nb = derived_n_buckets(n)
         assert nb & (nb - 1) == 0
-        assert n / nb <= 64 or nb == 1 << 8  # bounded occupancy until the cap
+        assert n / nb <= 64  # bounded occupancy — the 2^24 ceiling binds
+        # only past ~10^9 vectors (one sign bit per embedding dim)
+    assert derived_n_buckets(10**12) == 1 << 24
+
+
+def test_srp_derived_width_tracks_corpus_size():
+    from wolf_quake_spark.analysis.similarity import srp_derived_width
+
+    assert srp_derived_width(500) == 4  # floored — bands must discriminate
+    assert srp_derived_width(2000) == 5
+    for n in (10_000, 1_000_000, 100_000_000):
+        w = srp_derived_width(n)
+        assert n / (1 << w) <= 64 or w == 16  # occupancy bounded to the cap
+    assert srp_derived_width(10**12) == 16
 
 
 def _make_ppm(w, h, comment=True):

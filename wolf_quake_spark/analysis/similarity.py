@@ -24,7 +24,11 @@ SCALE = 1000
 
 
 def _quant(col: Column) -> Column:
-    return F.transform(col, lambda x: F.round(x * SCALE).cast("long"))
+    # explicit float64 BEFORE the multiply: embedding elements are float32,
+    # and rounding float32(x)*1000 in single precision disagrees with double
+    # at values like 0.3195f (319.5 in f32, 319.4999… in f64) — the oracle
+    # SQL carries the same CAST(x AS DOUBLE) so both engines quantize in f64
+    return F.transform(col, lambda x: F.round(x.cast("double") * SCALE).cast("long"))
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -89,7 +93,16 @@ def topk(embeddings: DataFrame, query_vec: list[float], k: int = 10) -> DataFram
 
 
 TARGET_OCCUPANCY = 64  # target vectors per coarse bucket
-MAX_BUCKET_BITS = 8  # cap: 256 buckets (raise for >16k-vector corpora)
+
+# Bucket-count ceiling: 2^24 = 16.7M buckets keeps occupancy <= TARGET for
+# corpora up to ~10^9 vectors — the cap no longer binds before the sign-bit
+# supply does (one embedding dim per bit, so bits <= dim; dim=64 here).  The
+# old cap of 8 bits froze bucket count at 256, degrading the bucketed
+# self-join toward O(n²/256) past ~16k vectors; with the derived count the
+# Σ bucket² candidate work stays ~linear (n · TARGET) at any corpus size
+# below the ceiling.  Out-of-range element_at is an error under ANSI mode,
+# so the cap must stay <= the embedding dimensionality.
+MAX_BUCKET_BITS = 24
 
 
 def derived_n_buckets(
@@ -128,7 +141,10 @@ def ivf_assign(
     # element, not by building the full transformed array nbits times)
     bits = [
         F.when(
-            F.round(F.element_at(F.col(vec_col), i + 1) * SCALE).cast("long") >= 0,
+            F.round(F.element_at(F.col(vec_col), i + 1).cast("double") * SCALE).cast(
+                "long"
+            )
+            >= 0,
             F.lit(1 << i),
         ).otherwise(F.lit(0))
         for i in range(nbits)
@@ -270,6 +286,33 @@ def kmeans_assign(
 
 SRP_BITS = 16
 
+# Derived-banding bounds for srp_neardup_pairs: band width (bits per band)
+# grows with corpus size exactly like the IVF bucket count, so each band's
+# 2^width buckets keep occupancy <= TARGET_OCCUPANCY and the band self-join's
+# Σ bucket² candidate work stays ~linear at any n.  A *fixed* 2×8-bit scheme
+# froze bucket count at 256 per band — O(n²/256) past ~16k vectors.  Width is
+# floored at 4 (below that the bands stop discriminating at all) and capped
+# at 16 (bands × width <= 32 signature bits — already 4G buckets per band,
+# far past where recall, not cost, becomes the binding constraint).
+SRP_MIN_WIDTH = 4
+SRP_MAX_WIDTH = 16
+
+
+def srp_derived_width(
+    n_vecs: int,
+    target_occupancy: int = TARGET_OCCUPANCY,
+    min_width: int = SRP_MIN_WIDTH,
+    max_width: int = SRP_MAX_WIDTH,
+) -> int:
+    """Scale-aware SRP band width: smallest bit count giving ≤ ``target``
+    vectors per band bucket, clamped to [min_width, max_width]; mirrors the
+    DuckDB oracle's ``greatest(least(ceil(log2(greatest(n/target,2))),16),4)``
+    formula exactly."""
+    import math
+
+    bits = max(1, math.ceil(math.log2(max(n_vecs / target_occupancy, 2.0))))
+    return max(min_width, min(bits, max_width))
+
 
 def srp_hyperplanes(dim: int, n_bits: int = SRP_BITS, seed: str = "srp") -> list[list[int]]:
     """Deterministic hyperplane coefficients in [-32768, 32767]."""
@@ -320,7 +363,7 @@ def srp_neardup_pairs(
     embeddings: DataFrame,
     dim: int,
     top: int = 20,
-    n_bits: int = SRP_BITS,
+    n_bits: int | None = None,
     bands: int = 2,
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -331,9 +374,16 @@ def srp_neardup_pairs(
     ``bands`` by pigeonhole), then the exact quantized cosine is computed
     per candidate pair with pre-hoisted self-norms.  Candidate volume is
     bounded by band-bucket sizes — never all pairs.
+
+    ``n_bits=None`` (the default) derives the band width from the corpus
+    size (``srp_derived_width`` — one count job, query-side not data-path)
+    so per-band bucket occupancy stays ≤ ``TARGET_OCCUPANCY`` as the corpus
+    grows; pass an explicit ``n_bits`` (a multiple of ``bands``) to pin it.
     """
     from pyspark import StorageLevel
 
+    if n_bits is None:
+        n_bits = bands * srp_derived_width(embeddings.count())
     width = n_bits // bands
     mask = (1 << width) - 1
     quant = _quant(F.col(vec_col))

@@ -62,7 +62,9 @@ from wolf_quake_spark.analysis.sampling import (
 )
 from wolf_quake_spark.analysis.scrub import EMAIL_RE, IPV4_RE, PHONE_RE, redact_pii
 from wolf_quake_spark.analysis.similarity import (
+    MAX_BUCKET_BITS,
     SRP_BITS,
+    SRP_MAX_WIDTH,
     cosine_scores,
     ivf_assign,
     ivf_search,
@@ -3513,7 +3515,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_SQL_BODY = """
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     qq AS (
-      SELECT CAST(SUM(CAST(ROUND(qx * 1000) AS BIGINT) * CAST(ROUND(qx * 1000) AS BIGINT)) AS BIGINT) AS qn
+      SELECT CAST(SUM(CAST(ROUND(CAST(qx AS DOUBLE) * 1000) AS BIGINT) * CAST(ROUND(CAST(qx AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS qn
       FROM (SELECT unnest(qe) AS qx FROM q)
     ),
     u AS (SELECT vec_id, unnest(embedding) AS x,
@@ -3521,8 +3523,8 @@ _ANN_SQL_BODY = """
     uq AS (SELECT unnest(qe) AS qx, generate_subscripts(qe, 1) AS pos FROM q),
     dots AS (
       SELECT u.vec_id,
-             CAST(SUM(CAST(ROUND(u.x * 1000) AS BIGINT) * CAST(ROUND(uq.qx * 1000) AS BIGINT)) AS BIGINT) AS dot,
-             CAST(SUM(CAST(ROUND(u.x * 1000) AS BIGINT) * CAST(ROUND(u.x * 1000) AS BIGINT)) AS BIGINT) AS en
+             CAST(SUM(CAST(ROUND(CAST(u.x AS DOUBLE) * 1000) AS BIGINT) * CAST(ROUND(CAST(uq.qx AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot,
+             CAST(SUM(CAST(ROUND(CAST(u.x AS DOUBLE) * 1000) AS BIGINT) * CAST(ROUND(CAST(u.x AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS en
       FROM u JOIN uq USING (pos) GROUP BY u.vec_id
     )
     SELECT vec_id, dot,
@@ -3583,18 +3585,19 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Scale-derived coarse-bucket assignment, shared by the IVF oracles: bucket
-# count is the smallest power of two keeping occupancy ≤ 64 (capped at 2^8),
+# count is the smallest power of two keeping occupancy ≤ 64 (ceiling 2^24 —
+# see similarity.MAX_BUCKET_BITS for why the cap no longer binds at scale),
 # mirroring analysis/similarity.derived_n_buckets exactly.
-_NB_SQL = """nb AS (
-      SELECT CAST(LEAST(CEIL(LOG2(GREATEST(COUNT(*) / 64.0, 2.0))), 8) AS INTEGER) AS b
+_NB_SQL = f"""nb AS (
+      SELECT CAST(LEAST(CEIL(LOG2(GREATEST(COUNT(*) / 64.0, 2.0))), {MAX_BUCKET_BITS}) AS INTEGER) AS b
       FROM embeddings)"""
 
 _BUCKET_BITS_SQL = (
     "CAST(("
     + "\n           + ".join(
-        f"(CASE WHEN CAST(ROUND(embedding[{i + 1}] * 1000) AS BIGINT) >= 0 AND nb.b >= {i + 1} "
+        f"(CASE WHEN CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE) * 1000) AS BIGINT) >= 0 AND nb.b >= {i + 1} "
         f"THEN {1 << i} ELSE 0 END)"
-        for i in range(8)
+        for i in range(MAX_BUCKET_BITS)
     )
     + ") AS INTEGER)"
 )
@@ -3624,13 +3627,15 @@ def q_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     , qv AS (SELECT embedding AS qe, bucket AS qb FROM assign WHERE vec_id = 0),
     probes AS (
       SELECT DISTINCT xor(CAST(qv.qb AS BIGINT), CAST(f.p AS BIGINT)) AS bucket
-      FROM qv, nb, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS p) f
+      FROM qv, nb, (SELECT unnest(["""
+    + ", ".join(str(p) for p in [0] + [1 << i for i in range(24)])
+    + """]) AS p) f
       WHERE f.p = 0 OR f.p <= CAST(POWER(2, nb.b - 1) AS BIGINT)
     ),
     cand AS (SELECT vec_id, embedding FROM assign
              WHERE bucket IN (SELECT bucket FROM probes)),
     qq AS (
-      SELECT CAST(SUM(CAST(ROUND(qx * 1000) AS BIGINT) * CAST(ROUND(qx * 1000) AS BIGINT)) AS BIGINT) AS qn
+      SELECT CAST(SUM(CAST(ROUND(CAST(qx AS DOUBLE) * 1000) AS BIGINT) * CAST(ROUND(CAST(qx AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS qn
       FROM (SELECT unnest(qe) AS qx FROM qv)
     ),
     u AS (SELECT vec_id, unnest(embedding) AS x,
@@ -3638,8 +3643,8 @@ def q_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     uq AS (SELECT unnest(qe) AS qx, generate_subscripts(qe, 1) AS pos FROM qv),
     dots AS (
       SELECT u.vec_id,
-             CAST(SUM(CAST(ROUND(u.x * 1000) AS BIGINT) * CAST(ROUND(uq.qx * 1000) AS BIGINT)) AS BIGINT) AS dot,
-             CAST(SUM(CAST(ROUND(u.x * 1000) AS BIGINT) * CAST(ROUND(u.x * 1000) AS BIGINT)) AS BIGINT) AS en
+             CAST(SUM(CAST(ROUND(CAST(u.x AS DOUBLE) * 1000) AS BIGINT) * CAST(ROUND(CAST(uq.qx AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot,
+             CAST(SUM(CAST(ROUND(CAST(u.x AS DOUBLE) * 1000) AS BIGINT) * CAST(ROUND(CAST(u.x AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS en
       FROM u JOIN uq USING (pos) GROUP BY u.vec_id
     )
     SELECT vec_id, dot,
@@ -3665,7 +3670,7 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
     floor(sum/count) centroid update, empty-cluster carry-over)."""
     parts = [
         f"""
-    WITH u AS (SELECT vec_id, CAST(ROUND(x * 1000) AS BIGINT) AS xq, pos FROM (
+    WITH u AS (SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq, pos FROM (
       SELECT vec_id, unnest(embedding) AS x,
              generate_subscripts(embedding, 1) AS pos FROM embeddings)),
     c0 AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, pos, xq AS cq
@@ -3738,7 +3743,7 @@ def _srp_core_sql() -> str:
     return f"""
     WITH coef(h, pos, c) AS (VALUES {coef_rows}),
     w(h, wt) AS (VALUES {weights}),
-    u AS (SELECT vec_id, CAST(ROUND(x * 1000) AS BIGINT) AS xq, pos FROM (
+    u AS (SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq, pos FROM (
       SELECT vec_id, unnest(embedding) AS x,
              generate_subscripts(embedding, 1) AS pos FROM embeddings)),
     dots AS (SELECT u.vec_id, coef.h, SUM(u.xq * coef.c) AS dot
@@ -3755,14 +3760,50 @@ def q_srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_signatures(_read(spark, sf_dir, "embeddings"), dim=_SRP_DIM)
 
 
+def _srp_derived_sql() -> str:
+    """CTE chain ending in sig(vec_id, srp_sig) with CORPUS-DERIVED bit
+    count: band width = greatest(least(ceil(log2(greatest(n/64,2))),16),4)
+    (mirrors ``srp_derived_width``), total bits = 2 × width.  Coefficients
+    are embedded for the maximum 2×16 = 32 hyperplanes and filtered to the
+    derived count at runtime — plane h depends only on (seed, h, d), so the
+    first n_bits planes are identical to what the Spark side generates."""
+    max_bits = 2 * SRP_MAX_WIDTH
+    planes = srp_hyperplanes(_SRP_DIM, max_bits)
+    coef_rows = ", ".join(
+        f"({h}, {d + 1}, {planes[h][d]})" for h in range(max_bits) for d in range(_SRP_DIM)
+    )
+    weights = ", ".join(f"({h}, {1 << h})" for h in range(max_bits))
+    return f"""
+    WITH coef(h, pos, c) AS (VALUES {coef_rows}),
+    w(h, wt) AS (VALUES {weights}),
+    nbw AS (SELECT CAST(GREATEST(LEAST(CEIL(LOG2(GREATEST(COUNT(*) / 64.0, 2.0))), 16), 4) AS INTEGER) AS width
+            FROM embeddings),
+    u AS (SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq, pos FROM (
+      SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+    dots AS (SELECT u.vec_id, coef.h, SUM(u.xq * coef.c) AS dot
+             FROM u JOIN coef USING (pos) CROSS JOIN nbw
+             WHERE coef.h < 2 * nbw.width
+             GROUP BY u.vec_id, coef.h),
+    sig AS (SELECT d.vec_id,
+                   CAST(SUM(CASE WHEN d.dot >= 0 THEN w.wt ELSE 0 END) AS BIGINT) AS srp_sig
+            FROM dots d JOIN w USING (h) GROUP BY d.vec_id)
+"""
+
+
 @register(
     "srp_neardup_pairs",
-    _srp_core_sql()
+    _srp_derived_sql()
     + """
     , sbands AS (
-      SELECT vec_id, 0 AS band_id, srp_sig % 256 AS band_val FROM sig
+      SELECT vec_id, 0 AS band_id,
+             srp_sig % CAST(POWER(2, nbw.width) AS BIGINT) AS band_val
+      FROM sig CROSS JOIN nbw
       UNION ALL
-      SELECT vec_id, 1, CAST(floor(srp_sig / 256) AS BIGINT) % 256 FROM sig),
+      SELECT vec_id, 1,
+             CAST(floor(srp_sig / CAST(POWER(2, nbw.width) AS BIGINT)) AS BIGINT)
+               % CAST(POWER(2, nbw.width) AS BIGINT)
+      FROM sig CROSS JOIN nbw),
     norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS nn FROM u GROUP BY vec_id),
     pairs AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -3787,7 +3828,8 @@ def q_srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH banded cosine near-dup pairs, exact-verified (top 20)."""
+    """SRP-LSH banded cosine near-dup pairs, exact-verified (top 20);
+    band width derived from the corpus size (srp_derived_width)."""
     return srp_neardup_pairs(_read(spark, sf_dir, "embeddings"), dim=_SRP_DIM, top=20)
 
 
@@ -4246,7 +4288,7 @@ def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_neardup_pairs",
     _IVF_ASSIGN_SQL
     + """
-    , u AS (SELECT vec_id, CAST(ROUND(x * 1000) AS BIGINT) AS xq, pos FROM (
+    , u AS (SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq, pos FROM (
       SELECT vec_id, unnest(embedding) AS x,
              generate_subscripts(embedding, 1) AS pos FROM embeddings)),
     norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS nn FROM u GROUP BY vec_id),
