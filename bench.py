@@ -154,8 +154,9 @@ def main() -> None:
             secs = time.monotonic() - t0
             # release shared persisted frames (LSH shingles / simhash64
             # fingerprints) — CacheManager pins them for the session otherwise
-            handle = getattr(df, "_wqs_persisted", None)
-            if handle is not None:
+            from wolf_quake_spark.analysis import persisted_handles
+
+            for handle in persisted_handles(df):
                 handle.unpersist()
             return secs
         first = one_run()

@@ -76,8 +76,9 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             scols = df.columns
             srows = [tuple(r) for r in df.collect()]
-            handle = getattr(df, "_wqs_persisted", None)
-            if handle is not None:
+            from wolf_quake_spark.analysis import persisted_handles
+
+            for handle in persisted_handles(df):
                 handle.unpersist()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")

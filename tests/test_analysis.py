@@ -940,6 +940,11 @@ def test_run_curation_end_to_end(spark, tmp_path):
     for lang, stages in manifest["per_lang"].items():
         assert stages == sorted(stages, reverse=True), (lang, stages)
         assert stages[0] > 0
+    # cap observability lands in the manifest next to the stage counts:
+    # uncapped run → nonzero bucket census, zero dropped
+    m = manifest["lsh_bucket_metrics"]
+    assert m["buckets_total"] > 0
+    assert m["buckets_dropped"] == 0 and m["postings_dropped"] == 0
     survivors = spark.read.parquet(f"{out}/survivors")
     n_final = sum(s[-1] for s in manifest["per_lang"].values())
     assert survivors.count() == n_final
@@ -1165,3 +1170,128 @@ def test_new_queries_tolerate_empty_events(spark, tmp_path):
     assert row["n_rows"] == 0 and row["dup_event_ids"] == 0
     f = q["timed_funnel_conversion"](spark, d).collect()[0]
     assert tuple(f) == (0, 0, 0)
+
+
+def test_fuzzy_blocking_composite_and_salted(spark):
+    """Composite (token, length-bucket) blocking is output-identical to
+    single-token blocking (bucket width > max_edits ⇒ no qualifying pair
+    crosses more than one bucket), each pair is emitted exactly once, and
+    salting a boilerplate-dominated block bounds per-task group sizes while
+    leaving the output row-identical."""
+    from pyspark.sql import functions as F
+
+    from wolf_quake_spark.analysis.dedup import fuzzy_key_pairs
+
+    # one dominating boilerplate opener + organic variety
+    rows = [(i, f"terms of service version {i % 7} rev {i}") for i in range(300)]
+    rows += [(1000 + i, f"doc number {i} about topic {i * 31 % 17}") for i in range(50)]
+    rows += [(2000, "terms of service version 1 rev 1x")]  # near-dup of id 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = fuzzy_key_pairs(docs)
+    salted = fuzzy_key_pairs(docs, salt=8, hot_block_size=100)
+    got = sorted(map(tuple, base.collect()))
+    assert sorted(map(tuple, salted.collect())) == got  # row-identical
+    assert len(got) == len({(a, b) for a, b, _ in got})  # exactly-once
+
+    # reference: brute-force all-pairs within max_edits on the same prefix
+    key = F.substring(
+        F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")), 1, 32
+    )
+    k = docs.select("doc_id", key.alias("k"))
+    brute = (
+        k.alias("a")
+        .crossJoin(k.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein("a.k", "b.k").cast("long").alias("edits"),
+        )
+        .filter(F.col("edits") <= 5)
+    )
+    brute_keys = {(a, b) for a, b, _ in map(tuple, brute.collect())}
+    got_keys = {(a, b) for a, b, _ in got}
+    # blocking only prunes pairs that disagree on the first token or sit in
+    # non-adjacent length buckets — every brute pair sharing the block key
+    # must survive, including the hot-block near-dup
+    assert got_keys <= brute_keys
+    assert (1, 2000) in got_keys
+
+    # skew bound: the hot block's A-side verify groups split ~8-fold
+    def max_group(df_pairs_input_salt):
+        key_cols = ["block", "lbj", "s"]
+        return df_pairs_input_salt.groupBy(*key_cols).count().agg(
+            F.max("count")
+        ).collect()[0][0]
+
+    def a_side(salt, hot):
+        kk = F.substring(
+            F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")), 1, 32
+        )
+        keyed = docs.select(
+            "doc_id",
+            kk.alias("k"),
+            F.split(kk, " ")[0].alias("block"),
+            F.floor(F.length(kk) / 8).alias("lbj"),
+        )
+        s = (F.col("doc_id") % salt) if hot else F.lit(0)
+        return keyed.withColumn("s", s.cast("long"))
+
+    unsalted_max = max_group(a_side(8, hot=False))
+    salted_max = max_group(a_side(8, hot=True))
+    assert salted_max * 4 <= unsalted_max  # ≥4× split of the hot group
+
+
+def test_cap_observability_metrics(spark):
+    """Silent-cap observability: winnow's max_df and the LSH bucket cap
+    report exactly what they dropped, via a CollectMetrics node in the same
+    job — values checked against hand-computed fixture counts."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from wolf_quake_spark.analysis.dedup import (
+        candidate_pairs,
+        winnow_fingerprints,
+        winnow_neardup_pairs,
+    )
+
+    # --- winnow: one boilerplate footer shared by ALL docs + unique bodies
+    footer = "standard legal footer text block"
+    rows = [(i, f"unique body {i} {'x' * i} with words. {footer}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(docs)
+    freq = {
+        r["fingerprint"]: r["n"]
+        for r in fp.groupBy("fingerprint").agg(F.count("*").alias("n")).collect()
+    }
+    max_df = 4
+    exp_dropped = sum(1 for v in freq.values() if v > max_df)
+    exp_postings = sum(v for v in freq.values() if v > max_df)
+    assert exp_dropped > 0  # the footer fingerprints exceed the cap
+    obs = Observation("winnow_caps")
+    out = winnow_neardup_pairs(docs, max_df=max_df, observation=obs)
+    out.collect()
+    m = obs.get
+    assert m["fingerprints_total"] == len(freq)
+    assert m["fingerprints_dropped"] == exp_dropped
+    assert m["postings_dropped"] == exp_postings
+
+    # --- LSH: near-identical docs pile into one band bucket; cap drops it
+    rows = [(i, f"the quick brown fox jumps over the lazy dog {i % 2}") for i in range(8)]
+    rows += [(100 + i, f"completely different text number {i} about {i*7}") for i in range(3)]
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+    obs2 = Observation("lsh_caps")
+    capped = candidate_pairs(docs2, max_bucket=3, observation=obs2)
+    n_capped = capped.count()
+    m2 = obs2.get
+    assert m2["buckets_dropped"] >= 1 and m2["postings_dropped"] > 3
+    assert m2["buckets_total"] > m2["buckets_dropped"]
+    # uncapped run has strictly more candidates, and uncapped observation
+    # reports zero dropped
+    obs3 = Observation("lsh_uncapped")
+    uncapped = candidate_pairs(docs2, observation=obs3)
+    assert uncapped.count() > n_capped
+    m3 = obs3.get
+    assert m3["buckets_dropped"] == 0 and m3["postings_dropped"] == 0
+    assert m3["buckets_total"] == m2["buckets_total"]

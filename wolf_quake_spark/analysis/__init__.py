@@ -6,3 +6,12 @@
 # silently diverges cross-engine on vertical-tab text (caught in round-2
 # review).  Both engines interpret this class byte-for-byte the same.
 WS_SPLIT = r"[ \t\n\x0B\f\r]+"
+
+
+def persisted_handles(df) -> list:
+    """Normalize a DataFrame's ``_wqs_persisted`` attribute (None, a single
+    persisted frame, or a list of them) to a list for uniform release."""
+    h = getattr(df, "_wqs_persisted", None)
+    if h is None:
+        return []
+    return list(h) if isinstance(h, (list, tuple)) else [h]

@@ -127,9 +127,55 @@ def lsh_buckets(docs: DataFrame, **kw) -> DataFrame:
     )
 
 
-def candidate_pairs(docs: DataFrame, **kw) -> DataFrame:
-    """Near-duplicate candidate pairs via band-bucket self-join."""
+def candidate_pairs(
+    docs: DataFrame,
+    max_bucket: int | None = None,
+    observation=None,
+    **kw,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via band-bucket self-join.
+
+    ``max_bucket`` drops band buckets with more than that many docs from
+    pair generation (the stopband cap that bounds a degenerate bucket's
+    O(bucket²) contribution — same trade as winnow's ``max_df``); the
+    default generates pairs from every bucket.  ``observation`` (a
+    ``pyspark.sql.Observation``) surfaces the cap's effect as metrics
+    computed inside the same job — ``buckets_total``, ``buckets_dropped``,
+    ``postings_dropped`` — so a silently-capped run is visible in the run
+    manifest instead of reading as full coverage.  Cost: the bucket-size
+    aggregate + a LEFT SEMI prune, only paid when either option is set.
+    """
     bands = lsh_bands(docs, **kw)
+    if max_bucket is None and observation is None:
+        return _pairs_of(bands)
+    sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("_n"))
+    cap = max_bucket if max_bucket is not None else None
+    if observation is not None:
+        over = F.lit(False) if cap is None else (F.col("_n") > cap)
+        sizes = sizes.observe(
+            observation,
+            F.count(F.lit(1)).alias("buckets_total"),
+            F.sum(F.when(over, 1).otherwise(0)).alias("buckets_dropped"),
+            F.sum(F.when(over, F.col("_n")).otherwise(0)).alias("postings_dropped"),
+        )
+    if cap is not None:
+        sizes = sizes.filter(F.col("_n") <= cap)
+    bands = bands.join(
+        sizes.select("band_id", "band_hash"), ["band_id", "band_hash"], "left_semi"
+    )
+    if observation is not None:
+        # Observation cannot live under a self-join (the CollectMetrics
+        # subtree would be cloned into both sides → duplicate metric rows
+        # abort the read).  Persist the pruned band frame and collect the
+        # metrics with ONE action; the self-join below then consumes the
+        # cache, never the observed subtree.  Handle exposed for release.
+        from pyspark import StorageLevel
+
+        bands = bands.persist(StorageLevel.DISK_ONLY)
+        bands.count()
+        out = _pairs_of(bands)
+        out._wqs_persisted = bands
+        return out
     return _pairs_of(bands)
 
 
@@ -152,6 +198,8 @@ def verified_pairs(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
     text_col: str = "text",
+    max_bucket: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """LSH candidate pairs verified with exact shingle Jaccard, end to end.
 
@@ -174,10 +222,20 @@ def verified_pairs(
         StorageLevel.DISK_ONLY
     )
     pairs = candidate_pairs(
-        docs, k=k, bands=bands, shingle_n=shingle_n, text_col=text_col, shingles=sh
+        docs,
+        k=k,
+        bands=bands,
+        shingle_n=shingle_n,
+        text_col=text_col,
+        shingles=sh,
+        max_bucket=max_bucket,
+        observation=observation,
     )
     out = ngram_jaccard(docs, pairs, shingle_n=shingle_n, shingles=sh)
-    out._wqs_persisted = sh
+    from wolf_quake_spark.analysis import persisted_handles
+
+    handles = [sh] + persisted_handles(pairs)
+    out._wqs_persisted = handles if len(handles) > 1 else sh
     return out
 
 
@@ -186,20 +244,41 @@ def fuzzy_key_pairs(
     prefix_len: int = 32,
     max_edits: int = 5,
     text_col: str = "text",
+    length_bucket: int = 8,
+    salt: int | None = None,
+    hot_block_size: int = 1024,
 ) -> DataFrame:
     """Entity-resolution-style fuzzy matching: document pairs whose
     normalized text prefix is within ``max_edits`` Levenshtein edits,
-    candidate-blocked on the prefix's first token.
+    candidate-blocked on a COMPOSITE key (first token, length bucket).
 
     The classic blocked record-linkage shape: normalize → block (cheap
     equality key) → verify (expensive edit distance) only within blocks —
-    never all-pairs.  Blocking on the first token is O(Σ block²); at 100 TB
-    a skew-prone first token (boilerplate openers) needs a composite block
-    key (token + length bucket) or the same salting used elsewhere — the
-    block column is exposed so callers can extend it.  Edit distance runs
+    never all-pairs.  First-token-only blocking is skew-prone (boilerplate
+    openers put every "terms ..." doc in one block → one O(block²) task);
+    the composite key splits each token block by ``floor(len/length_bucket)``
+    with the B side exploded to the bucket's ±1 neighborhood.  Because
+    Levenshtein ≥ |len difference|, any pair within ``max_edits`` edits sits
+    in the same or an adjacent bucket whenever ``length_bucket > max_edits``
+    — so the OUTPUT is provably identical to single-key blocking (the same
+    restate-don't-weaken trade as purchase_window_clicks' range join) while
+    candidate volume drops from Σ token-block² to Σ (token,bucket)-block².
+    Each unordered pair is generated exactly once: the A side carries only
+    its own bucket, the B side its {-1,0,+1} neighborhood, and exactly one
+    B-emission matches A's bucket.
+
+    ``salt=S`` additionally splits the A side of blocks LARGER than
+    ``hot_block_size`` across S deterministic salts (``doc_id % S``), with
+    the B side of those blocks replicated S-fold — the targeted skew-join
+    salting also used for mega-conversations in sessionize.  Output is
+    unchanged (each pair still meets exactly once, at A's salt); per-task
+    verify work for a hot block drops ~S-fold.  The hot-block list is one
+    aggregate broadcast back — tiny by construction.  Edit distance runs
     JVM-side (``levenshtein``), and the prefix cap bounds its O(len²) cost
     per pair.
     """
+    if length_bucket <= max_edits:
+        raise ValueError("length_bucket must exceed max_edits for exactness")
     key = F.substring(
         F.lower(F.regexp_replace(F.col(text_col), WS_SPLIT, " ")), 1, prefix_len
     )
@@ -207,15 +286,45 @@ def fuzzy_key_pairs(
         "doc_id",
         key.alias("k"),
         F.split(key, " ")[0].alias("block"),
+        F.floor(F.length(key) / length_bucket).alias("lb"),
     ).filter(F.col("k") != "")
+    if salt:
+        hot = (
+            keyed.groupBy("block")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > hot_block_size)
+            .select("block")
+        )
+        keyed = keyed.join(F.broadcast(hot).withColumn("_hot", F.lit(True)), "block", "left")
+        a_salt = F.when(F.col("_hot").isNotNull(), F.col("doc_id") % salt).otherwise(
+            F.lit(0)
+        )
+        b_salts = F.when(
+            F.col("_hot").isNotNull(), F.array(*[F.lit(s) for s in range(salt)])
+        ).otherwise(F.array(F.lit(0)))
+    else:
+        a_salt = F.lit(0)
+        b_salts = F.array(F.lit(0))
     a = keyed.select(
-        F.col("doc_id").alias("doc_a"), F.col("k").alias("ka"), "block"
+        F.col("doc_id").alias("doc_a"),
+        F.col("k").alias("ka"),
+        "block",
+        F.col("lb").alias("lbj"),
+        a_salt.cast("long").alias("s"),
     )
     b = keyed.select(
-        F.col("doc_id").alias("doc_b"), F.col("k").alias("kb"), "block"
+        F.col("doc_id").alias("doc_b"),
+        F.col("k").alias("kb"),
+        "block",
+        F.explode(F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)).alias("lbj"),
+        b_salts.alias("_ss"),
+    ).select(
+        "doc_b", "kb", "block", "lbj", F.explode("_ss").alias("_s")
+    ).select(
+        "doc_b", "kb", "block", "lbj", F.col("_s").cast("long").alias("s")
     )
     return (
-        a.join(b, "block")
+        a.join(b, ["block", "lbj", "s"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
@@ -553,6 +662,7 @@ def winnow_neardup_pairs(
     min_shared: int = 2,
     max_df: int = 50,
     text_col: str = "text",
+    observation=None,
 ) -> DataFrame:
     """(doc_a, doc_b, shared_fps) — doc pairs sharing >= min_shared winnowed
     fingerprints, via a postings-list self-join.
@@ -562,20 +672,38 @@ def winnow_neardup_pairs(
     ``max_df`` cap drops boilerplate fingerprints (shared headers, templated
     text) whose postings would otherwise explode quadratically — the same
     trick as stopword-shingle removal in MinHash pipelines; at 100 TB the
-    cap is what keeps the self-join linear-ish, and dropped-fingerprint
-    counts should be logged as an observability metric.
+    cap is what keeps the self-join linear-ish.  Pass ``observation`` (a
+    ``pyspark.sql.Observation``) to surface what the cap silently dropped —
+    ``fingerprints_total`` / ``fingerprints_dropped`` / ``postings_dropped``
+    — computed by the same job (a CollectMetrics node on the frequency
+    aggregate, no extra pass).
     """
     fp = winnow_fingerprints(docs, k=k, w=w, text_col=text_col)
-    kept = (
-        fp.groupBy("fingerprint")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= max_df)
-        .select("fingerprint")
-    )
+    freq = fp.groupBy("fingerprint").agg(F.count("*").alias("_df"))
+    if observation is not None:
+        over = F.col("_df") > max_df
+        freq = freq.observe(
+            observation,
+            F.count(F.lit(1)).alias("fingerprints_total"),
+            F.sum(F.when(over, 1).otherwise(0)).alias("fingerprints_dropped"),
+            F.sum(F.when(over, F.col("_df")).otherwise(0)).alias("postings_dropped"),
+        )
+    kept = freq.filter(F.col("_df") <= max_df).select("fingerprint")
     pruned = fp.join(kept, "fingerprint")
+    out_handle = None
+    if observation is not None:
+        # same self-join constraint as candidate_pairs: the observed
+        # frequency subtree must execute exactly once, so the pruned
+        # postings frame is persisted and the metrics row collected by one
+        # count before the pair join consumes the cache
+        from pyspark import StorageLevel
+
+        pruned = pruned.persist(StorageLevel.DISK_ONLY)
+        pruned.count()
+        out_handle = pruned
     a = pruned.alias("a")
     b = pruned.alias("b")
-    return (
+    out = (
         a.join(b, "fingerprint")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
@@ -584,6 +712,9 @@ def winnow_neardup_pairs(
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+    if out_handle is not None:
+        out._wqs_persisted = out_handle
+    return out
 
 
 def dedup_components(
@@ -621,13 +752,14 @@ def dedup_components(
     lineage (no-op needed at the round counts seen here).
     """
     vp = verified_pairs(docs, **kw)
-    shingle_handle = getattr(vp, "_wqs_persisted", None)
+    from wolf_quake_spark.analysis import persisted_handles
+
     pairs = vp.filter(F.col("jaccard") >= threshold)
     return label_propagate(
         docs.select("doc_id"),
         pairs,
         max_iter=max_iter,
-        release_after_edges=shingle_handle,
+        release_after_edges=persisted_handles(vp),
     )
 
 
@@ -684,7 +816,13 @@ def label_propagate(
     )
     edges.count()  # materialize so upstream caches can be released now
     if release_after_edges is not None:
-        release_after_edges.unpersist()
+        handles = (
+            release_after_edges
+            if isinstance(release_after_edges, (list, tuple))
+            else [release_after_edges]
+        )
+        for h in handles:
+            h.unpersist()
 
     labels = nodes.select("doc_id", F.col("doc_id").alias("component_id")).persist(
         StorageLevel.DISK_ONLY

@@ -47,12 +47,20 @@ def _sample_flag() -> F.Column:
     return F.when(hash_bucket(F.col("doc_id"), SAMPLE_SALT) < thresh, 1).otherwise(0)
 
 
-def curation_signals(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def curation_signals(
+    docs: DataFrame, threshold: float = 0.5, lsh_observation=None
+) -> DataFrame:
     """One row per doc with the four independent curation signals:
     ``q`` (quality-filter keep), ``canon`` (dedup survivor), ``clean``
-    (no benchmark contamination), ``samp`` (stratified-sample keep)."""
+    (no benchmark contamination), ``samp`` (stratified-sample keep).
+
+    ``lsh_observation`` threads a ``pyspark.sql.Observation`` down to the
+    dedup stage's LSH bucket aggregate so bucket-cap effects are visible in
+    the run manifest (see analysis/dedup.candidate_pairs)."""
     fc = filter_chain(docs).select("doc_id", F.col("keep").alias("q"))
-    comp = dedup_components(docs, threshold=threshold).select(
+    comp = dedup_components(
+        docs, threshold=threshold, observation=lsh_observation
+    ).select(
         "doc_id",
         F.when(F.col("is_canonical"), 1).otherwise(0).cast("long").alias("canon"),
     )
@@ -101,7 +109,10 @@ def run_curation(
     signals frame via ``observe``-free aggregation of the written table, so
     the manifest can never disagree with the data).  Returns the manifest.
     """
-    signals = curation_signals(docs, threshold=threshold)
+    from pyspark.sql import Observation
+
+    lsh_obs = Observation("lsh_buckets")
+    signals = curation_signals(docs, threshold=threshold, lsh_observation=lsh_obs)
     signals.write.mode("overwrite").parquet(os.path.join(out_dir, "signals"))
     sig = spark.read.parquet(os.path.join(out_dir, "signals"))
     survivors = (
@@ -137,6 +148,10 @@ def run_curation(
     )
     manifest = {
         "stages": ["input", "quality", "dedup", "decontam", "sampled"],
+        # cap observability next to the stage counts: what the LSH bucket
+        # cap silently excluded from pair generation this run (0 dropped
+        # when uncapped — still recorded so coverage claims are auditable)
+        "lsh_bucket_metrics": {k: int(v) for k, v in lsh_obs.get.items()},
         "per_lang": {
             r["lang"]: [
                 r["n_input"], r["n_quality"], r["n_dedup"],

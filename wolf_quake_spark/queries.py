@@ -121,9 +121,9 @@ def _drain_outstanding() -> None:
 
 
 def _track_handle(df: DataFrame) -> DataFrame:
-    h = getattr(df, "_wqs_persisted", None)
-    if h is not None:
-        _OUTSTANDING.append(h)
+    from wolf_quake_spark.analysis import persisted_handles
+
+    _OUTSTANDING.extend(persisted_handles(df))
     return df
 
 
@@ -4129,8 +4129,10 @@ def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy matching (record linkage): doc pairs within 5 edits on
-    the normalized 32-char prefix, candidates blocked on the first token so
-    the edit distance never runs all-pairs."""
+    the normalized 32-char prefix.  The Spark plan blocks on the composite
+    (first token, ±1 length bucket) key — provably output-identical to the
+    oracle's single-token blocking since bucket width > max_edits, while
+    splitting skew-prone boilerplate-opener blocks (see fuzzy_key_pairs)."""
     return fuzzy_key_pairs(_read(spark, sf_dir, "documents"))
 
 
