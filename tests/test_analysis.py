@@ -1295,3 +1295,30 @@ def test_cap_observability_metrics(spark):
     m3 = obs3.get
     assert m3["buckets_dropped"] == 0 and m3["postings_dropped"] == 0
     assert m3["buckets_total"] == m2["buckets_total"]
+
+
+def test_kmeans_parallel_seeding_separates_blobs(spark):
+    """k-means‖-style seeding must place seeds across well-separated blobs
+    even when every low-vec_id vector sits in ONE blob — the case where the
+    old first-k seeding started all centroids in the same cluster.  Also
+    exercises the convergence probe: with clean blobs the assignment reaches
+    a fixpoint well before the iteration cap."""
+    from pyspark.sql import functions as F
+
+    from wolf_quake_spark.analysis.similarity import kmeans_assign
+
+    # 24 vectors: ids 0..11 cluster tightly around (10,0,0,0); ids 12..23
+    # around (0,10,0,0) — first-k seeding would seed only blob A
+    rows = [(i, [10.0 + (i % 3) * 0.1, 0.0, 0.0, 0.0]) for i in range(12)]
+    rows += [(12 + i, [0.0, 10.0 + (i % 3) * 0.1, 0.0, 0.0]) for i in range(12)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["cent_id"]
+        for r in kmeans_assign(vecs, iters=8).collect()  # derived k = 5
+    }
+    blob_a = {got[i] for i in range(12)}
+    blob_b = {got[12 + i] for i in range(12)}
+    assert blob_a.isdisjoint(blob_b)  # no centroid straddles the two blobs
+    # deterministic across runs
+    again = {r["vec_id"]: r["cent_id"] for r in kmeans_assign(vecs, iters=8).collect()}
+    assert got == again

@@ -209,51 +209,154 @@ def neardup_pairs(
 
 # --- k-means IVF quantizer (Lloyd iterations as DataFrame ops) -------------
 
+KMEANS_MAX_K = 65536  # past this, use hierarchical (two-level) quantization
+
+
+def derived_k(n_vecs: int, max_k: int = KMEANS_MAX_K) -> int:
+    """Scale-aware centroid count: the canonical IVF ``nlist ≈ √n`` rule,
+    clamped to [2, max_k].  √n balances the two costs that bound a coarse
+    quantizer — the broadcast centroid table (k rows per assignment pass)
+    and per-cell occupancy (n/k vectors brute-forced per probe) — both grow
+    as √n.  Mirrors the oracle's ``greatest(least(round(sqrt(n)),65536),2)``
+    exactly (IEEE sqrt is correctly rounded, so both engines agree)."""
+    import math
+
+    return max(2, min(int(round(math.sqrt(n_vecs))), max_k))
+
+
+def _hash20(col: Column) -> Column:
+    """Deterministic 20-bit integer weight in [1, 2^20] from the first five
+    md5 hex chars — strpos/instr arithmetic only, so the DuckDB oracle
+    reproduces it without engine-specific hex casts (cf. dedup._hex4_int)."""
+    h = F.md5(col.cast("string"))
+
+    def v(i: int) -> Column:
+        return F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
+
+    out = v(0)
+    for i in range(1, 5):
+        out = out * 16 + v(i)
+    return out + 1
+
 
 def kmeans_assign(
     embeddings: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Real IVF coarse quantizer: k-means over quantized vectors, entirely in
-    DataFrame ops (no UDF, no collect of the data — only the k centroids come
-    to the driver between Lloyd iterations, which is the textbook k-means
-    driver loop).
+    DataFrame ops (no UDF, no collect of the data — only k-sized frames come
+    to the driver, which is the textbook k-means driver loop).
+
+    ``k=None`` derives the centroid count from the corpus size (√n rule,
+    :func:`derived_k`) so the quantizer tracks corpus growth instead of
+    freezing at a demo constant.
+
+    Seeding is k-means‖-style (Bahmani et al., VLDB'12) rather than "first k
+    vectors": constant passes, oversample, weighted reduce —
+    1. one cost pass against the min-vec_id vector: d²(x, c₀);
+    2. oversample ℓ = 2k candidates by the deterministic cost-proportional
+       rank ``d² · hash20(vec_id)`` (integer product — exact, engine-portable;
+       the hash plays the uniform draw's role in sampling ∝ d²), taken with
+       a distributed TakeOrdered, not a single-partition window;
+    3. one weight pass: every vector votes for its nearest candidate, and
+       the k heaviest candidates become the seeds (cent_id = weight rank).
+       Duplicate-vector candidates can collapse, so k is an upper bound.
+    Versus first-k seeding the seeds land spread across the data's dense
+    regions instead of wherever vec_ids 0..k-1 happen to sit.
+
+    Lloyd iterations run up to ``iters`` rounds with a convergence probe:
+    the per-round assignment signature (order-independent xxhash64 sum) plus
+    total cost — two scalars to the driver; an unchanged pair is a fixpoint
+    (assignment fixed ⇒ centroid update deterministic ⇒ all further rounds
+    no-ops), so early exit stays bit-identical to the oracle's fixed
+    ``iters`` unroll.
 
     Deterministic and engine-exact: distances are integer L2² over the
     quantized components, argmin ties break on lowest centroid id, and
     centroid updates use ``floor(sum/count)`` (one correctly-rounded double
     division) — the DuckDB oracle reproduces assignments bit-for-bit.
-    Init: the vectors with ``vec_id`` 0..k-1 (deterministic seeding).
 
-    Returns (vec_id, cent_id).  At 100 TB each iteration is one narrow
-    broadcast-join pass + one (cent_id, pos) aggregation of k·dim rows.
+    Returns (vec_id, cent_id).  At 100 TB each pass is one narrow
+    broadcast-join scan + a (cent_id, pos) aggregation of k·dim rows; past
+    ``KMEANS_MAX_K`` centroids the broadcast stops fitting and the quantizer
+    should go hierarchical (coarse k-means over √k cells, then per-cell).
     """
+    from pyspark import StorageLevel
+
     spark = embeddings.sparkSession
     q = embeddings.select("vec_id", _quant(F.col(vec_col)).alias("qe"))
-    cents = (
-        q.filter(F.col("vec_id") < k)
-        .select(F.col("vec_id").cast("int").alias("cent_id"), F.col("qe").alias("cvec"))
-    )
+    if k is None:
+        k = derived_k(embeddings.count())
 
-    def assign(cframe: DataFrame) -> DataFrame:
-        d = F.aggregate(
-            F.zip_with(F.col("qe"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+    def l2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
+
+    # --- k-means|| seeding ---------------------------------------------
+    c0 = q.orderBy("vec_id").limit(1).select(F.col("qe").alias("c0"))
+    cost = q.crossJoin(F.broadcast(c0)).select(
+        "vec_id", "qe", l2(F.col("qe"), F.col("c0")).alias("d2")
+    )
+    cand = (
+        cost.select("vec_id", "qe", (F.col("d2") * _hash20(F.col("vec_id"))).alias("w"))
+        .orderBy(F.desc("w"), F.asc("vec_id"))
+        .limit(2 * k)
+        .select(F.col("vec_id").alias("cand_id"), F.col("qe").alias("cvec"))
+    )
+    near = (
+        q.crossJoin(F.broadcast(cand))
+        .select("vec_id", "cand_id", l2(F.col("qe"), F.col("cvec")).alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cand_id")).alias("m"))
+        .select(F.col("m.cand_id").alias("cand_id"))
+    )
+    seed_rows = (
+        near.groupBy("cand_id")
+        .agg(F.count("*").alias("wt"))
+        .orderBy(F.desc("wt"), F.asc("cand_id"))
+        .limit(k)
+        .collect()
+    )
+    seed_map = spark.createDataFrame(
+        [(r["cand_id"], i) for i, r in enumerate(seed_rows)], "cand_id long, cent_id int"
+    )
+    cents = (
+        q.join(F.broadcast(seed_map), q["vec_id"] == seed_map["cand_id"])
+        .select("cent_id", F.col("qe").alias("cvec"))
+    )
+
+    def assign(cframe: DataFrame) -> DataFrame:
         scored = q.crossJoin(F.broadcast(cframe)).select(
-            "vec_id", "qe", "cent_id", d.alias("dist")
+            "vec_id", "qe", "cent_id", l2(F.col("qe"), F.col("cvec")).alias("dist")
         )
         return (
             scored.groupBy("vec_id", "qe")
             .agg(F.min(F.struct("dist", "cent_id")).alias("m"))
-            .select("vec_id", "qe", F.col("m.cent_id").alias("cent_id"))
+            .select(
+                "vec_id", "qe", F.col("m.cent_id").alias("cent_id"),
+                F.col("m.dist").alias("dist"),
+            )
         )
 
+    prev_sig = None
     for _ in range(iters):
-        a = assign(cents)
+        a = assign(cents).persist(StorageLevel.DISK_ONLY)
+        sig_row = a.agg(
+            # decimal(38) sum: full-range xxhash64 values overflow a BIGINT
+            # sum under ANSI mode; decimal stays exact to ~10^19 rows
+            F.sum(F.xxhash64("vec_id", "cent_id").cast("decimal(38,0)")).alias("s"),
+            F.sum("dist").alias("c"),
+        ).collect()[0]
+        sig = (sig_row["s"], sig_row["c"])
+        if sig == prev_sig:
+            a.unpersist()
+            break  # fixpoint — further rounds are no-ops on both engines
+        prev_sig = sig
         upd = (
             a.select("cent_id", F.posexplode("qe").alias("pos", "xq"))
             .groupBy("cent_id", "pos")
@@ -271,6 +374,7 @@ def kmeans_assign(
         old_rows = {r["cent_id"]: r["cvec"] for r in cents.collect()}
         merged = [(c, new_rows.get(c, old_rows[c])) for c in sorted(old_rows)]
         cents = spark.createDataFrame(merged, "cent_id int, cvec array<long>")
+        a.unpersist()
 
     return assign(cents).select("vec_id", "cent_id")
 

@@ -3664,17 +3664,51 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- k-means IVF quantizer -------------------------------------------------
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+def _kmeans_sql(iters: int = 2) -> str:
     """Lloyd iterations unrolled as CTEs, exactly mirroring
-    analysis/similarity.kmeans_assign (integer L2², lowest-cent_id tiebreak,
-    floor(sum/count) centroid update, empty-cluster carry-over)."""
+    analysis/similarity.kmeans_assign: corpus-derived k (√n rule),
+    k-means‖-style seeding (cost pass → hash-weighted oversample of 2k
+    candidates → nearest-candidate weight vote → top-k seeds), integer L2²
+    distances with lowest-cent_id tiebreak, floor(sum/count) centroid
+    update, empty-cluster carry-over.  The fixed ``iters`` unroll matches
+    Spark's convergence-probe early exit because the probe only fires at a
+    fixpoint (further rounds are no-ops)."""
+    # 20-bit md5 integer weight, strpos arithmetic (mirrors _hash20)
+    h20 = "strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), {i}, 1)) - 1"
+    hexpr = "(" + h20.format(i=1) + ")"
+    for i in range(2, 6):
+        hexpr = f"({hexpr}) * 16 + ({h20.format(i=i)})"
+    hexpr = f"(({hexpr}) + 1)"
     parts = [
         f"""
     WITH u AS (SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq, pos FROM (
       SELECT vec_id, unnest(embedding) AS x,
              generate_subscripts(embedding, 1) AS pos FROM embeddings)),
-    c0 AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, pos, xq AS cq
-           FROM u WHERE vec_id < {k})"""
+    kk AS (SELECT CAST(GREATEST(LEAST(ROUND(SQRT(COUNT(*))), 65536), 2) AS BIGINT) AS k
+           FROM embeddings),
+    ci AS (SELECT pos, xq AS cq FROM u WHERE vec_id = (SELECT MIN(vec_id) FROM u)),
+    cost AS (SELECT u.vec_id, SUM((u.xq - ci.cq) * (u.xq - ci.cq)) AS d2
+             FROM u JOIN ci USING (pos) GROUP BY u.vec_id),
+    hw AS (SELECT vec_id, {hexpr} AS h FROM embeddings),
+    cand AS (SELECT t.vec_id AS cand_id FROM (
+               SELECT c.vec_id,
+                      ROW_NUMBER() OVER (ORDER BY c.d2 * hw.h DESC, c.vec_id ASC) AS rn
+               FROM cost c JOIN hw USING (vec_id)) t, kk
+             WHERE t.rn <= 2 * kk.k),
+    cv AS (SELECT u.vec_id AS cand_id, u.pos, u.xq AS cxq
+           FROM u JOIN cand ON u.vec_id = cand.cand_id),
+    ad AS (SELECT u.vec_id, cv.cand_id, SUM((u.xq - cv.cxq) * (u.xq - cv.cxq)) AS dist
+           FROM u JOIN cv USING (pos) GROUP BY u.vec_id, cv.cand_id),
+    nr AS (SELECT vec_id, cand_id FROM (
+             SELECT vec_id, cand_id,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cand_id) AS rn
+             FROM ad) WHERE rn = 1),
+    sd AS (SELECT t.cand_id, CAST(t.rn - 1 AS INTEGER) AS cent_id FROM (
+             SELECT cand_id, ROW_NUMBER() OVER (ORDER BY wt DESC, cand_id ASC) AS rn
+             FROM (SELECT cand_id, COUNT(*) AS wt FROM nr GROUP BY cand_id)) t, kk
+           WHERE t.rn <= kk.k),
+    c0 AS (SELECT sd.cent_id, u.pos, u.xq AS cq
+           FROM u JOIN sd ON u.vec_id = sd.cand_id)"""
     ]
     cur = "c0"
     for i in range(1, iters + 1):
@@ -3703,8 +3737,9 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
 
 @register("ivf_kmeans_assign", _kmeans_sql())
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real k-means IVF quantizer (2 Lloyd iterations, k=8), DataFrame-only."""
-    return kmeans_assign(_read(spark, sf_dir, "embeddings"), k=8, iters=2)
+    """Real k-means IVF quantizer: corpus-derived k (sqrt-n rule), k-means‖
+    seeding, up to 2 Lloyd rounds with a convergence probe — DataFrame-only."""
+    return kmeans_assign(_read(spark, sf_dir, "embeddings"), iters=2)
 
 
 @register(
@@ -3720,7 +3755,7 @@ def q_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering.  One extra vec_id join + hash agg over the assignment."""
     emb = _read(spark, sf_dir, "embeddings")
     return (
-        kmeans_assign(emb, k=8, iters=2)
+        kmeans_assign(emb, iters=2)
         .join(emb.select("vec_id", "label"), "vec_id")
         .groupBy("cent_id", "label")
         .agg(F.count("*").alias("n"))
