@@ -1322,3 +1322,67 @@ def test_kmeans_parallel_seeding_separates_blobs(spark):
     # deterministic across runs
     again = {r["vec_id"]: r["cent_id"] for r in kmeans_assign(vecs, iters=8).collect()}
     assert got == again
+
+
+def test_star_components_chain_and_random_agree_with_plain(spark):
+    """Large-star/small-star CC: on a diameter-200 chain it converges in
+    O(log² n) rounds (plain propagation needs ~200), and on chains, cliques
+    and a seeded random graph its labels equal plain propagation's and a
+    driver-side union-find."""
+    import hashlib
+
+    from wolf_quake_spark.analysis.dedup import label_propagate, label_propagate_star
+
+    def run(pairs_py, n_nodes, max_plain=300, compare_plain=True):
+        nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+        pairs = spark.createDataFrame(pairs_py, "doc_a long, doc_b long")
+        star = label_propagate_star(nodes, pairs)
+        star_rows = {r["doc_id"]: r["component_id"] for r in star.collect()}
+        rounds = star._wqs_rounds
+        star._wqs_persisted.unpersist()
+        plain_rows = None
+        if compare_plain:
+            plain = label_propagate(nodes, pairs, max_iter=max_plain)
+            plain_rows = {r["doc_id"]: r["component_id"] for r in plain.collect()}
+            plain._wqs_persisted.unpersist()
+        # driver-side union-find ground truth
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs_py:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        truth = {i: find(i) for i in range(n_nodes)}
+        assert star_rows == truth
+        if plain_rows is not None:
+            assert plain_rows == truth
+        return rounds
+
+    # adversarial chain: diameter 199 — star must converge in ≪ 199 rounds
+    # (plain propagation would need 199 rounds; union-find is the referee)
+    chain = [(i, i + 1) for i in range(199)]
+    rounds = run(chain, 200, compare_plain=False)
+    assert rounds <= 12, rounds
+    # plain propagation with lineage truncation survives a medium chain and
+    # agrees (the localCheckpoint-every-5-rounds path)
+    run([(i, i + 1) for i in range(40)], 45, max_plain=60)
+
+    # clique + singletons + two chains merging
+    clique = [(a, b) for a in range(10) for b in range(a + 1, 10)]
+    merge = [(20 + i, 21 + i) for i in range(10)] + [(40 + i, 41 + i) for i in range(10)]
+    merge += [(25, 45)]
+    run(clique + merge, 60)
+
+    # seeded pseudo-random sparse graph on 120 nodes
+    def h(i):
+        return int(hashlib.md5(f"edge{i}".encode()).hexdigest()[:8], 16)
+
+    rand = [(h(i) % 120, h(i + 1000) % 120) for i in range(90)]
+    rand = [(a, b) for a, b in rand if a != b]
+    run(rand, 120)

@@ -828,16 +828,21 @@ def label_propagate(
         StorageLevel.DISK_ONLY
     )
     prev = labels.agg(F.sum("component_id")).collect()[0][0]
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         msgs = edges.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
         ).select("doc_id", "component_id")
-        new_labels = (
-            labels.union(msgs)
-            .groupBy("doc_id")
-            .agg(F.min("component_id").alias("component_id"))
-            .persist(StorageLevel.DISK_ONLY)
+        new_labels = labels.union(msgs).groupBy("doc_id").agg(
+            F.min("component_id").alias("component_id")
         )
+        # every 5th round, truncate lineage instead of just persisting: each
+        # round's plan nests the previous one, and a long-diameter graph
+        # (hundreds of rounds) otherwise OOMs the driver on plan
+        # canonicalization alone — the GraphX-Pregel checkpoint cadence
+        if (_round + 1) % 5 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist(StorageLevel.DISK_ONLY)
         cur = new_labels.agg(F.sum("component_id")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
@@ -849,6 +854,122 @@ def label_propagate(
         "is_canonical", F.col("component_id") == F.col("doc_id")
     )
     out._wqs_persisted = labels
+    return out
+
+
+def label_propagate_star(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the diameter-robust backend to :func:`label_propagate`.
+
+    Plain min-label propagation needs diameter-many rounds: an adversarial
+    chain of D near-dup links takes D joins.  The star operations instead
+    rewire the edge set itself toward a union of stars centered on each
+    component's minimum node, converging in O(log² n) rounds INDEPENDENT of
+    diameter:
+
+    * large-star (per node u): connect every neighbor v > u to
+      m = min(N(u) ∪ {u}) — strictly-larger neighbors hop to the local min;
+    * small-star (per node u over its ≤-neighbors L): connect u and every
+      v ∈ L to m = min(L) — the local star flattens onto its min.
+
+    Both rounds are one groupBy-min plus one same-key join over the current
+    edge list — the identical shuffle shape as a plain-propagation round, so
+    cost per round matches while round COUNT drops from O(diameter) to
+    O(log² n).  Convergence is detected from the canonical edge set's
+    (count, order-independent hash-sum) — two scalars to the driver per
+    round; at the fixpoint the edges ARE disjoint stars (paper Thm 2), so
+    labels read off directly: component_id = star center (self for
+    singletons).  Edge frames are persisted DISK_ONLY with eager release,
+    exactly like label_propagate's label frames.
+
+    Same output contract as :func:`label_propagate` (doc_id, component_id,
+    is_canonical) — property-tested equal on chains, cliques and random
+    graphs; the round count is exposed as ``result._wqs_rounds``.
+    """
+    # localCheckpoint (not persist): each round's edge set feeds the next
+    # round through MULTIPLE plan branches (both union directions, the min
+    # aggregate, the join), so without truncation the logical plan grows
+    # ~4× per round and Catalyst canonicalization OOMs around round 8-10.
+    # Eager local checkpointing materializes the round's edges to executor
+    # storage AND cuts the lineage to a leaf — the standard iterative-
+    # algorithm pattern (same reason GraphX checkpoints Pregel state).
+    cur = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("u"), F.greatest("doc_a", "doc_b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def sig(edges: DataFrame):
+        r = edges.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    prev = sig(cur)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star over both edge directions
+        b = cur.select("u", "v").union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            b.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", F.col("u")).alias("m"))
+        )
+        ls = (
+            b.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over hi→lo edges (ls is canonical u<v: hi=v, lo=u);
+        # m = min lo-neighbor; emit (m, hi) and (m, lo) for lo != m
+        sm = ls.groupBy("v").agg(F.min("u").alias("m"))
+        withm = ls.join(sm, "v")
+        ss = (
+            withm.select(F.col("m").alias("u"), F.col("v").alias("v"))
+            .union(
+                withm.filter(F.col("u") != F.col("m")).select(
+                    F.col("m").alias("u"), F.col("u").alias("v")
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur_sig = sig(ss)
+        cur.unpersist()  # release the previous round's checkpoint blocks
+        cur = ss
+        if cur_sig == prev:
+            break
+        prev = cur_sig
+
+    lab = (
+        cur.select(F.col("v").alias("doc_id"), F.col("u").alias("component_id"))
+        .groupBy("doc_id")
+        .agg(F.min("component_id").alias("component_id"))
+    )
+    out = (
+        nodes.join(lab, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
+        )
+        .withColumn("is_canonical", F.col("component_id") == F.col("doc_id"))
+    )
+    out._wqs_persisted = cur
+    out._wqs_rounds = rounds
     return out
 
 

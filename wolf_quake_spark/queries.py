@@ -4230,6 +4230,36 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components_star",
+    _MINHASH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _LSH_JACCARD_CTES
+    + _COMPONENT_GRAPH_CTES
+    + """
+    SELECT id AS doc_id, MIN(lab) AS component_id,
+           MIN(lab) = id AS is_canonical
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components as dedup_components, computed with the
+    large-star/small-star backend (Kiveris et al. SoCC'14) — O(log² n)
+    rounds independent of graph diameter, for adversarial chain graphs
+    where plain propagation needs diameter-many rounds.  Oracle identical
+    by construction (the algorithms compute the same partition)."""
+    from wolf_quake_spark.analysis.dedup import label_propagate_star, verified_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    vp = verified_pairs(docs)
+    out = label_propagate_star(
+        docs.select("doc_id"), vp.filter(F.col("jaccard") >= 0.5)
+    )
+    from wolf_quake_spark.analysis import persisted_handles
+
+    out._wqs_persisted = persisted_handles(out) + persisted_handles(vp)
+    return out
+
+
+@register(
     "dedup_apply_survivors",
     _MINHASH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
     + _LSH_JACCARD_CTES
