@@ -844,3 +844,33 @@ def test_interval_join_restart_recovers_state(spark, tmp_path):
     # drain 3: nothing new -> no growth (exactly-once across restarts)
     drain()
     assert spark.read.parquet(sink).count() == 2
+
+
+def test_stateful_sessionize_rocksdb_state_store(spark, tmp_path):
+    """The stateful sessionizer on the RocksDB state store (off-heap state,
+    changelog checkpoints — the at-scale configuration) produces the exact
+    qgames goldens across micro-batch boundaries, and the provider conf is
+    actually applied to the session."""
+    from wolf_quake_spark.session import ROCKSDB_STATE_CONF
+    from wolf_quake_spark.streaming import run_streaming_stateful
+
+    inp = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    _qgames_landing(spark, inp, n_files=4)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        run_streaming_stateful(spark, inp, out, max_files_per_trigger=1, rocksdb=True)
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_STATE_CONF["spark.sql.streaming.stateStore.providerClass"]
+        )
+        games = sorted(
+            spark.read.parquet(out + "/games").collect(), key=lambda r: r["game_id"]
+        )
+        assert [r["total_kills"] for r in games] == QGAMES_TOTALS
+        assert sum(r["total_kills"] for r in games) == 1069
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -16,6 +16,24 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Off-heap state store for the stateful-streaming operators
+# (streaming/stateful.py, streaming/lww.py, ...).  The default HDFS-backed
+# provider keeps every key's state as JVM heap objects — at 10^12-turn scale
+# the active-conversation state set (even bounded per key) pressures the
+# executor heap and full snapshots dominate checkpoint time.  RocksDB keeps
+# state off-heap with incremental changelog checkpoints, the standard
+# production choice for large stateful jobs.  Runtime-settable SQL confs:
+# apply via build_session(extra_conf=ROCKSDB_STATE_CONF),
+# run_streaming_stateful(rocksdb=True), or spark.conf.set before the query
+# starts (provider is picked at stream start).
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    # changelog checkpointing: upload per-batch deltas instead of full
+    # RocksDB snapshots — checkpoint cost tracks state CHANGE rate
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
 
 def build_session(
     app_name: str = "wolf_quake_spark",

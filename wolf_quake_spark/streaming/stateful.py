@@ -240,11 +240,22 @@ def run_streaming_stateful(
     out_dir: str,
     max_files_per_trigger: int | None = None,
     idle_timeout_ms: int | None = None,
+    rocksdb: bool = False,
 ) -> None:
     """Drain the landing zone through the stateful sessionizer into a
     ``games`` parquet sink (restartable via the streaming checkpoint).
     ``idle_timeout_ms`` arms event-time state eviction for abandoned
-    conversations (see :func:`sessionize_stream`)."""
+    conversations (see :func:`sessionize_stream`).  ``rocksdb=True`` runs
+    the query on the RocksDB state store (session.ROCKSDB_STATE_CONF):
+    off-heap state + incremental changelog checkpoints — the production
+    configuration once the active-conversation set outgrows comfortable JVM
+    heap; the provider is a per-query choice made at stream start, so
+    setting it here affects only queries started afterwards."""
+    if rocksdb:
+        from wolf_quake_spark.session import ROCKSDB_STATE_CONF
+
+        for k, v in ROCKSDB_STATE_CONF.items():
+            spark.conf.set(k, v)
     reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
