@@ -66,6 +66,7 @@ from wolf_quake_spark.analysis.similarity import (
     SRP_BITS,
     SRP_MAX_WIDTH,
     cosine_scores,
+    semdedup_prune,
     ivf_assign,
     ivf_search,
     kmeans_assign,
@@ -3754,12 +3755,46 @@ def q_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning, cluster-stratified sampling) reads before trusting a
     clustering.  One extra vec_id join + hash agg over the assignment."""
     emb = _read(spark, sf_dir, "embeddings")
-    return (
-        kmeans_assign(emb, iters=2)
-        .join(emb.select("vec_id", "label"), "vec_id")
+    asg = kmeans_assign(emb, iters=2)
+    out = (
+        asg.join(emb.select("vec_id", "label"), "vec_id")
         .groupBy("cent_id", "label")
         .agg(F.count("*").alias("n"))
     )
+    out._wqs_persisted = getattr(asg, "_wqs_persisted", None)
+    return out
+
+
+@register(
+    "semdedup_prune",
+    f"""
+    WITH asg AS (SELECT * FROM ({_kmeans_sql()}) t),
+    u AS (SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq, pos FROM (
+      SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+    norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS nn FROM u GROUP BY vec_id),
+    prs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+    pd AS (SELECT p.va, p.vb, CAST(SUM(ua.xq * ub.xq) AS BIGINT) AS dot
+           FROM prs p
+           JOIN u ua ON ua.vec_id = p.va
+           JOIN u ub ON ub.vec_id = p.vb AND ub.pos = ua.pos
+           GROUP BY p.va, p.vb),
+    dom AS (SELECT DISTINCT pd.vb AS vec_id
+            FROM pd
+            JOIN norms na ON na.vec_id = pd.va
+            JOIN norms nb ON nb.vec_id = pd.vb
+            WHERE na.nn > 0 AND nb.nn > 0
+              AND CAST(pd.dot AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) >= 0.3)
+    SELECT asg.vec_id, asg.cent_id, (dom.vec_id IS NULL) AS is_kept
+    FROM asg LEFT JOIN dom USING (vec_id)
+    """,
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means cells (derived k, k-means‖
+    seeding) + within-cell cosine domination at τ=0.3 — the cluster-confined
+    pairwise pass that makes semantic dedup tractable at corpus scale."""
+    return semdedup_prune(_read(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
 # --- SRP-LSH (cosine LSH) --------------------------------------------------
