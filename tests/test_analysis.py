@@ -1295,6 +1295,24 @@ def test_cap_observability_metrics(spark):
     m3 = obs3.get
     assert m3["buckets_dropped"] == 0 and m3["postings_dropped"] == 0
     assert m3["buckets_total"] == m2["buckets_total"]
+    for df in (capped, uncapped):
+        df._wqs_persisted.unpersist()
+
+    # --- fuzzy blocking: max_block cap + metrics, hand-computed
+    from wolf_quake_spark.analysis.dedup import fuzzy_key_pairs
+
+    rows = [(i, f"terms of service rev {i}") for i in range(10)]
+    rows += [(100 + i, f"note {i} unique") for i in range(3)]
+    docs3 = spark.createDataFrame(rows, "doc_id long, text string")
+    obs4 = Observation("fuzzy_caps")
+    out = fuzzy_key_pairs(docs3, max_block=5, observation=obs4)
+    got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    m4 = obs4.get
+    # blocks: 'terms' (10 docs, dropped), 'note' (3 docs, kept)
+    assert m4["blocks_total"] == 2
+    assert m4["blocks_dropped"] == 1 and m4["postings_dropped"] == 10
+    assert all(a >= 100 and b >= 100 for a, b in got)  # hot block excluded
+    out._wqs_persisted.unpersist()
 
 
 def test_kmeans_parallel_seeding_separates_blobs(spark):

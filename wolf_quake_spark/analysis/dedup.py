@@ -150,6 +150,7 @@ def candidate_pairs(
         return _pairs_of(bands)
     sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("_n"))
     cap = max_bucket if max_bucket is not None else None
+    handle = None
     if observation is not None:
         over = F.lit(False) if cap is None else (F.col("_n") > cap)
         sizes = sizes.observe(
@@ -158,25 +159,26 @@ def candidate_pairs(
             F.sum(F.when(over, 1).otherwise(0)).alias("buckets_dropped"),
             F.sum(F.when(over, F.col("_n")).otherwise(0)).alias("postings_dropped"),
         )
+        # Fire the metrics with a dedicated top-level action on the observed
+        # frame BEFORE any join consumes it: a CollectMetrics node that ends
+        # up inside a broadcast exchange (small semi-join side) executes on
+        # the broadcast path and never reports, and one cloned into both
+        # sides of a self-join aborts the read — persist+count sidesteps
+        # both, and downstream consumes the (tiny) cached size table.
+        from pyspark import StorageLevel
+
+        sizes = sizes.persist(StorageLevel.DISK_ONLY)
+        sizes.count()
+        handle = sizes
     if cap is not None:
         sizes = sizes.filter(F.col("_n") <= cap)
     bands = bands.join(
         sizes.select("band_id", "band_hash"), ["band_id", "band_hash"], "left_semi"
     )
-    if observation is not None:
-        # Observation cannot live under a self-join (the CollectMetrics
-        # subtree would be cloned into both sides → duplicate metric rows
-        # abort the read).  Persist the pruned band frame and collect the
-        # metrics with ONE action; the self-join below then consumes the
-        # cache, never the observed subtree.  Handle exposed for release.
-        from pyspark import StorageLevel
-
-        bands = bands.persist(StorageLevel.DISK_ONLY)
-        bands.count()
-        out = _pairs_of(bands)
-        out._wqs_persisted = bands
-        return out
-    return _pairs_of(bands)
+    out = _pairs_of(bands)
+    if handle is not None:
+        out._wqs_persisted = handle
+    return out
 
 
 def _pairs_of(bands: DataFrame) -> DataFrame:
@@ -247,6 +249,8 @@ def fuzzy_key_pairs(
     length_bucket: int = 8,
     salt: int | None = None,
     hot_block_size: int = 1024,
+    max_block: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Entity-resolution-style fuzzy matching: document pairs whose
     normalized text prefix is within ``max_edits`` Levenshtein edits,
@@ -274,8 +278,22 @@ def fuzzy_key_pairs(
     unchanged (each pair still meets exactly once, at A's salt); per-task
     verify work for a hot block drops ~S-fold.  The hot-block list is one
     aggregate broadcast back — tiny by construction.  Edit distance runs
-    JVM-side (``levenshtein``), and the prefix cap bounds its O(len²) cost
-    per pair.
+    JVM-side as THRESHOLD Levenshtein (the 3-arg banded form, O(d·len) per
+    pair instead of O(len²) — it abandons a pair the moment the running
+    distance exceeds ``max_edits``).
+
+    Growth honesty: blocked candidate volume is Σ block² — ~linear only
+    while the blocking-key VOCABULARY grows with the corpus.  On a corpus
+    whose opener vocabulary saturates (measured on the synthetic fixture:
+    10× docs → 94× candidates, while true output grew 10.5×), token blocks
+    grow linearly and candidates quadratically.  Remedies, outermost first:
+    ``max_block`` drops blocks larger than the cap from pair generation
+    (the same stopband trade as LSH's ``max_bucket`` / winnow's ``max_df``),
+    with ``observation`` reporting ``blocks_total`` / ``blocks_dropped`` /
+    ``postings_dropped`` from the same job so capped coverage is auditable;
+    the exact-filter upgrade path is rare-gram prefix filtering (Ed-Join,
+    Xiao et al. VLDB'08) or segment pigeonhole (PassJoin), which keep
+    candidates output-bound at the cost of a gram index.
     """
     if length_bucket <= max_edits:
         raise ValueError("length_bucket must exceed max_edits for exactness")
@@ -288,6 +306,31 @@ def fuzzy_key_pairs(
         F.split(key, " ")[0].alias("block"),
         F.floor(F.length(key) / length_bucket).alias("lb"),
     ).filter(F.col("k") != "")
+    obs_handle = None
+    if max_block is not None or observation is not None:
+        sizes = keyed.groupBy("block").agg(F.count("*").alias("_n"))
+        if observation is not None:
+            over = (
+                F.lit(False) if max_block is None else (F.col("_n") > max_block)
+            )
+            sizes = sizes.observe(
+                observation,
+                F.count(F.lit(1)).alias("blocks_total"),
+                F.sum(F.when(over, 1).otherwise(0)).alias("blocks_dropped"),
+                F.sum(F.when(over, F.col("_n")).otherwise(0)).alias(
+                    "postings_dropped"
+                ),
+            )
+            # dedicated top-level action on the observed frame — see
+            # candidate_pairs (broadcast-buried CollectMetrics never reports)
+            from pyspark import StorageLevel
+
+            sizes = sizes.persist(StorageLevel.DISK_ONLY)
+            sizes.count()
+            obs_handle = sizes
+        if max_block is not None:
+            sizes = sizes.filter(F.col("_n") <= max_block)
+        keyed = keyed.join(sizes.select("block"), "block", "left_semi")
     if salt:
         hot = (
             keyed.groupBy("block")
@@ -323,16 +366,17 @@ def fuzzy_key_pairs(
     ).select(
         "doc_b", "kb", "block", "lbj", F.col("_s").cast("long").alias("s")
     )
-    return (
+    # threshold form: banded O(d·len) DP that returns -1 past the budget
+    ed = F.levenshtein("ka", "kb", max_edits).cast("long")
+    out = (
         a.join(b, ["block", "lbj", "s"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.levenshtein("ka", "kb").cast("long").alias("edits"),
-        )
-        .filter(F.col("edits") <= max_edits)
+        .select("doc_a", "doc_b", ed.alias("edits"))
+        .filter(F.col("edits") >= 0)
     )
+    if obs_handle is not None:
+        out._wqs_persisted = obs_handle
+    return out
 
 
 def minhash_estimate(
@@ -680,6 +724,7 @@ def winnow_neardup_pairs(
     """
     fp = winnow_fingerprints(docs, k=k, w=w, text_col=text_col)
     freq = fp.groupBy("fingerprint").agg(F.count("*").alias("_df"))
+    out_handle = None
     if observation is not None:
         over = F.col("_df") > max_df
         freq = freq.observe(
@@ -688,19 +733,16 @@ def winnow_neardup_pairs(
             F.sum(F.when(over, 1).otherwise(0)).alias("fingerprints_dropped"),
             F.sum(F.when(over, F.col("_df")).otherwise(0)).alias("postings_dropped"),
         )
-    kept = freq.filter(F.col("_df") <= max_df).select("fingerprint")
-    pruned = fp.join(kept, "fingerprint")
-    out_handle = None
-    if observation is not None:
-        # same self-join constraint as candidate_pairs: the observed
-        # frequency subtree must execute exactly once, so the pruned
-        # postings frame is persisted and the metrics row collected by one
-        # count before the pair join consumes the cache
+        # dedicated top-level action on the observed frame — see
+        # candidate_pairs for why (broadcast-buried / self-join-cloned
+        # CollectMetrics never reports); the frequency table is small
         from pyspark import StorageLevel
 
-        pruned = pruned.persist(StorageLevel.DISK_ONLY)
-        pruned.count()
-        out_handle = pruned
+        freq = freq.persist(StorageLevel.DISK_ONLY)
+        freq.count()
+        out_handle = freq
+    kept = freq.filter(F.col("_df") <= max_df).select("fingerprint")
+    pruned = fp.join(kept, "fingerprint")
     a = pruned.alias("a")
     b = pruned.alias("b")
     out = (
