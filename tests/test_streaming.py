@@ -874,3 +874,53 @@ def test_stateful_sessionize_rocksdb_state_store(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_tws_sessionizer_matches_stateful_or_skips(spark, tmp_path):
+    """transformWithStateInPandas sessionizer (modern StatefulProcessor API,
+    RocksDB-backed): golden-exact vs the qgames totals — skipped where the
+    runtime lacks google.protobuf (Spark's TWS state-server protocol), with
+    semantic drift ruled out by the shared fold kernel."""
+    import pytest
+
+    from wolf_quake_spark.streaming.tws import run_streaming_tws, tws_available
+
+    if not tws_available():
+        pytest.skip("google.protobuf unavailable — transformWithState "
+                    "state server cannot start in this environment")
+    inp = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    _qgames_landing(spark, inp, n_files=4)
+    run_streaming_tws(spark, inp, out, max_files_per_trigger=1)
+    games = sorted(
+        spark.read.parquet(out + "/games").collect(), key=lambda r: r["game_id"]
+    )
+    assert [r["total_kills"] for r in games] == QGAMES_TOTALS
+    assert sum(r["total_kills"] for r in games) == 1069
+
+
+def test_tws_fold_kernel_is_shared():
+    """The TWS processor folds with the SAME kernel as the tested
+    applyInPandasWithState path — the no-drift guarantee the environment
+    gate relies on."""
+    from wolf_quake_spark.streaming import stateful, tws
+
+    assert tws._fold_line is stateful._fold_line
+    assert tws.GAME_SCHEMA is stateful.GAME_SCHEMA
+    assert tws.STATE_SCHEMA is stateful.STATE_SCHEMA
+    # the processor's handleInputRows drives _fold_line over sorted turns —
+    # spot-check the pure-python kernel against a hand fold
+    st = dict(stateful._FRESH, hist={}, players={})
+    out = []
+    for line in (
+        "  0:00 InitGame: x",
+        "  0:01 ClientConnect: 2",
+        '  0:02 ClientUserinfoChanged: 2 n\\Zeh\\t',
+        "  0:03 Kill: 1022 2 22: <world> killed Zeh by MOD_TRIGGER_HURT",
+        "  0:04 ShutdownGame:",
+    ):
+        stateful._fold_line(st, line, out, "c")
+    assert len(out) == 1 and out[0]["total_kills"] == 1
+    import json
+
+    assert json.loads(out[0]["players_json"])["2"] == ["Zeh", -1]
