@@ -1408,6 +1408,219 @@ def q_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT))
+                AS BIGINT) AS revenue_delta_x10000
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the what-if revenue delta of dropping a discount
+    band — a pure filter + single exact aggregate.  All three predicates
+    push down to the parquet scan (no join, no shuffle beyond the final
+    1-row combine); at 100 TB this is the canonical scan-bound query whose
+    cost is ENTIRELY I/O, which is why the filters must reach the reader."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000).cast(
+                    "long"
+                )
+            ).alias("revenue_delta_x10000"),
+        )
+    )
+
+
+@register(
+    "nation_market_share",
+    """
+    WITH sales AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev,
+             ns.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN region   ON nc.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) AS BIGINT)
+             AS nation_rev_x10000,
+           CAST(SUM(rev) AS BIGINT) AS total_rev_x10000,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+    FROM sales GROUP BY o_year
+    """,
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's share of PROMO-part revenue sold into the
+    ASIA customer market, per order year.  Plan: lineitem joins orders
+    (fact-fact, shuffle on orderkey), every dimension side — customer,
+    both nation roles, region, supplier, part — broadcasts; the share is a
+    conditional-sum-over-sum in ONE aggregate pass (no self-join), and the
+    final division is a single exact double op over integer sums."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = _read(spark, sf_dir, "supplier")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    nc = nation.alias("nc")
+    ns = nation.alias("ns")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    nat_rev = F.when(F.col("ns.n_name") == "NATION_3", rev).otherwise(F.lit(0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))
+        .join(F.broadcast(region), F.col("nc.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(nat_rev).alias("nation_rev_x10000"),
+            F.sum(rev).alias("total_rev_x10000"),
+        )
+        .select(
+            "o_year",
+            "nation_rev_x10000",
+            "total_rev_x10000",
+            (
+                F.col("nation_rev_x10000").cast("double")
+                / F.col("total_rev_x10000").cast("double")
+            ).alias("mkt_share"),
+        )
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    """
+    WITH srev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                  AS BIGINT) AS total_rev_x10000
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_rev_x10000
+    FROM srev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_rev_x10000 = (SELECT MAX(total_rev_x10000) FROM srev)
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the quarter's maximum
+    revenue — an aggregate reused twice (per-supplier totals AND their max)
+    with tie-safe equality, the classic "view + scalar subquery" pattern.
+    Plan: one lineitem aggregate, a 1-row max broadcast back over it, and a
+    broadcast supplier join; the revenue view is computed ONCE (Spark
+    reuses the exchange for the max branch at this shape)."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    srev = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev_x10000"))
+    mx = srev.agg(F.max("total_rev_x10000").alias("_mx"))
+    supp = F.broadcast(_read(spark, sf_dir, "supplier"))
+    return (
+        srev.join(F.broadcast(mx), srev.total_rev_x10000 == F.col("_mx"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_x10000")
+    )
+
+
+@register(
+    "min_price_supplier_per_part",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    avgp AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(FLOOR(CAST(cents AS DOUBLE) / n) AS BIGINT) AS avg_cents
+      FROM ps),
+    best AS (
+      SELECT l_partkey, l_suppkey, avg_cents FROM (
+        SELECT l_partkey, l_suppkey, avg_cents,
+               ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                  ORDER BY avg_cents, l_suppkey) AS rn
+        FROM avgp) WHERE rn = 1)
+    SELECT p_partkey, p_name, CAST(l_suppkey AS BIGINT) AS best_suppkey, avg_cents
+    FROM best JOIN part ON l_partkey = p_partkey
+    WHERE p_size < 10
+    """,
+)
+def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted to the lineitem-derived part↔supplier link —
+    this corpus ships no partsupp): per small part, the supplier with the
+    lowest average sale price, lowest-suppkey tiebreak.  The correlated-min
+    is restated as min(struct(price, suppkey)) in ONE aggregate pass over
+    the (part, supplier) totals — no per-part subquery, no window over a
+    single partition; the part filter broadcasts."""
+    li = _read(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
+        F.count("*").alias("n"),
+    )
+    avgp = ps.select(
+        "l_partkey",
+        "l_suppkey",
+        F.floor(F.col("cents").cast("double") / F.col("n")).cast("long").alias(
+            "avg_cents"
+        ),
+    )
+    best = (
+        avgp.groupBy("l_partkey")
+        .agg(F.min(F.struct("avg_cents", "l_suppkey")).alias("m"))
+        .select(
+            "l_partkey",
+            F.col("m.l_suppkey").alias("best_suppkey"),
+            F.col("m.avg_cents").alias("avg_cents"),
+        )
+    )
+    part = F.broadcast(
+        _read(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    )
+    return best.join(part, best.l_partkey == part.p_partkey).select(
+        "p_partkey", "p_name", "best_suppkey", "avg_cents"
+    )
+
+
+@register(
     "promo_revenue_share",
     """
     SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
