@@ -347,3 +347,51 @@ def test_asof_stale_guard_single_exchange(spark):
     assert p.count("Exchange hashpartitioning") == 1
     assert p.count("Window") == 1
     assert "Exchange SinglePartition" not in p
+
+
+def test_q6_scan_bound_plan(spark):
+    p = plan_of(spark, "forecast_revenue_change")
+    # a scan-bound aggregate: predicates at the reader, 4-column projection,
+    # no join, no data-wide exchange (only the final 1-row combine).  The
+    # plan string truncates long filter lists, so assert on the FileScan
+    # column bracket and the DataFilters prefix that always prints.
+    scan = [l for l in p.split("\n") if "FileScan parquet" in l][0]
+    cols = scan.split("FileScan parquet [", 1)[1].split("]", 1)[0]
+    assert "l_extendedprice" in cols and "l_quantity" in cols
+    assert "l_orderkey" not in cols  # projection pruned to the 4 used cols
+    assert "isnotnull(l_shipdate" in scan  # filters reached the reader
+    assert "Join" not in p
+
+
+def test_q8_market_share_plan(spark):
+    p = plan_of(spark, "nation_market_share")
+    # every dimension broadcasts; no cartesian; the share never self-joins
+    assert p.count("BroadcastHashJoin") >= 6
+    assert "CartesianProduct" not in p
+    assert "PushedFilters: [IsNotNull(p_type), EqualTo(p_type,PROMO)" in p
+    assert "EqualTo(r_name,ASIA)" in p
+
+
+def test_q15_view_reuse_plan(spark):
+    p = plan_of(spark, "top_supplier_revenue")
+    # tie-safe max over the revenue view joined back via broadcast, and the
+    # ship-date window reaches the scan
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+
+
+def test_q2_min_struct_plan(spark):
+    p = plan_of(spark, "min_price_supplier_per_part")
+    # correlated-min as min(struct): one aggregate, no window, no
+    # per-part subquery join explosion
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "PushedFilters: [IsNotNull(p_size), LessThan(p_size,10)" in p
+
+
+def test_semdedup_cell_confined_plan(spark):
+    p = plan_of(spark, "semdedup_prune")
+    # the pairwise-cosine join is keyed on cent_id (cell-confined) — a
+    # cross join here would be the all-pairs scale-killer
+    assert "CartesianProduct" not in p
