@@ -627,12 +627,26 @@ def test_interval_join_left_outer_emits_nulls_after_expiry(spark, tmp_path):
     assert streamed == batch - {(5, None)}
 
 
-def test_stateful_idle_timeout_evicts_conversation_state(spark, tmp_path):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("store", ["hdfs", "rocksdb"])
+def test_stateful_idle_timeout_evicts_conversation_state(spark, tmp_path, store):
     """Event-time idle eviction: a conversation idle past the watermark
     horizon loses its state (open game dropped, G4 mid-stream); turns
     arriving after eviction start a FRESH parser state, and active
-    conversations are unaffected."""
+    conversations are unaffected.  Parametrized over the state-store
+    provider — timeout firing is provider-mediated, so RocksDB must show
+    the identical eviction sequence."""
     import datetime as dt
+
+    _pk = "spark.sql.streaming.stateStore.providerClass"
+    _prev = spark.conf.get(_pk, None)
+    if store == "rocksdb":
+        from wolf_quake_spark.session import ROCKSDB_STATE_CONF
+
+        for k, v in ROCKSDB_STATE_CONF.items():
+            spark.conf.set(k, v)
     import glob
     import os
     import shutil
@@ -712,6 +726,11 @@ def test_stateful_idle_timeout_evicts_conversation_state(spark, tmp_path):
     assert got[("D", 1)] == 0
     assert got[("A", 1)] == 1
     assert len(got) == 4  # A's pre-eviction open game never surfaced
+    spark.catalog.dropTempView("idle_evict")
+    if _prev is not None:
+        spark.conf.set(_pk, _prev)
+    else:
+        spark.conf.unset(_pk)
 
 
 def test_sliding_rollup_streaming_matches_batch(spark, tmp_path):
