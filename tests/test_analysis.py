@@ -1243,6 +1243,63 @@ def test_fuzzy_blocking_composite_and_salted(spark):
     assert salted_max * 4 <= unsalted_max  # ≥4× split of the hot group
 
 
+def test_passjoin_exact_vs_brute_force(spark):
+    """PassJoin segment pigeonhole is output-COMPLETE (exact equality with
+    all-pairs ground truth, not a subset) on an adversarial variable-length
+    corpus: random word strings of widely varying lengths plus planted
+    insertions (shift every downstream segment) and double-deletions
+    (change the length bucket), so the candidate-length enumeration, the
+    uneven-segment remainder arithmetic, and the ±τ shift window are all
+    exercised.  Token blocking (fuzzy_key_pairs) would MISS the
+    front-insertion near-dup below; PassJoin must find it."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from wolf_quake_spark.analysis.dedup import passjoin_pairs
+
+    rng = random.Random(7)
+    words = ["data", "spark", "row", "agg", "key", "x", "joiner", "tbl"]
+    base = [" ".join(rng.choices(words, k=rng.randint(1, 7))) for _ in range(100)]
+    mut = []
+    for i, s in enumerate(base):
+        if i % 3 == 0 and len(s) > 4:
+            p = rng.randrange(len(s))
+            mut.append(s[:p] + rng.choice("abcq ") + s[p:])  # insertion
+        if i % 4 == 0 and len(s) > 5:
+            p = rng.randrange(len(s) - 1)
+            mut.append(s[:p] + s[p + 2:])  # double deletion
+    texts = base + mut + ["zz" + base[0]]  # front insert: first token differs
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+    got = sorted(map(tuple, passjoin_pairs(docs, max_edits=3).collect()))
+
+    key = F.substring(
+        F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")), 1, 32
+    )
+    k = docs.select("doc_id", key.alias("k")).filter(F.length("k") > 3)
+    brute = sorted(
+        map(
+            tuple,
+            k.alias("a")
+            .crossJoin(k.alias("b"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.levenshtein("a.k", "b.k", 3).cast("long").alias("edits"),
+            )
+            .filter(F.col("edits") >= 0)
+            .collect(),
+        )
+    )
+    assert got == brute  # exact, both directions — completeness AND no dups
+    front_id = len(texts) - 1
+    assert any(a == 0 and b == front_id for a, b, _ in got)
+
+
 def test_cap_observability_metrics(spark):
     """Silent-cap observability: winnow's max_df and the LSH bucket cap
     report exactly what they dropped, via a CollectMetrics node in the same

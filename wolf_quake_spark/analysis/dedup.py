@@ -379,6 +379,139 @@ def fuzzy_key_pairs(
     return out
 
 
+def passjoin_pairs(
+    docs: DataFrame,
+    max_edits: int = 3,
+    prefix_len: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT edit-distance self-join via PassJoin segment pigeonhole
+    (Li, Deng & Feng, ICDE'11) — every unordered doc pair whose normalized
+    ``prefix_len``-char key is within ``max_edits`` Levenshtein edits, with
+    NO heuristic blocking and NO caps.
+
+    This is the exact-filter upgrade path named in :func:`fuzzy_key_pairs`:
+    token blocking is skew-prone and only finds pairs sharing an opener,
+    while PassJoin is output-complete.  Pigeonhole: split each indexed key
+    into ``τ+1`` contiguous segments (τ = ``max_edits``); τ edits can touch
+    at most τ segments, so a match must contain at least one segment EXACTLY,
+    shifted by at most τ positions (each edit moves downstream text ≤ 1).
+
+    Plan shape (all JVM expressions, two narrow explodes + one equi-join):
+
+    * index side — τ+1 rows per doc ``(la, i, seg)`` where ``la`` is the
+      key length and ``seg`` the i-th even-partition segment (first
+      ``τ+1−(la mod τ+1)`` segments get ``la div τ+1`` chars, the rest one
+      more);
+    * probe side — for each candidate source length ``la ∈ [l−τ, l+τ]``
+      (edit distance ≥ length difference) and each segment index, the
+      substrings of this key in the ±τ start-position window, built as
+      ``transform(filter(sequence(...)))`` so the window clamps without a
+      type-ambiguous empty-array branch;
+    * equi-join on ``(la, i, seg)`` → canonicalize the unordered pair
+      (swapping the carried keys with the ids so the distinct collapses
+      both directions) → verify with THRESHOLD ``levenshtein(k1, k2, τ)``.
+
+    100 TB: candidates are bounded by docs sharing an exact ``~prefix/τ+1``-
+    char substring at a compatible position — output-bound on natural text
+    (vs Σ block² for token blocking), no CartesianProduct, one shuffle for
+    the join and one for the pair distinct.  Probe fan-out is
+    ``(2τ+1)²(τ+1)`` ≈ 200 skinny rows/doc at τ=3 — linear in corpus size.
+    The multi-match-aware window of the paper (shift bounded by edits
+    *remaining* per side) would cut probe fan-out ~2×; the ±τ window used
+    here is its provable superset, so exactness is unaffected.
+
+    Oracle honesty: the registry oracle for this operator is BRUTE FORCE
+    (all pairs within the provable |Δlen| ≤ τ bound) — it verifies the
+    pigeonhole implementation against ground truth rather than mirroring it.
+    Keys shorter than τ+1 chars are excluded on both sides (segments would
+    be empty; such keys are degenerate for edit-distance linkage).
+    """
+    tau = int(max_edits)
+    kseg = tau + 1
+    key = F.substring(
+        F.lower(F.regexp_replace(F.col(text_col), WS_SPLIT, " ")), 1, prefix_len
+    )
+    keyed = (
+        docs.select("doc_id", key.alias("k"))
+        .withColumn("l", F.length("k"))
+        .filter(F.col("l") > tau)
+    )
+
+    # Even-partition arithmetic for a key of length L (0-indexed segment i):
+    #   base = L div kseg, r = L mod kseg
+    #   len_i = base + (i >= kseg - r), start_i = i*base + max(0, i-(kseg-r))
+    def _leni(L: str) -> str:
+        return (
+            f"(({L} div {kseg}) + (CASE WHEN i >= {kseg} - ({L} % {kseg})"
+            f" THEN 1 ELSE 0 END))"
+        )
+
+    def _starti(L: str) -> str:
+        return (
+            f"(i * ({L} div {kseg})"
+            f" + greatest(0, i - ({kseg} - ({L} % {kseg}))))"
+        )
+
+    idx_expr = (
+        f"transform(sequence(0, {tau}), i -> named_struct("
+        f"'i', CAST(i AS INT), "
+        f"'seg', substring(k, CAST({_starti('l')} AS INT) + 1,"
+        f" CAST({_leni('l')} AS INT))))"
+    )
+    idx = keyed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("k").alias("ka"),
+        F.col("l").cast("int").alias("la"),
+        F.explode(F.expr(idx_expr)).alias("s"),
+    ).select("doc_a", "ka", "la", F.col("s.i").alias("i"), F.col("s.seg").alias("seg"))
+
+    probe_expr = (
+        f"flatten(transform(sequence(greatest({kseg}, l - {tau}), l + {tau}), la -> "
+        f"flatten(transform(sequence(0, {tau}), i -> "
+        f"transform("
+        f"  filter(sequence({_starti('la')} - {tau}, {_starti('la')} + {tau}),"
+        f"         p -> p >= 0 AND p <= l - {_leni('la')}),"
+        f"  p -> named_struct("
+        f"'la', CAST(la AS INT), 'i', CAST(i AS INT), "
+        f"'seg', substring(k, CAST(p AS INT) + 1, CAST({_leni('la')} AS INT))))"
+        f"))))"
+    )
+    probe = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("k").alias("kb"),
+        F.explode(F.expr(probe_expr)).alias("s"),
+    ).select(
+        "doc_b",
+        "kb",
+        F.col("s.la").alias("la"),
+        F.col("s.i").alias("i"),
+        F.col("s.seg").alias("seg"),
+    )
+
+    a_first = F.col("doc_a") < F.col("doc_b")
+    cand = (
+        idx.join(probe, ["la", "i", "seg"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("pa"),
+            F.greatest("doc_a", "doc_b").alias("pb"),
+            F.when(a_first, F.col("ka")).otherwise(F.col("kb")).alias("k1"),
+            F.when(a_first, F.col("kb")).otherwise(F.col("ka")).alias("k2"),
+        )
+        .distinct()
+    )
+    ed = F.levenshtein("k1", "k2", tau).cast("long")
+    return (
+        cand.select(
+            F.col("pa").alias("doc_a"),
+            F.col("pb").alias("doc_b"),
+            ed.alias("edits"),
+        )
+        .filter(F.col("edits") >= 0)
+    )
+
+
 def minhash_estimate(
     docs: DataFrame,
     k: int = DEFAULT_K,

@@ -34,6 +34,7 @@ from wolf_quake_spark.analysis.dedup import (
     lsh_buckets,
     minhash_estimate,
     normalized_fingerprint,
+    passjoin_pairs,
     simhash,
     simhash64,
     simhash64_neardup_pairs,
@@ -4417,6 +4418,33 @@ def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's single-token blocking since bucket width > max_edits, while
     splitting skew-prone boilerplate-opener blocks (see fuzzy_key_pairs)."""
     return fuzzy_key_pairs(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "passjoin_neardup_pairs",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             substr(lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),
+                    1, 32) AS k
+      FROM documents),
+    keyed AS (SELECT doc_id, k, length(k) AS l FROM k WHERE length(k) > 3)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.k, b.k) AS BIGINT) AS edits
+    FROM keyed a JOIN keyed b
+      ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 3
+    WHERE levenshtein(a.k, b.k) <= 3
+    """,
+)
+def q_passjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edit-distance near-dup pairs (≤ 3 edits on the normalized
+    32-char prefix) via PassJoin segment pigeonhole — no heuristic blocking,
+    no caps.  The oracle is deliberately BRUTE FORCE (all pairs within the
+    provable |Δlen| ≤ τ bound), so a green row certifies the pigeonhole
+    candidate generation is output-complete against ground truth, not merely
+    self-consistent (contrast fuzzy_prefix_pairs, whose oracle mirrors its
+    token blocking).  See passjoin_pairs for the plan-shape argument."""
+    return passjoin_pairs(_read(spark, sf_dir, "documents"))
 
 
 @register(
