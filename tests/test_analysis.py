@@ -310,6 +310,56 @@ def test_kmeans_assign_converges_to_seeds(vecs):
     assert got == again
 
 
+def test_kmeans_two_level_refines_and_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from wolf_quake_spark.analysis.similarity import (
+        derived_coarse_k,
+        kmeans_assign,
+        kmeans_assign_two_level,
+    )
+
+    # three well-separated lobes, each with an exact-duplicate pair, big
+    # enough that per-cell k2 = round(sqrt(n_cell)) > 1 actually splits cells
+    rows = []
+    for lobe, center in enumerate(([10.0, 0.0], [0.0, 10.0], [-10.0, -10.0])):
+        for j in range(20):
+            off = (j % 5) * 0.01
+            rows.append((lobe * 100 + j, [center[0] + off, center[1] - off]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = kmeans_assign_two_level(vecs).cache()
+    got = {r["vec_id"]: (r["cell_id"], r["sub_id"]) for r in out.collect()}
+    assert len(got) == len(rows)  # every vector assigned exactly once
+
+    # level 1 is exactly the flat quantizer at the coarse k — the hierarchy
+    # refines it, never re-partitions it
+    coarse = {
+        r["vec_id"]: r["cent_id"]
+        for r in kmeans_assign(vecs, k=derived_coarse_k(len(rows))).collect()
+    }
+    assert {v: c for v, (c, _) in got.items()} == coarse
+
+    # identical vectors land in the same leaf (offset j%5 repeats 4x/lobe)
+    for base in (0, 100, 200):
+        assert got[base] == got[base + 5]
+
+    # per-cell sub_id count respects the recursive sqrt rule
+    sizes = out.groupBy("cell_id").agg(
+        F.countDistinct("sub_id").alias("subs"), F.count("*").alias("n")
+    )
+    for r in sizes.collect():
+        assert r["subs"] <= max(1, round(r["n"] ** 0.5))
+
+    # deterministic
+    again = {
+        r["vec_id"]: (r["cell_id"], r["sub_id"])
+        for r in kmeans_assign_two_level(vecs).collect()
+    }
+    assert got == again
+    out.unpersist()
+
+
 def test_srp_signatures_and_pairs(vecs):
     from wolf_quake_spark.analysis.similarity import (
         srp_hyperplanes,

@@ -17,7 +17,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 1000
@@ -386,6 +386,131 @@ def kmeans_assign(
 
     out = assign(cents).select("vec_id", "cent_id")
     out._wqs_persisted = q
+    return out
+
+
+def derived_coarse_k(n_vecs: int) -> int:
+    """Level-1 fan-out for the two-level quantizer: the √ rule applied to
+    the √n rule (k₁ ≈ n^¼), so each LEVEL of the tree broadcasts at most
+    ~√K centroids where K is the flat √n cell count.  Mirrors the oracle's
+    ``greatest(round(power(n, 0.25)), 2)``."""
+    return max(2, int(round(n_vecs**0.25)))
+
+
+def kmeans_assign_two_level(
+    embeddings: DataFrame,
+    iters: int = 2,
+    sub_iters: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hierarchical (two-level) k-means quantizer — the scale path past
+    ``KMEANS_MAX_K``, where a flat centroid table no longer broadcasts.
+
+    Level 1 is :func:`kmeans_assign` with k₁ = n^¼ centroids (k-means‖
+    seeding, convergence probe — everything the flat quantizer does).
+    Level 2 then runs an INDEPENDENT k-means INSIDE EVERY CELL AT ONCE,
+    entirely as grouped DataFrame ops — no driver loop over cells:
+
+    * per-cell k₂ = max(1, round(√n_cell)) — the √n rule applied
+      recursively, so sub-cell occupancy tracks cell size;
+    * seeding: the first k₂ vec_ids of each cell (one per-cell window).
+      k-means‖ buys global spread, which level 1 already provided; within
+      an already-coherent cell, rank seeding is the standard cheap choice;
+    * Lloyd rounds: the centroid table is keyed (cell, sub_id) and JOINED
+      ON cell — each vector meets only its own cell's k₂ candidates, so
+      the scored row count is Σ n_c·k₂_c ≈ n·√occupancy, never n·K.
+      Updates (floor(sum/count) per position) and empty-sub carry-over are
+      LEFT-JOIN frames, never collected: unlike the flat quantizer there
+      is no driver-side centroid merge at all.  ``sub_iters`` is a fixed
+      unroll (matching the oracle CTE chain bit-for-bit; no probe needed
+      at two rounds).
+
+    100 TB: level-1 broadcast is k₁ = n^¼ rows; the level-2 centroid
+    relation is Σk₂ rows shuffled once per round on cell_id — a hash join
+    against the (also cell-keyed) vector frame, so adding cells adds
+    parallelism instead of broadcast pressure.  Total leaf cells Σ√n_c
+    comfortably exceeds the 65536 flat cap while no single join side ever
+    holds more than one cell's centroids per task.
+
+    Deterministic and engine-exact like the flat path: integer L2² on the
+    ×1000 quantization, argmin ties to the lowest sub_id, floor updates.
+    Returns (vec_id, cell_id, sub_id).  ``_wqs_persisted`` carries the
+    quantized frame and the persisted level-1 assignment.
+    """
+    from pyspark import StorageLevel
+
+    n = embeddings.count()
+    coarse = kmeans_assign(embeddings, k=derived_coarse_k(n), iters=iters)
+    q = coarse._wqs_persisted  # (vec_id, qe) DISK_ONLY — reuse, don't requantize
+    cells = coarse.select("vec_id", F.col("cent_id").alias("cell_id")).persist(
+        StorageLevel.DISK_ONLY
+    )
+    cells.count()
+
+    v = q.join(cells, "vec_id")  # vec_id, qe, cell_id
+
+    def l2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, val: acc + val,
+        )
+
+    k2 = cells.groupBy("cell_id").agg(
+        F.greatest(F.round(F.sqrt(F.count("*"))).cast("int"), F.lit(1)).alias("k2")
+    )
+    w = Window.partitionBy("cell_id").orderBy("vec_id")
+    seeds = (
+        cells.withColumn("rn", F.row_number().over(w))
+        .join(k2, "cell_id")
+        .filter(F.col("rn") <= F.col("k2"))
+        .select("vec_id", "cell_id", (F.col("rn") - 1).cast("int").alias("sub_id"))
+    )
+    cents = q.join(seeds, "vec_id").select(
+        "cell_id", "sub_id", F.col("qe").alias("cvec")
+    )
+
+    def assign(cframe: DataFrame) -> DataFrame:
+        scored = v.join(cframe, "cell_id").select(
+            "vec_id", "qe", "cell_id", "sub_id",
+            l2(F.col("qe"), F.col("cvec")).alias("dist"),
+        )
+        return (
+            scored.groupBy("vec_id", "qe", "cell_id")
+            .agg(F.min(F.struct("dist", "sub_id")).alias("m"))
+            .select("vec_id", "qe", "cell_id", F.col("m.sub_id").alias("sub_id"))
+        )
+
+    for _ in range(sub_iters):
+        a = assign(cents)
+        upd = (
+            a.select("cell_id", "sub_id", F.posexplode("qe").alias("pos", "xq"))
+            .groupBy("cell_id", "sub_id", "pos")
+            .agg(
+                F.floor(F.sum("xq").cast("double") / F.count("*"))
+                .cast("long")
+                .alias("cq")
+            )
+            .groupBy("cell_id", "sub_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cq"))),
+                    lambda s: s["cq"],
+                ).alias("nvec")
+            )
+        )
+        # empty subs keep their previous centroid — a LEFT JOIN, not a
+        # driver merge (the centroid relation may exceed any broadcast cap)
+        cents = (
+            cents.join(upd, ["cell_id", "sub_id"], "left")
+            .select(
+                "cell_id", "sub_id",
+                F.coalesce("nvec", "cvec").alias("cvec"),
+            )
+        )
+
+    out = assign(cents).select("vec_id", "cell_id", "sub_id")
+    out._wqs_persisted = [q, cells]
     return out
 
 

@@ -71,6 +71,7 @@ from wolf_quake_spark.analysis.similarity import (
     ivf_assign,
     ivf_search,
     kmeans_assign,
+    kmeans_assign_two_level,
     neardup_pairs,
     quantize_int8,
     srp_hyperplanes,
@@ -3879,7 +3880,10 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- k-means IVF quantizer -------------------------------------------------
 
 
-def _kmeans_sql(iters: int = 2) -> str:
+def _kmeans_sql(
+    iters: int = 2,
+    k_expr: str = "GREATEST(LEAST(ROUND(SQRT(COUNT(*))), 65536), 2)",
+) -> str:
     """Lloyd iterations unrolled as CTEs, exactly mirroring
     analysis/similarity.kmeans_assign: corpus-derived k (√n rule),
     k-means‖-style seeding (cost pass → hash-weighted oversample of 2k
@@ -3899,7 +3903,7 @@ def _kmeans_sql(iters: int = 2) -> str:
     WITH u AS (SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq, pos FROM (
       SELECT vec_id, unnest(embedding) AS x,
              generate_subscripts(embedding, 1) AS pos FROM embeddings)),
-    kk AS (SELECT CAST(GREATEST(LEAST(ROUND(SQRT(COUNT(*))), 65536), 2) AS BIGINT) AS k
+    kk AS (SELECT CAST({k_expr} AS BIGINT) AS k
            FROM embeddings),
     ci AS (SELECT pos, xq AS cq FROM u WHERE vec_id = (SELECT MIN(vec_id) FROM u)),
     cost AS (SELECT u.vec_id, SUM((u.xq - ci.cq) * (u.xq - ci.cq)) AS d2
@@ -3977,6 +3981,75 @@ def q_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._wqs_persisted = getattr(asg, "_wqs_persisted", None)
     return out
+
+
+def _kmeans2_sql(iters: int = 2, sub_iters: int = 2) -> str:
+    """Two-level quantizer oracle: the level-1 chain is `_kmeans_sql` with
+    the coarse k₁ = n^¼ rule, then per-cell k-means unrolled as CTEs —
+    per-cell k₂ = max(1, round(√n_cell)), rank seeding (first k₂ vec_ids of
+    each cell), integer L2² with lowest-sub_id tiebreak, floor(sum/count)
+    updates with empty-sub carry-over — mirroring
+    analysis/similarity.kmeans_assign_two_level exactly."""
+    coarse = _kmeans_sql(
+        iters, k_expr="GREATEST(ROUND(POWER(COUNT(*), 0.25)), 2)"
+    )
+    parts = [
+        f"""
+    WITH asg AS (SELECT * FROM ({coarse}) t),
+    u AS (SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq, pos FROM (
+      SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+    sz AS (SELECT cent_id AS cell_id, GREATEST(CAST(ROUND(SQRT(COUNT(*))) AS BIGINT), 1) AS k2
+           FROM asg GROUP BY cent_id),
+    sdr AS (SELECT vec_id, cent_id AS cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY cent_id ORDER BY vec_id) AS rn
+            FROM asg),
+    sd AS (SELECT sdr.vec_id, sdr.cell_id, CAST(sdr.rn - 1 AS INTEGER) AS sub_id
+           FROM sdr JOIN sz USING (cell_id) WHERE sdr.rn <= sz.k2),
+    vv AS (SELECT u.vec_id, asg.cent_id AS cell_id, u.pos, u.xq
+           FROM u JOIN asg USING (vec_id)),
+    h0 AS (SELECT sd.cell_id, sd.sub_id, u.pos, u.xq AS cq
+           FROM u JOIN sd ON u.vec_id = sd.vec_id)"""
+    ]
+    cur = "h0"
+    for i in range(1, sub_iters + 1):
+        parts.append(f"""
+    , e{i} AS (SELECT vv.vec_id, vv.cell_id, c.sub_id,
+                    SUM((vv.xq - c.cq) * (vv.xq - c.cq)) AS dist
+             FROM vv JOIN {cur} c ON c.cell_id = vv.cell_id AND c.pos = vv.pos
+             GROUP BY vv.vec_id, vv.cell_id, c.sub_id),
+    b{i} AS (SELECT vec_id, cell_id, sub_id FROM (
+             SELECT vec_id, cell_id, sub_id,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sub_id) AS rn
+             FROM e{i}) WHERE rn = 1),
+    m{i} AS (SELECT b.cell_id, b.sub_id, vv.pos,
+                    CAST(floor(CAST(SUM(vv.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+             FROM vv JOIN b{i} b ON b.vec_id = vv.vec_id
+             GROUP BY b.cell_id, b.sub_id, vv.pos),
+    h{i} AS (SELECT p.cell_id, p.sub_id, p.pos, COALESCE(m{i}.cq, p.cq) AS cq
+             FROM {cur} p LEFT JOIN m{i}
+               ON m{i}.cell_id = p.cell_id AND m{i}.sub_id = p.sub_id
+              AND m{i}.pos = p.pos)""")
+        cur = f"h{i}"
+    parts.append(f"""
+    , ef AS (SELECT vv.vec_id, vv.cell_id, c.sub_id,
+                    SUM((vv.xq - c.cq) * (vv.xq - c.cq)) AS dist
+             FROM vv JOIN {cur} c ON c.cell_id = vv.cell_id AND c.pos = vv.pos
+             GROUP BY vv.vec_id, vv.cell_id, c.sub_id)
+    SELECT vec_id, cell_id, sub_id FROM (
+      SELECT vec_id, cell_id, sub_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sub_id) AS rn
+      FROM ef) WHERE rn = 1""")
+    return "".join(parts)
+
+
+@register("ivf_kmeans2_assign", _kmeans2_sql())
+def q_kmeans2_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical two-level IVF quantizer: coarse k-means at k₁ = n^¼,
+    then per-cell k-means (k₂ = √n_cell) run for ALL cells at once as
+    grouped DataFrame ops — the scale path past the 65536-centroid
+    broadcast cap of the flat quantizer (see kmeans_assign_two_level)."""
+    return kmeans_assign_two_level(_read(spark, sf_dir, "embeddings"))
 
 
 @register(
