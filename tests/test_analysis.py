@@ -398,6 +398,108 @@ def test_ivf_search_multiprobe_superset(vecs):
     assert {r["vec_id"] for r in single} == {0, 1, 2, 4}  # vec 3 is in the other bucket
 
 
+def test_bm25_hand_computed(spark):
+    """BM25 on a 3-doc fixture matches a by-hand Robertson computation to
+    the 6-decimal quantum, and non-matching docs are absent."""
+    import math
+
+    from wolf_quake_spark.analysis.textstats import bm25_scores
+
+    rows = [
+        (0, "cat sat on the mat"),        # 'cat' x1, dl=5
+        (1, "cat cat dog"),               # 'cat' x2 'dog' x1, dl=3
+        (2, "nothing relevant here at all six"),  # dl=6 — no match
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bm25_scores(docs, ["cat", "dog"]).collect()}
+    assert set(got) == {0, 1}
+    n, avgdl, k1, b = 3, 14 / 3, 1.2, 0.75
+
+    def score(pairs, dl):
+        s = 0.0
+        for tf, df in pairs:
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return round(s, 6)
+
+    assert got[0]["bm25"] == score([(1, 2)], 5)           # cat: df=2
+    assert got[1]["bm25"] == score([(2, 2), (1, 1)], 3)   # cat df=2, dog df=1
+    assert got[1]["n_matched_terms"] == 2
+
+
+def test_dsir_scores_tilt_toward_target(spark):
+    """Docs made of target-only vocabulary score positive (selected), docs
+    of off-target vocabulary score negative, and scores are deterministic."""
+    from pyspark.sql import functions as F
+
+    from wolf_quake_spark.analysis.sampling import dsir_scores
+
+    # docs must be long enough that the add-one smoothing over 1024 hashed
+    # buckets doesn't wash out the model difference (real docs are)
+    en_text = ("alpha beta gamma delta " * 25).strip()
+    es_text = ("uno dos tres cuatro " * 25).strip()
+    rows = []
+    for i in range(20):
+        rows.append((i, en_text, "en"))                        # target style
+    for i in range(20, 40):
+        rows.append((i, es_text, "es"))                        # raw-only style
+    rows.append((100, ("alpha beta " * 50).strip(), "es"))     # en-style text, es label
+    rows.append((101, ("uno dos " * 50).strip(), "en"))        # es-style text, en label
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    out = {r["doc_id"]: r for r in
+           dsir_scores(docs, target=F.col("lang") == "en").collect()}
+    assert len(out) == 42
+    # vocabulary that dominates the target slice scores high even when the
+    # doc itself is labeled off-target — DSIR scores the TEXT, not the label
+    assert out[100]["dsir_logratio"] > out[20]["dsir_logratio"]
+    assert out[100]["dsir_logratio"] > out[101]["dsir_logratio"]
+    assert out[101]["dsir_logratio"] < out[0]["dsir_logratio"]
+    assert out[20]["dsir_logratio"] < out[0]["dsir_logratio"]
+    # top-20% selection: ceil(0.2*42) = 9 docs; the 20 identical en docs tie
+    # at the top and the doc_id tie-break picks the first nine of them
+    assert {d for d, r in out.items() if r["selected"]} == set(range(9))
+    assert out[100]["n_tokens"] == 100
+
+    again = {r["doc_id"]: r["dsir_logratio"] for r in
+             dsir_scores(docs, target=F.col("lang") == "en").collect()}
+    assert again == {k: v["dsir_logratio"] for k, v in out.items()}
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    """A-ES sampling: exactly k rows, reproducible, and weight-proportional
+    (100×-heavier docs dominate the sample of a 50/50 corpus)."""
+    from wolf_quake_spark.analysis.sampling import weighted_sample
+
+    rows = [(i, 100 if i < 100 else 1) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = weighted_sample(docs, k=50).collect()
+    assert len(got) == 50
+    heavy = sum(1 for r in got if r["doc_id"] < 100)
+    assert heavy >= 45  # weight ∝ 100:1 ⇒ light docs are rare in the sample
+    again = weighted_sample(docs, k=50).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_source_quota_cap(spark):
+    """Per-domain cap keeps ≤ quota rows per source, is deterministic, and
+    subsamples rather than truncating by doc_id."""
+    from wolf_quake_spark.analysis.sampling import source_quota_cap
+
+    rows = [(i, f"src{i % 3}") for i in range(90)] + [(1000, "rare")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = source_quota_cap(docs, quota=5).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert all(len(v) <= 5 for v in by_src.values())
+    assert len(by_src["src0"]) == 5 and by_src["rare"] == [1000]
+    # md5 shuffle, not first-N: src0 members are NOT simply 0,3,6,9,12
+    assert sorted(by_src["src0"]) != [0, 3, 6, 9, 12]
+    again = source_quota_cap(docs, quota=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame(
         [(1, "hello, world! x2"), (2, ""), (3, "  spaced   out  ")],

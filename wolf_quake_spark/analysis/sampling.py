@@ -15,7 +15,7 @@ split assignment.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from wolf_quake_spark.analysis.contamination import HASH_MOD, KNUTH
@@ -68,7 +68,19 @@ def global_enumerate(
     The only single-partition window runs over that count frame, bounded by
     the partition count, never the data size.  ``order`` must be a total
     order (include a unique tiebreak) or positions are nondeterministic.
+
+    The ranked frame is persisted EAGERLY before the offset pass: the
+    offsets job and the final join are two separate jobs over ``local``,
+    and without pinning it a re-planned upstream (AQE re-coalesces once a
+    cached/shuffled input reports runtime sizes) can assign different
+    partition ids between the two evaluations — offsets then belong to a
+    different layout than the ranks and positions come out gappy/duplicated
+    (caught live: 5000 rows → 4964 distinct positions on a cached
+    aggregate input; a parquet-scan input never trips it, which is why the
+    original formulation survived training_order's oracle).  The handle
+    rides ``_wqs_persisted`` for the caller/registry to release.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -80,7 +92,8 @@ def global_enumerate(
             "_lrn",
             F.row_number().over(Window.partitionBy("_pid").orderBy(*order)),
         )
-    )
+    ).persist(StorageLevel.DISK_ONLY)
+    local.count()  # materialize now — both consumers must see ONE layout
     off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         local.groupBy("_pid")
@@ -88,11 +101,15 @@ def global_enumerate(
         .withColumn("_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0)))
         .select("_pid", "_off")
     )
-    return (
+    out = (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("long"))
         .drop("_pid", "_lrn", "_off")
     )
+    from wolf_quake_spark.analysis import persisted_handles
+
+    out._wqs_persisted = persisted_handles(df) + [local]
+    return out
 
 
 def global_cumsum(
@@ -153,3 +170,177 @@ def training_order(docs: DataFrame, seed: str = "epoch-0") -> DataFrame:
     return global_enumerate(
         keyed, [F.asc("shuffle_key"), F.asc("doc_id")], out_col="position"
     )
+
+
+def weighted_sample(
+    docs: DataFrame, k: int = 100, weight_col: str = "n_chars"
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row gets key u^(1/w) for a uniform u and
+    weight w, and the top-k keys are a weight-proportional sample — the
+    standard one-pass distributed weighted sampler (no sequential draw
+    state, so it parallelizes where classic roulette sampling cannot).
+
+    The uniform is md5-derived from doc_id ((hex4+1)/65536 ∈ (0,1]), so the
+    sample is reproducible across engines, cluster sizes, and reruns — the
+    same determinism bar as :func:`training_order`.  Keys are rounded to 9
+    decimals (pow carries ~1 ulp of libm disagreement) with doc_id as the
+    total-order tiebreak, so the boundary of the top-k is engine-exact.
+
+    Scale shape: one narrow projection + TakeOrderedAndProject (per-task
+    top-k heaps merged on the driver, k rows only — never a global sort).
+    """
+    h = F.md5(F.col("doc_id").cast("string"))
+
+    def nib(i: int) -> Column:
+        return F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
+
+    u = (((nib(0) * 16 + nib(1)) * 16 + nib(2)) * 16 + nib(3) + 1) / F.lit(
+        65536.0
+    )
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    )
+    return (
+        docs.select(
+            "doc_id", F.col(weight_col).alias("weight"), key.alias("sample_key")
+        )
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def source_quota_cap(
+    docs: DataFrame, quota: int = 10, domain_col: str = "source"
+) -> DataFrame:
+    """Per-domain quota capping: keep at most ``quota`` docs per domain,
+    chosen by a deterministic md5 shuffle within the domain — the standard
+    web-corpus balancing step (a handful of crawl domains otherwise
+    dominate the token budget).
+
+    The keep-set is hash-ordered, not first-N-by-id, so capping is an
+    unbiased per-domain subsample and stable across reruns.  One window
+    keyed on the domain: parallel across domains, and the per-domain sort
+    is bounded by the largest domain — for a pathological mega-domain the
+    same targeted salting as sessionize applies (rank within salted shards,
+    then cap at quota/shards), which this synthetic corpus doesn't need.
+    Returns the SURVIVORS with their keep_rank (1-based within domain).
+    """
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", domain_col)
+        .withColumn("keep_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("keep_rank") <= quota)
+    )
+
+
+DSIR_BUCKETS = 1024  # hashed-feature dimensionality (Xie et al. use 10k)
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target,
+    n_buckets: int = DSIR_BUCKETS,
+    select_frac: float = 0.2,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance scores (Data Selection via Importance
+    Resampling, Xie et al., NeurIPS'23): per-doc log importance ratio of a
+    TARGET distribution vs the RAW corpus under hashed unigram bag-of-words
+    n-gram models — the standard recipe for tilting a web-scale corpus
+    toward a high-quality target domain before training.
+
+    ``target`` is a boolean Column marking the target subset (e.g.
+    ``F.col("lang") == "en"``).  Both models are add-one-smoothed
+    multinomials over ``n_buckets`` md5-hashed token buckets; a doc's score
+    is  Σ_b tf(b) · [ln p̂_target(b) − ln p̂_raw(b)] — higher means more
+    target-like.  The paper resamples ∝ exp(score) with Gumbel noise; this
+    operator keeps the deterministic core of that: ``selected`` marks the
+    top ``select_frac`` of docs by score (ties → lowest doc_id), ranked
+    with the distributed two-stage enumeration (:func:`global_enumerate`,
+    no single-partition window).  An absolute ``score > 0`` threshold would
+    be the wrong selector: smoothing shifts the whole distribution by a
+    corpus-dependent constant (on a shared-vocabulary corpus every doc
+    scores mildly negative), while the top-fraction rank is shift-invariant
+    — exactly what resampling weights care about.  Noise belongs to the
+    caller.
+
+    Engine portability: the bucket hash is the strpos-arithmetic md5 nibble
+    trick (cf. dedup._hex4_int) and the score is quantized to 6 decimals —
+    each ``ln`` carries ≤1 ulp libm disagreement and per-doc sums
+    reassociate differently per engine, ~7 orders below the quantum (the
+    unigram_logprob_scores argument).
+
+    Scale shape: one (doc, term) hash agg → one (doc, bucket) agg → the two
+    models are ≤``n_buckets``-row aggregates joined back BROADCAST → one
+    doc-keyed agg.  Corpus totals reach rows as a one-row broadcast
+    aggregate, never a driver ``.count()``.  Nothing here is quadratic and
+    the model side is constant-size, so the plan is two narrow aggs + one
+    scan at any corpus size.
+    """
+    from wolf_quake_spark.analysis.textstats import term_frequencies
+
+    h = F.md5(F.col("term"))
+
+    def nib(i: int) -> Column:
+        return F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
+
+    bucket = (
+        ((nib(0) * 16 + nib(1)) * 16 + nib(2)) * 16 + nib(3)
+    ) % n_buckets
+
+    flags = docs.select("doc_id", target.alias("_is_target"))
+    bt = (
+        term_frequencies(docs, text_col)
+        .select("doc_id", bucket.alias("b"), "tf")
+        .groupBy("doc_id", "b")
+        .agg(F.sum("tf").alias("n"))
+    )
+    raw = bt.groupBy("b").agg(F.sum("n").alias("cr"))
+    tgt = (
+        bt.join(flags.filter(F.col("_is_target")), "doc_id")
+        .groupBy("b")
+        .agg(F.sum("n").alias("ct"))
+    )
+    totals = raw.agg(F.sum("cr").alias("nr")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    )
+    bb = float(n_buckets)
+    term = F.col("n").cast("double") * (
+        F.log(F.coalesce(F.col("ct"), F.lit(0)).cast("double") + 1.0)
+        - F.log(F.col("nt").cast("double") + bb)
+        - F.log(F.col("cr").cast("double") + 1.0)
+        + F.log(F.col("nr").cast("double") + bb)
+    )
+    from pyspark import StorageLevel
+
+    # the scored frame feeds the rank shuffle, the offset count, and the
+    # total — persist once instead of recomputing the tf aggregation 3×
+    scored = (
+        bt.join(F.broadcast(raw), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n_tokens"), F.round(F.sum(term), 6).alias("w"))
+    ).persist(StorageLevel.DISK_ONLY)
+    ranked = global_enumerate(
+        scored, [F.desc("w"), F.asc("doc_id")], out_col="_rk"
+    )
+    n_total = scored.agg(F.count("*").alias("_nt"))
+    out = (
+        ranked.crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("w").alias("dsir_logratio"),
+            (F.col("_rk") <= F.ceil(F.lit(select_frac) * F.col("_nt"))).alias(
+                "selected"
+            ),
+        )
+    )
+    from wolf_quake_spark.analysis import persisted_handles
+
+    out._wqs_persisted = persisted_handles(ranked) + [scored]
+    return out

@@ -262,6 +262,63 @@ def bigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a fixed term set — the
+    retrieval scorer a curation pipeline uses to mine domain-relevant docs
+    from a web corpus (e.g. "find everything that smells like math"), and
+    the lexical half of hybrid (BM25 + embedding) search.
+
+    Standard Robertson/Lucene formulation, always-positive idf:
+    ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))``,
+    ``score = Σ_t idf·tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))``.
+    Docs matching no query term are absent (their score is 0).
+
+    Scale shape: the (doc, term) frequency agg is filtered to the query
+    terms BEFORE any join (predicate on the hash-agg output, a few rows per
+    doc), df and N/avgdl are one tiny agg each joined back broadcast, and
+    the final score is one doc-keyed agg.  Rounded to 6 decimals for the
+    usual cross-engine libm/reassociation ulps.
+    """
+    tf = term_frequencies(docs, text_col)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # N over the docs frame (not tf — token-less docs still count) and the
+    # mean doc length, as one-row broadcast aggregates
+    stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    qt = tf.filter(F.col("term").isin(list(query_terms)))
+    df_ = qt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+    )
+    part = idf * (
+        F.col("tf").cast("double")
+        * (k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    return (
+        qt.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(part), 6).alias("bm25"),
+            F.count("*").alias("n_matched_terms"),
+        )
+    )
+
+
 def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals per document: distinct-token
     ratio, most-frequent token (and its share), most-frequent bigram (and

@@ -57,9 +57,12 @@ from wolf_quake_spark.analysis.multimodal import (
     wav_features,
 )
 from wolf_quake_spark.analysis.sampling import (
+    dsir_scores,
     global_enumerate,
+    source_quota_cap,
     stratified_sample,
     training_order,
+    weighted_sample,
 )
 from wolf_quake_spark.analysis.scrub import EMAIL_RE, IPV4_RE, PHONE_RE, redact_pii
 from wolf_quake_spark.analysis.similarity import (
@@ -84,6 +87,7 @@ from wolf_quake_spark.analysis.textstats import (
     NGRAM_PROFILES,
     STOPWORDS,
     bigram_logprob_scores,
+    bm25_scores,
     bpe_token_count,
     lang_id,
     lang_id_ngram,
@@ -326,7 +330,9 @@ def q_user_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_enumerate(
         scores, [F.desc("score"), F.asc("user_id")], out_col="rank"
     )
-    return ranked.select("user_id", "score", "rank")
+    out = ranked.select("user_id", "score", "rank")
+    out._wqs_persisted = getattr(ranked, "_wqs_persisted", None)
+    return out
 
 
 @register(
@@ -2831,6 +2837,76 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bm25_scores",
+    f"""
+    WITH {_TF_CTE},
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                     (SELECT AVG(dl) FROM dl) AS avgdl),
+    qt AS (SELECT * FROM tf WHERE term IN ('spark', 'join', 'window')),
+    dfs AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM qt GROUP BY term)
+    SELECT qt.doc_id,
+           round(SUM(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+                     * CAST(tf AS DOUBLE) * 2.2
+                     / (CAST(tf AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))),
+                 6) AS bm25,
+           CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+    FROM qt JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY qt.doc_id
+    """,
+)
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance mining over the corpus for a fixed query term
+    set — the lexical scorer for domain-targeted curation and the keyword
+    half of hybrid search (see bm25_scores for the broadcast-model plan)."""
+    return bm25_scores(
+        _read(spark, sf_dir, "documents"), ["spark", "join", "window"]
+    )
+
+
+@register(
+    "dsir_importance_scores",
+    f"""
+    WITH {_TF_CTE},
+    bt AS (SELECT doc_id,
+                  ((((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1)) * 16
+                   + (strpos('0123456789abcdef', substr(md5(term), 3, 1)) - 1)) * 16
+                   + (strpos('0123456789abcdef', substr(md5(term), 4, 1)) - 1)) % 1024 AS b,
+                  CAST(SUM(tf) AS BIGINT) AS n
+           FROM tf GROUP BY 1, 2),
+    raw AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cr FROM bt GROUP BY b),
+    tgt AS (SELECT b, CAST(SUM(n) AS BIGINT) AS ct
+            FROM bt JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT SUM(cr) FROM raw) AS nr,
+                   (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS nt),
+    sc AS (SELECT bt.doc_id, CAST(SUM(bt.n) AS BIGINT) AS n_tokens,
+                  round(SUM(CAST(bt.n AS DOUBLE)
+                        * (ln(CAST(COALESCE(t.ct, 0) AS DOUBLE) + 1.0)
+                           - ln(CAST(nt AS DOUBLE) + 1024.0)
+                           - ln(CAST(r.cr AS DOUBLE) + 1.0)
+                           + ln(CAST(nr AS DOUBLE) + 1024.0))), 6) AS w
+           FROM bt JOIN raw r USING (b) LEFT JOIN tgt t USING (b) CROSS JOIN tot
+           GROUP BY bt.doc_id)
+    SELECT doc_id, n_tokens, w AS dsir_logratio,
+           (ROW_NUMBER() OVER (ORDER BY w DESC, doc_id)
+              <= CEIL(0.2 * (SELECT COUNT(*) FROM sc))) AS selected
+    FROM sc
+    """,
+)
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores tilting the corpus toward the English target
+    slice: hashed-unigram target/raw models, per-doc log importance ratio,
+    deterministic top-20% selection via the distributed two-stage rank
+    (see dsir_scores)."""
+    return dsir_scores(
+        _read(spark, sf_dir, "documents"), target=F.col("lang") == "en"
+    )
+
+
+@register(
     "bigram_logprob_scores",
     """
     WITH tw AS (
@@ -3004,6 +3080,52 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     Positions come from the two-stage range-partition enumeration, never a
     single-partition window."""
     return training_order(_read(spark, sf_dir, "documents"), seed="epoch-0")
+
+
+@register(
+    "weighted_sample_topk",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars AS weight,
+             round(power(
+               (((((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) * 16
+                 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) * 16
+                 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) + 1)
+                 / 65536.0,
+               1.0 / CAST(n_chars AS DOUBLE)), 9) AS sample_key
+      FROM documents)
+    SELECT doc_id, weight, sample_key FROM keyed
+    ORDER BY sample_key DESC, doc_id ASC LIMIT 100
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis–Spirakis weighted sample (k=100, weight =
+    n_chars): one-pass distributed weighted sampling without replacement —
+    top-k of u^(1/w) keys via per-task heaps, no global sort, reproducible
+    across engines and cluster sizes (see weighted_sample)."""
+    return weighted_sample(_read(spark, sf_dir, "documents"), k=100)
+
+
+@register(
+    "source_quota_cap",
+    """
+    SELECT doc_id, source, keep_rank FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS keep_rank
+      FROM documents)
+    WHERE keep_rank <= 10
+    """,
+)
+def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping: at most 10 docs per source, selected by a
+    deterministic md5 shuffle within the domain — the crawl-balance step
+    that stops a handful of domains dominating the token budget
+    (see source_quota_cap)."""
+    return source_quota_cap(_read(spark, sf_dir, "documents"), quota=10)
 
 
 # per-bin positional byte sums over the WAV data chunk == ascii codepoint
