@@ -1395,6 +1395,32 @@ def test_fuzzy_blocking_composite_and_salted(spark):
     assert salted_max * 4 <= unsalted_max  # ≥4× split of the hot group
 
 
+def test_crossdup_only_crosses_the_boundary(spark):
+    """Incremental dedup pairs NEW docs with CORPUS docs only: identical
+    twins inside the corpus (or inside the batch) never pair, while a new
+    doc duplicating a corpus doc always does."""
+    from pyspark.sql import functions as F
+
+    from wolf_quake_spark.analysis.dedup import crossdup_pairs
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, dup), (1, dup),                      # corpus-internal exact twins
+        (2, "totally unrelated corpus text about other things entirely"),
+        (10, dup),                               # new doc duplicating corpus
+        (11, dup),                               # second new dup (new×new must not pair)
+        (12, "fresh unseen content with no duplicate partner anywhere here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = crossdup_pairs(docs, is_new=F.col("doc_id") >= 10).collect()
+    pairs = {(r["doc_new"], r["doc_corpus"]) for r in got}
+    assert pairs == {(10, 0), (10, 1), (11, 0), (11, 1)}
+    assert all(r["jaccard"] == 1.0 for r in got)
+    for h in (getattr(crossdup_pairs(docs, is_new=F.col("doc_id") >= 10), "_wqs_persisted", None),):
+        if h is not None:
+            h.unpersist()
+
+
 def test_passjoin_exact_vs_brute_force(spark):
     """PassJoin segment pigeonhole is output-COMPLETE (exact equality with
     all-pairs ground truth, not a subset) on an adversarial variable-length

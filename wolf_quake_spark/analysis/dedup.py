@@ -379,6 +379,63 @@ def fuzzy_key_pairs(
     return out
 
 
+def crossdup_pairs(
+    docs: DataFrame,
+    is_new,
+    threshold: float = 0.5,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ingestion dedup: near-dup pairs between a NEW batch and
+    the EXISTING corpus only — the shape a daily crawl actually needs
+    (is today's doc a near-dup of anything already kept?), which the
+    self-join family (:func:`verified_pairs`) cannot express without paying
+    the corpus×corpus candidate cost again on every ingest.
+
+    ``is_new`` is a boolean Column splitting the frame.  Same MinHash/LSH
+    machinery as the self-join path — one shared shingle frame feeds both
+    the signatures and the exact-Jaccard verify — but the band-bucket join
+    is new×corpus, so within-corpus and within-batch bucket pairs never
+    materialize: candidate volume is Σ_bucket n_new·n_corpus instead of
+    Σ n², the right asymptotics when the daily batch is ≪ the corpus.
+    At 100 TB the corpus side's bands/shingles are written once and reused
+    per ingest (this function recomputes them only because the registry
+    query is self-contained).
+
+    Returns (doc_new, doc_corpus, jaccard ≥ threshold).  The shared shingle
+    frame rides ``_wqs_persisted``.
+    """
+    from pyspark import StorageLevel
+
+    sh = word_shingles(docs, n=shingle_n, text_col=text_col).persist(
+        StorageLevel.DISK_ONLY
+    )
+    bf = lsh_bands(
+        docs, k=k, bands=bands, shingle_n=shingle_n, text_col=text_col, shingles=sh
+    )
+    flags = docs.select("doc_id", is_new.alias("_new"))
+    tagged = bf.join(flags, "doc_id")
+    a = tagged.filter(F.col("_new")).select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_hash"
+    )
+    b = tagged.filter(~F.col("_new")).select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_hash"
+    )
+    cand = (
+        a.join(b, ["band_id", "band_hash"]).select("doc_a", "doc_b").distinct()
+    )
+    jac = ngram_jaccard(docs, cand, shingle_n=shingle_n, shingles=sh)
+    out = jac.filter(F.col("jaccard") >= threshold).select(
+        F.col("doc_a").alias("doc_new"),
+        F.col("doc_b").alias("doc_corpus"),
+        "jaccard",
+    )
+    out._wqs_persisted = sh
+    return out
+
+
 def passjoin_pairs(
     docs: DataFrame,
     max_edits: int = 3,

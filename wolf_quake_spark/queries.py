@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from wolf_quake_spark.analysis.dedup import (
     SIMHASH64_WORDS,
     SIMHASH_BITS,
+    crossdup_pairs,
     dedup_apply,
     dedup_components,
     dup_ngram_spans,
@@ -4640,6 +4641,42 @@ def q_passjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-consistent (contrast fuzzy_prefix_pairs, whose oracle mirrors its
     token blocking).  See passjoin_pairs for the plan-shape argument."""
     return passjoin_pairs(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "crossdup_new_vs_corpus",
+    _MINHASH_SQL
+    + """
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_corpus
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_new, p.doc_corpus, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.doc_new
+      JOIN sh sb ON sb.doc_id = p.doc_corpus AND sb.shingle = sa.shingle
+      GROUP BY p.doc_new, p.doc_corpus
+    )
+    SELECT i.doc_new, i.doc_corpus,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_new
+    JOIN sizes sb ON sb.doc_id = i.doc_corpus
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+    """,
+)
+def q_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: the doc_id%5==0 slice plays today's
+    batch, everything else is the standing corpus — near-dup pairs cross
+    the boundary ONLY (Σ n_new·n_corpus per bucket, never corpus²), the
+    asymptotics a daily crawl ingest needs (see crossdup_pairs)."""
+    return crossdup_pairs(
+        _read(spark, sf_dir, "documents"), is_new=F.col("doc_id") % 5 == 0
+    )
 
 
 @register(
