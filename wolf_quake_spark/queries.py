@@ -76,6 +76,8 @@ from wolf_quake_spark.analysis.similarity import (
     ivf_search,
     kmeans_assign,
     kmeans_assign_two_level,
+    kmeans_probe_curve,
+    kmeans_search,
     neardup_pairs,
     quantize_int8,
     srp_hyperplanes,
@@ -2837,9 +2839,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(_read(spark, sf_dir, "documents"))
 
 
-@register(
-    "bm25_scores",
-    f"""
+_BM25_SQL = f"""
     WITH {_TF_CTE},
     dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
     stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
@@ -2856,8 +2856,10 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_matched_terms
     FROM qt JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
     GROUP BY qt.doc_id
-    """,
-)
+    """
+
+
+@register("bm25_scores", _BM25_SQL)
 def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 relevance mining over the corpus for a fixed query term
     set — the lexical scorer for domain-targeted curation and the keyword
@@ -3923,6 +3925,78 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH lexall AS (SELECT * FROM ({_BM25_SQL}) t),
+    lex AS (SELECT doc_id, lex_rank FROM (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+              FROM lexall) WHERE lex_rank <= 50),
+    semall AS (SELECT * FROM ({_ANN_SQL_BODY}) t),
+    sem AS (SELECT doc_id, sem_rank FROM (
+              SELECT vec_id AS doc_id,
+                     ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS sem_rank
+              FROM semall) WHERE sem_rank <= 50)
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           CAST(l.lex_rank AS BIGINT) AS lex_rank,
+           CAST(s.sem_rank AS BIGINT) AS sem_rank,
+           round(COALESCE(1.0 / (60 + l.lex_rank), 0)
+                 + COALESCE(1.0 / (60 + s.sem_rank), 0), 6) AS rrf
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack SIGIR'09, the
+    standard Elasticsearch/Vespa hybrid): fuse the BM25 top-50 (lexical,
+    fixed term set) with the cosine top-50 (semantic, vec_id=0 query;
+    vec_id is the embedded doc's id) as Σ 1/(60 + rank) — the
+    domain-mining recipe when neither keywords nor embeddings alone recall
+    enough.
+
+    Scale shape: each arm is its own scale-correct plan (BM25's broadcast
+    model join; the brute cosine baseline — swap in ivf_search for the ANN
+    arm at scale) reduced to ≤50 rows by TakeOrderedAndProject BEFORE any
+    window: the rank row_numbers and the full-outer fuse run on two
+    ≤50-row frames, bounded by construction like the month-frame KPI
+    windows.  Ranks tie-break on doc_id over scores that are themselves
+    engine-exact (rounded bm25, single-division cosine)."""
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    lex50 = (
+        bm25_scores(docs, ["spark", "join", "window"])
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(50)
+    )
+    lex = lex50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    sem50 = (
+        cosine_scores(emb, _query_vec(spark, sf_dir))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(50)
+    )
+    sem = sem50.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .cast("long")
+        .alias("sem_rank"),
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("sem_rank")), F.lit(0.0)),
+        6,
+    )
+    return lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id", "lex_rank", "sem_rank", rrf.alias("rrf")
+    )
+
+
 # Scale-derived coarse-bucket assignment, shared by the IVF oracles: bucket
 # count is the smallest power of two keeping occupancy ≤ 64 (ceiling 2^24 —
 # see similarity.MAX_BUCKET_BITS for why the cap no longer binds at scale),
@@ -3959,8 +4033,7 @@ def q_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(emb).groupBy("bucket").agg(F.count("*").alias("n_vecs"))
 
 
-@register(
-    "ivf_search_multiprobe",
+_IVF_SEARCH_SQL = (
     _IVF_ASSIGN_SQL
     + """
     , qv AS (SELECT embedding AS qe, bucket AS qb FROM assign WHERE vec_id = 0),
@@ -3992,12 +4065,56 @@ def q_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 0.0 END AS cosine
     FROM dots, qq
     ORDER BY cosine DESC, vec_id ASC LIMIT 10
-    """,
+    """
 )
+
+
+@register("ivf_search_multiprobe", _IVF_SEARCH_SQL)
 def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF search: Hamming-≤1 probe set around the query bucket."""
     emb = _read(spark, sf_dir, "embeddings")
     return ivf_search(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@register(
+    "ann_recall_at_k",
+    f"""
+    WITH ivf AS (SELECT * FROM ({_IVF_SEARCH_SQL}) t),
+    brute AS (SELECT * FROM ({_ANN_SQL_BODY}
+                             ORDER BY cosine DESC, vec_id ASC LIMIT 10) t)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           round(COUNT(*) / 10.0, 6) AS recall_at_10
+    FROM ivf JOIN brute USING (vec_id)
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall calibration: recall@10 of the multi-probe IVF search
+    against the exact brute-force top-10 for the same query — the
+    trust-the-index measurement every ANN deployment reads before swapping
+    the exact scan out (the embedding analog of minhash_estimate_error's
+    estimator-calibration table).  Both arms are existing registry plans;
+    the comparison is a 10-row×10-row id join reduced to one audit row.
+
+    Measured finding (the reason this row exists): recall@10 = 0.7 at
+    sf0.01 but 0.3 at sf0.1 — sign-bucket IVF loses recall as the derived
+    bucket count grows, because the Hamming-≤1 probe set covers a shrinking
+    corpus fraction, and its only recall knob (radius 2) re-scans half the
+    corpus at 32 buckets.  The operational fix is semantic cells with a
+    TUNABLE probe budget — see ivf_kmeans_search and the measured
+    recall/probe curve in ann_recall_probe_curve."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    ivf = ivf_search(emb, qv, k=10).select("vec_id")
+    brute = (
+        cosine_scores(emb, qv)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    return ivf.join(brute, "vec_id").agg(
+        F.count("*").cast("long").alias("n_overlap"),
+        F.round(F.count("*") / 10.0, 6).alias("recall_at_10"),
+    )
 
 
 # --- k-means IVF quantizer -------------------------------------------------
@@ -4173,6 +4290,96 @@ def q_kmeans2_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped DataFrame ops — the scale path past the 65536-centroid
     broadcast cap of the flat quantizer (see kmeans_assign_two_level)."""
     return kmeans_assign_two_level(_read(spark, sf_dir, "embeddings"))
+
+
+_KMEANS_SEARCH_SQL = f"""
+    WITH asg AS (SELECT * FROM ({_kmeans_sql()}) t),
+    u AS (SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq, pos FROM (
+      SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+    cents AS (SELECT asg.cent_id, u.pos,
+                     CAST(floor(CAST(SUM(u.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+              FROM u JOIN asg USING (vec_id) GROUP BY asg.cent_id, u.pos),
+    qv AS (SELECT pos, xq FROM u WHERE vec_id = 0),
+    pd AS (SELECT c.cent_id, SUM((c.cq - q.xq) * (c.cq - q.xq)) AS d
+           FROM cents c JOIN qv q USING (pos) GROUP BY c.cent_id),
+    probes AS (SELECT cent_id FROM pd ORDER BY d, cent_id LIMIT 3),
+    cand AS (SELECT vec_id FROM asg WHERE cent_id IN (SELECT cent_id FROM probes)),
+    qq AS (SELECT CAST(SUM(xq * xq) AS BIGINT) AS qn FROM qv),
+    dots AS (SELECT u.vec_id, CAST(SUM(u.xq * q.xq) AS BIGINT) AS dot,
+                    CAST(SUM(u.xq * u.xq) AS BIGINT) AS en
+             FROM u JOIN qv q USING (pos) JOIN cand ON cand.vec_id = u.vec_id
+             GROUP BY u.vec_id)
+    SELECT vec_id, dot,
+           CASE WHEN en > 0
+                THEN CAST(dot AS DOUBLE) / sqrt(CAST(en AS DOUBLE) * CAST(qn AS DOUBLE))
+                ELSE 0.0 END AS cosine
+    FROM dots, qq ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """
+
+
+@register("ivf_kmeans_search", _KMEANS_SEARCH_SQL)
+def q_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over SEMANTIC cells: k-means assignment, nearest-centroid
+    probe set (3 cells by integer L2², member-mean centroids), cosine only
+    inside the probed cells — the scale path the sign-bucket recall gauge
+    says to switch to (see kmeans_search)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return kmeans_search(emb, _query_vec(spark, sf_dir), k=10, n_probes=3)
+
+
+@register(
+    "ann_recall_probe_curve",
+    f"""
+    WITH asg AS (SELECT * FROM ({_kmeans_sql()}) t),
+    u AS (SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq, pos FROM (
+      SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+    cents AS (SELECT asg.cent_id, u.pos,
+                     CAST(floor(CAST(SUM(u.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+              FROM u JOIN asg USING (vec_id) GROUP BY asg.cent_id, u.pos),
+    qv AS (SELECT pos, xq FROM u WHERE vec_id = 0),
+    pd AS (SELECT c.cent_id, SUM((c.cq - q.xq) * (c.cq - q.xq)) AS d
+           FROM cents c JOIN qv q USING (pos) GROUP BY c.cent_id),
+    rcc AS (SELECT cent_id, CAST(ROW_NUMBER() OVER (ORDER BY d, cent_id) AS INTEGER) AS rc
+            FROM pd),
+    cand AS (SELECT asg.vec_id, rcc.rc FROM asg JOIN rcc USING (cent_id)
+             WHERE rcc.rc <= 8),
+    qq AS (SELECT CAST(SUM(xq * xq) AS BIGINT) AS qn FROM qv),
+    dots AS (SELECT u.vec_id, CAST(SUM(u.xq * q.xq) AS BIGINT) AS dot,
+                    CAST(SUM(u.xq * u.xq) AS BIGINT) AS en
+             FROM u JOIN qv q USING (pos) JOIN cand ON cand.vec_id = u.vec_id
+             GROUP BY u.vec_id),
+    sc AS (SELECT d.vec_id, cand.rc,
+                  CASE WHEN d.en > 0
+                       THEN CAST(d.dot AS DOUBLE) / sqrt(CAST(d.en AS DOUBLE) * CAST(qq.qn AS DOUBLE))
+                       ELSE 0.0 END AS cosine
+           FROM dots d JOIN cand USING (vec_id), qq),
+    pv AS (SELECT CAST(unnest([3, 5, 8]) AS INTEGER) AS n_probes),
+    perp AS (SELECT pv.n_probes, sc.vec_id, sc.cosine
+             FROM sc JOIN pv ON sc.rc <= pv.n_probes),
+    tk AS (SELECT n_probes, vec_id FROM (
+             SELECT n_probes, vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY n_probes
+                                       ORDER BY cosine DESC, vec_id) AS rn
+             FROM perp) WHERE rn <= 10),
+    brute AS (SELECT vec_id FROM ({_ANN_SQL_BODY}
+                                  ORDER BY cosine DESC, vec_id ASC LIMIT 10) t),
+    hits AS (SELECT n_probes, CAST(COUNT(*) AS BIGINT) AS n_overlap
+             FROM tk JOIN brute USING (vec_id) GROUP BY n_probes)
+    SELECT pv.n_probes, COALESCE(h.n_overlap, 0) AS n_overlap,
+           round(COALESCE(h.n_overlap, 0) / 10.0, 6) AS recall_at_10
+    FROM pv LEFT JOIN hits h USING (n_probes)
+    """,
+)
+def q_ann_recall_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the k-means-cell IVF search at probe budgets {3,5,8} —
+    the recall/scan-fraction tuning curve (one assignment + one cosine pass
+    over the widest probe set; per-budget top-k windows are bounded by the
+    probe-set size).  Measured: 0.3/0.5/0.8 at sf0.01, 0.3/0.6/0.7 at
+    sf0.1 (see kmeans_probe_curve)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return kmeans_probe_curve(emb, _query_vec(spark, sf_dir), k=10)
 
 
 @register(
