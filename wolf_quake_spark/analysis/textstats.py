@@ -319,6 +319,78 @@ def bm25_scores(
     )
 
 
+def countmin_term_counts(
+    docs: DataFrame,
+    width: int = 256,
+    depth: int = 4,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-Min sketch term-frequency estimates vs exact counts — the
+    heavy-hitters telemetry sketch (Cormode & Muthukrishnan '05) with its
+    accuracy audited in the same job.
+
+    Unlike HLL/t-digest (``sketch_profile``, rows-only by necessity), a CM
+    sketch with DETERMINISTIC salted-md5 row hashes is exactly reproducible
+    in SQL, so this one is fully oracle-paired: build the ``depth×width``
+    counter table, estimate each term as min over its ``depth`` cells, and
+    report the top-``k`` exact terms with exact count, estimate, and
+    overestimate.  CM never underestimates (every cell ≥ the term's true
+    count) — ``overestimate ≥ 0`` is property-tested for EVERY term, and
+    collisions in 256-wide rows make it strictly positive for some, which
+    is the error the table quantifies.
+
+    Scale shape: the sketch is ~constant state (depth·width cells) built by
+    one hash agg over the term model — mergeable map-side like any partial
+    sum, the 100 TB answer when the exact term model itself is the thing
+    you can no longer afford to keep.
+    """
+    model = term_frequencies(docs, text_col).groupBy("term").agg(
+        F.sum("tf").alias("cnt")
+    )
+
+    def bucket(j: int) -> Column:
+        h = F.md5(F.concat(F.lit(f"cm{j}"), F.col("term")))
+
+        def nib(i: int) -> Column:
+            return (
+                F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
+            )
+
+        return (
+            ((nib(0) * 16 + nib(1)) * 16 + nib(2)) * 16 + nib(3)
+        ) % width
+
+    hashed = model.select(
+        "term",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), bucket(j).cast("int").alias("b")
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("s"),
+    ).select("term", "cnt", "s.j", "s.b")
+    cm = hashed.groupBy("j", "b").agg(F.sum("cnt").alias("cell"))
+    top = model.orderBy(F.desc("cnt"), F.asc("term")).limit(k)
+    est = (
+        top.join(hashed.select("term", "j", "b"), "term")
+        .join(cm, ["j", "b"])
+        .groupBy("term", "cnt")
+        .agg(F.min("cell").alias("est"))
+    )
+    return est.select(
+        "term",
+        F.col("cnt").alias("exact_count"),
+        F.col("est").alias("cm_estimate"),
+        (F.col("est") - F.col("cnt")).alias("overestimate"),
+    )
+
+
 def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals per document: distinct-token
     ratio, most-frequent token (and its share), most-frequent bigram (and

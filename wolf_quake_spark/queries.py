@@ -92,6 +92,7 @@ from wolf_quake_spark.analysis.textstats import (
     bigram_logprob_scores,
     bm25_scores,
     bpe_token_count,
+    countmin_term_counts,
     lang_id,
     lang_id_ngram,
     quality_metrics,
@@ -2859,6 +2860,45 @@ _BM25_SQL = f"""
     """
 
 
+def _cm_bucket_sql(j: int) -> str:
+    h = f"md5('cm{j}' || term)"
+    nib = lambda i: f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"  # noqa: E731
+    return (
+        f"((({nib(0)} * 16 + {nib(1)}) * 16 + {nib(2)}) * 16 + {nib(3)}) % 256"
+    )
+
+
+@register(
+    "countmin_term_counts",
+    f"""
+    WITH {_TF_CTE},
+    model AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+    hashed AS (
+      {" UNION ALL ".join(
+        f"SELECT term, cnt, {j} AS j, CAST({_cm_bucket_sql(j)} AS INTEGER) AS b FROM model"
+        for j in range(4)
+      )}
+    ),
+    cm AS (SELECT j, b, CAST(SUM(cnt) AS BIGINT) AS cell FROM hashed GROUP BY j, b),
+    top AS (SELECT term, cnt FROM model ORDER BY cnt DESC, term ASC LIMIT 20)
+    SELECT t.term, t.cnt AS exact_count,
+           CAST(MIN(cm.cell) AS BIGINT) AS cm_estimate,
+           CAST(MIN(cm.cell) - t.cnt AS BIGINT) AS overestimate
+    FROM top t
+    JOIN hashed h ON h.term = t.term
+    JOIN cm ON cm.j = h.j AND cm.b = h.b
+    GROUP BY t.term, t.cnt
+    """,
+)
+def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitters sketch with in-job accuracy audit: top-20
+    exact terms vs their sketch estimates (deterministic salted-md5 rows,
+    so unlike HLL/t-digest this sketch IS oracle-paired); overestimate ≥ 0
+    is the CM guarantee, property-tested corpus-wide
+    (see countmin_term_counts)."""
+    return countmin_term_counts(_read(spark, sf_dir, "documents"))
+
+
 @register("bm25_scores", _BM25_SQL)
 def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 relevance mining over the corpus for a fixed query term
@@ -4942,6 +4982,39 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation) over the Jaccard>=0.5 LSH pair graph; the oracle computes
     the same components with a recursive reachability CTE."""
     return dedup_components(_read(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "dedup_cluster_stats",
+    _MINHASH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _LSH_JACCARD_CTES
+    + _COMPONENT_GRAPH_CTES
+    + """
+    , comp AS (SELECT id AS doc_id, MIN(lab) AS component_id FROM reach GROUP BY id),
+    szs AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM comp GROUP BY component_id)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS docs_total,
+           CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS docs_removable
+    FROM szs GROUP BY cluster_size
+    """,
+)
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram: how many clusters of each size the
+    Jaccard≥0.5 graph produces, total docs in them, and docs a
+    keep-one-per-cluster policy would remove — the dedup impact report an
+    operator reads BEFORE applying survivors (pairs with dedup_apply's
+    per-keeper manifest).  Two hash aggs over the component assignment."""
+    comp = dedup_components(_read(spark, sf_dir, "documents"), threshold=0.5)
+    szs = comp.groupBy("component_id").agg(F.count("*").alias("cluster_size"))
+    out = szs.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).alias("docs_total"),
+        ((F.col("cluster_size") - 1) * F.count("*")).alias("docs_removable"),
+    )
+    out._wqs_persisted = getattr(comp, "_wqs_persisted", None)
+    return out
 
 
 @register(
