@@ -135,3 +135,62 @@ def test_random_soup_matches_oracle(spark, seed):
     games = pipeline_games(spark, log, lines_per_turn=rng.choice([1, 2, 5]))
     oracle, _ = oracle_games(log)
     assert_matches_oracle(games, oracle)
+
+
+def test_backfill_replaces_only_target_days(spark, tmp_path):
+    """Dynamic-partition backfill: recomputing a 2-day range swaps exactly
+    those day partitions — untouched days keep their ORIGINAL files
+    (identity, not just equality) — and the result equals a from-scratch
+    recompute; re-running is idempotent."""
+    import datetime as dt
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from wolf_quake_spark.plans.backfill import backfill_daily_rollup
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(days=i % 5, hours=i % 23), i % 7,
+         ["click", "purchase"][i % 2], float(i % 13))
+        for i in range(500)
+    ]
+    ev = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "rollup")
+
+    m1 = backfill_daily_rollup(ev, out, "2024-03-01", "2024-03-06")
+    assert [m["day"] for m in m1] == [f"2024-03-0{d}" for d in range(1, 6)]
+    files_before = {d: sorted(glob.glob(f"{out}/day=2024-03-0{d}/*.parquet"))
+                    for d in range(1, 6)}
+
+    # upstream replay changed days 2-3: drop every third event there
+    revised = ev.filter(
+        ~((F.to_date("ts").isin(["2024-03-02", "2024-03-03"]))
+          & (F.col("event_id") % 3 == 0))
+    )
+    backfill_daily_rollup(revised, out, "2024-03-02", "2024-03-04")
+
+    files_after = {d: sorted(glob.glob(f"{out}/day=2024-03-0{d}/*.parquet"))
+                   for d in range(1, 6)}
+    for d in (1, 4, 5):
+        assert files_after[d] == files_before[d]  # untouched partitions keep files
+    for d in (2, 3):
+        assert files_after[d] != files_before[d]  # swapped
+
+    got = spark.read.parquet(out)
+    exp = (
+        ev.filter(~F.to_date("ts").isin(["2024-03-02", "2024-03-03"]))
+        .unionByName(revised.filter(F.to_date("ts").isin(["2024-03-02", "2024-03-03"])))
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"))
+    )
+    assert sorted(map(tuple, got.select("day", "event_type", "n_events", "value_cents").collect())) == \
+        sorted(map(tuple, exp.collect()))
+
+    # idempotent: same range, same input -> same rows
+    backfill_daily_rollup(revised, out, "2024-03-02", "2024-03-04")
+    again = spark.read.parquet(out)
+    assert sorted(map(tuple, again.select("day", "event_type", "n_events", "value_cents").collect())) == \
+        sorted(map(tuple, exp.collect()))

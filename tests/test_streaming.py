@@ -943,3 +943,85 @@ def test_tws_fold_kernel_is_shared():
     import json
 
     assert json.loads(out[0]["players_json"])["2"] == ["Zeh", -1]
+
+
+def test_windowed_countmin_parity_and_merge(spark, tmp_path):
+    """Streaming CM sketch: (1) every closed window's cells equal the batch
+    face on the same rows; (2) merging closed windows cell-wise and point-
+    estimating from the merged sketch never underestimates any user's true
+    count in those windows (the CM guarantee survives the merge)."""
+    import datetime as dt
+    import glob
+    import random
+    import shutil
+
+    from wolf_quake_spark.streaming.countmin import (
+        cm_estimate,
+        merge_cm_windows,
+        windowed_countmin,
+    )
+
+    rng = random.Random(5)
+    base = dt.datetime(2024, 3, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = [
+        (i,
+         base + dt.timedelta(minutes=rng.randrange(0, 8 * 60)),
+         rng.randrange(12),
+         "click",
+         1.0)
+        for i in range(600)
+    ]
+    rows.sort(key=lambda r: r[1])
+    landing = tmp_path / "cm_landing"
+    landing.mkdir()
+    for i in range(3):
+        chunk = rows[i * 200:(i + 1) * 200]
+        st = str(tmp_path / f"cms{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("overwrite").parquet(st)
+        shutil.copyfile(glob.glob(st + "/part-*.parquet")[0],
+                        str(landing / f"f{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    q = (
+        windowed_countmin(stream, window="1 hour", delay="1 hour", width=16)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cm_parity")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    closed = spark.table("cm_parity").cache()
+    streamed = {
+        (r["window_start"], r["j"], r["b"]): r["cell"] for r in closed.collect()
+    }
+    assert streamed  # at least one window closed
+
+    batch = {
+        (r["window_start"], r["j"], r["b"]): r["cell"]
+        for r in windowed_countmin(
+            spark.createDataFrame(rows, schema),
+            window="1 hour", delay="1 hour", width=16,
+        ).collect()
+    }
+    for key, cell in streamed.items():
+        assert batch[key] == cell  # every closed window agrees exactly
+
+    # merge closed windows; estimates must dominate true per-user counts
+    closed_windows = {ws for ws, _, _ in streamed}
+    truth: dict[str, int] = {}
+    for _, ts, uid, _, _ in rows:
+        ws = ts.replace(minute=0, second=0, microsecond=0)
+        if ws in closed_windows:
+            truth[str(uid)] = truth.get(str(uid), 0) + 1
+    merged = merge_cm_windows(closed)
+    items = spark.createDataFrame([(u,) for u in truth], "item string")
+    est = {r["item"]: r["cm_estimate"]
+           for r in cm_estimate(merged, items, width=16).collect()}
+    assert est and all(est[u] >= c for u, c in truth.items())
+    closed.unpersist()

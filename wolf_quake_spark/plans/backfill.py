@@ -1,0 +1,66 @@
+"""Idempotent date-partitioned backfill — replace exactly the days you
+recompute, touch nothing else.
+
+The ops gap this fills: a telemetry pipeline discovers bad input for a date
+range (late files, a parser fix, an upstream replay) and must recompute
+that range into the metrics sink WITHOUT clobbering the rest of the table
+and WITHOUT a read-modify-write of the whole sink.  Spark's native answer
+is dynamic partition overwrite: ``mode("overwrite")`` +
+``partitionOverwriteMode=dynamic`` replaces only the partitions present in
+the written frame — an atomic per-partition swap (each day directory is
+re-created by the job commit), re-runnable to the same bytes
+(deterministic aggregate input → deterministic partition content).
+
+Scale shape: one filtered scan of the range (partition/predicate pruning on
+the ts filter), one keyed aggregate, one partitioned write; days outside
+the range are never read, never rewritten (verified file-identity in
+tests/test_pipeline.py).  The same mechanism is the remediation arm of the
+lineage tooling: plans/checkpoint.py tells you WHICH commits/days are
+suspect, this replays them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def backfill_daily_rollup(
+    events: DataFrame,
+    out_dir: str,
+    start: str,
+    end: str,
+    ts_col: str = "ts",
+) -> list[dict]:
+    """Recompute the per-(day, event_type) rollup for days in
+    [``start``, ``end``) and swap exactly those day partitions of
+    ``out_dir``.  Returns the per-day manifest (rows written) so the caller
+    can journal the backfill like any other commit.
+
+    Idempotent: re-running the same range over the same input rewrites the
+    same partitions with identical rows.  Integer-cent value sums keep the
+    output byte-stable across task orderings.
+    """
+    spark = events.sparkSession
+    day = F.to_date(F.col(ts_col))
+    agg = (
+        events.filter((day >= F.lit(start)) & (day < F.lit(end)))
+        .groupBy(day.alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        agg.write.mode("overwrite").partitionBy("day").parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    manifest = [
+        {"day": str(r["day"]), "rows": r["n"]}
+        for r in agg.groupBy("day").agg(F.count("*").alias("n")).collect()
+    ]
+    return sorted(manifest, key=lambda m: m["day"])
