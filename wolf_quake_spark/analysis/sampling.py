@@ -121,7 +121,14 @@ def global_cumsum(
     """Total-order global running sum WITHOUT a single-partition window —
     the prefix-sum sibling of :func:`global_enumerate` (same three stages;
     stage 3's offset is the sum of all earlier partitions' values instead
-    of their row counts).  ``order`` must be a total order."""
+    of their row counts).  ``order`` must be a total order.
+
+    Same eager persist as :func:`global_enumerate`, same reason: the offset
+    pass and the final join are two jobs over ``local``, and a re-planned
+    (AQE) shuffled/cached upstream can shift partition ids between them —
+    offsets then belong to the wrong layout and the running totals come out
+    wrong.  The handle rides ``_wqs_persisted``."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -135,7 +142,8 @@ def global_cumsum(
         df.repartitionByRange(nparts, *order)
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_lcs", F.sum(value_col).over(local_w))
-    )
+    ).persist(StorageLevel.DISK_ONLY)
+    local.count()  # materialize now — both consumers must see ONE layout
     off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         local.groupBy("_pid")
@@ -143,11 +151,15 @@ def global_cumsum(
         .withColumn("_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0)))
         .select("_pid", "_off")
     )
-    return (
+    out = (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, (F.col("_off") + F.col("_lcs")).cast("long"))
         .drop("_pid", "_lcs", "_off")
     )
+    from wolf_quake_spark.analysis import persisted_handles
+
+    out._wqs_persisted = persisted_handles(df) + [local]
+    return out
 
 
 def training_order(docs: DataFrame, seed: str = "epoch-0") -> DataFrame:
@@ -181,9 +193,15 @@ def weighted_sample(
     standard one-pass distributed weighted sampler (no sequential draw
     state, so it parallelizes where classic roulette sampling cannot).
 
-    The uniform is md5-derived from doc_id ((hex4+1)/65536 ∈ (0,1]), so the
-    sample is reproducible across engines, cluster sizes, and reruns — the
-    same determinism bar as :func:`training_order`.  Keys are rounded to 9
+    The uniform is md5-derived from doc_id — a 20-bit value v ∈ [1, 2^20]
+    mapped to u = (v − 0.5)/2^20, STRICTLY inside (0, 1): A-ES requires the
+    open interval (u = 1 would give key 1.0 for any weight, putting md5
+    prefix-collision docs ahead of the entire sample regardless of weight;
+    u = 0 would zero any key).  20 bits quantizes weight-proportionality to
+    ~1e-6 of key space — the same grain as the k-means‖ seeding weights
+    (:func:`~wolf_quake_spark.analysis.similarity._hash20`).  The sample is
+    reproducible across engines, cluster sizes, and reruns — the same
+    determinism bar as :func:`training_order`.  Keys are rounded to 9
     decimals (pow carries ~1 ulp of libm disagreement) with doc_id as the
     total-order tiebreak, so the boundary of the top-k is engine-exact.
 
@@ -195,9 +213,10 @@ def weighted_sample(
     def nib(i: int) -> Column:
         return F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
 
-    u = (((nib(0) * 16 + nib(1)) * 16 + nib(2)) * 16 + nib(3) + 1) / F.lit(
-        65536.0
-    )
+    v20 = (
+        (((nib(0) * 16 + nib(1)) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+    ) + 1
+    u = (v20 - F.lit(0.5)) / F.lit(float(1 << 20))
     key = F.round(
         F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
     )

@@ -37,6 +37,41 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _l2(a: Column, b: Column) -> Column:
+    """Integer L2² between two quantized arrays — exact and engine-portable
+    (the distance every k-means path below shares)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _member_centroids(q: DataFrame, asg: DataFrame) -> DataFrame:
+    """Member-mean centroids (cent_id, cvec) recomputed from an assignment:
+    ``floor(sum/count)`` per position — the same integer rule as the Lloyd
+    updates, so the DuckDB oracles reproduce the vectors bit-for-bit.  ONE
+    definition keeps kmeans_search and kmeans_probe_curve in lockstep with
+    the oracle's ``cents`` CTE."""
+    return (
+        q.join(asg, "vec_id")
+        .select("cent_id", F.posexplode("qe").alias("pos", "xq"))
+        .groupBy("cent_id", "pos")
+        .agg(
+            F.floor(F.sum("xq").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("cq")
+        )
+        .groupBy("cent_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cq"))),
+                lambda s: s["cq"],
+            ).alias("cvec")
+        )
+    )
+
+
 def cosine_scores(
     embeddings: DataFrame, query_vec: list[float], vec_col: str = "embedding"
 ) -> DataFrame:
@@ -244,6 +279,7 @@ def kmeans_assign(
     k: int | None = None,
     iters: int = 2,
     vec_col: str = "embedding",
+    derive_k=None,
 ) -> DataFrame:
     """Real IVF coarse quantizer: k-means over quantized vectors, entirely in
     DataFrame ops (no UDF, no collect of the data — only k-sized frames come
@@ -294,16 +330,13 @@ def kmeans_assign(
         StorageLevel.DISK_ONLY
     )
     if k is None:
-        k = derived_k(q.count())
+        # derive_k lets callers swap the √n rule (e.g. the two-level
+        # quantizer's n^¼ coarse rule) without a second full-input count
+        k = (derive_k or derived_k)(q.count())
     else:
         q.count()
 
-    def l2(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+    l2 = _l2
 
     # --- k-means|| seeding ---------------------------------------------
     c0 = q.orderBy("vec_id").limit(1).select(F.col("qe").alias("c0"))
@@ -439,8 +472,12 @@ def kmeans_assign_two_level(
     """
     from pyspark import StorageLevel
 
-    n = embeddings.count()
-    coarse = kmeans_assign(embeddings, k=derived_coarse_k(n), iters=iters)
+    # derive_k hook: one count (of the persisted quantized frame) serves
+    # both the coarse-k derivation and the materialization — no separate
+    # full-input count here
+    coarse = kmeans_assign(
+        embeddings, iters=iters, vec_col=vec_col, derive_k=derived_coarse_k
+    )
     q = coarse._wqs_persisted  # (vec_id, qe) DISK_ONLY — reuse, don't requantize
     cells = coarse.select("vec_id", F.col("cent_id").alias("cell_id")).persist(
         StorageLevel.DISK_ONLY
@@ -448,13 +485,7 @@ def kmeans_assign_two_level(
     cells.count()
 
     v = q.join(cells, "vec_id")  # vec_id, qe, cell_id
-
-    def l2(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, val: acc + val,
-        )
+    l2 = _l2
 
     k2 = cells.groupBy("cell_id").agg(
         F.greatest(F.round(F.sqrt(F.count("*"))).cast("int"), F.lit(1)).alias("k2")
@@ -547,44 +578,23 @@ def kmeans_search(
     """
     from pyspark import StorageLevel
 
-    asg = kmeans_assign(embeddings, iters=iters)
+    asg = kmeans_assign(embeddings, iters=iters, vec_col=vec_col)
     q = asg._wqs_persisted  # (vec_id, qe) DISK_ONLY — shared quantized frame
     asg = asg.persist(StorageLevel.DISK_ONLY)
 
-    def l2(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    cents = (
-        q.join(asg, "vec_id")
-        .select("cent_id", F.posexplode("qe").alias("pos", "xq"))
-        .groupBy("cent_id", "pos")
-        .agg(
-            F.floor(F.sum("xq").cast("double") / F.count("*"))
-            .cast("long")
-            .alias("cq")
-        )
-        .groupBy("cent_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cq"))),
-                lambda s: s["cq"],
-            ).alias("cvec")
-        )
-    )
+    cents = _member_centroids(q, asg)
     qlit = F.array(*[F.lit(int(round(x * SCALE))).cast("long") for x in query_vec])
     probes = (
-        cents.select("cent_id", l2(F.col("cvec"), qlit).alias("d"))
+        cents.select("cent_id", _l2(F.col("cvec"), qlit).alias("d"))
         .orderBy("d", "cent_id")
         .limit(n_probes)
         .select("cent_id")
     )
     cand = asg.join(F.broadcast(probes), "cent_id").select("vec_id")
     out = (
-        cosine_scores(embeddings.join(cand, "vec_id", "left_semi"), query_vec)
+        cosine_scores(
+            embeddings.join(cand, "vec_id", "left_semi"), query_vec, vec_col
+        )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
@@ -612,39 +622,15 @@ def kmeans_probe_curve(
     """
     from pyspark import StorageLevel
 
-    spark = embeddings.sparkSession
-    asg = kmeans_assign(embeddings, iters=iters)
+    asg = kmeans_assign(embeddings, iters=iters, vec_col=vec_col)
     q = asg._wqs_persisted
     asg = asg.persist(StorageLevel.DISK_ONLY)
 
-    def l2(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    cents = (
-        q.join(asg, "vec_id")
-        .select("cent_id", F.posexplode("qe").alias("pos", "xq"))
-        .groupBy("cent_id", "pos")
-        .agg(
-            F.floor(F.sum("xq").cast("double") / F.count("*"))
-            .cast("long")
-            .alias("cq")
-        )
-        .groupBy("cent_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cq"))),
-                lambda s: s["cq"],
-            ).alias("cvec")
-        )
-    )
+    cents = _member_centroids(q, asg)
     qlit = F.array(*[F.lit(int(round(x * SCALE))).cast("long") for x in query_vec])
     maxp = max(probes)
     ranked = (
-        cents.select("cent_id", l2(F.col("cvec"), qlit).alias("d"))
+        cents.select("cent_id", _l2(F.col("cvec"), qlit).alias("d"))
         .orderBy("d", "cent_id")
         .limit(maxp)
         .select(
@@ -657,7 +643,9 @@ def kmeans_probe_curve(
     )
     cand = asg.join(F.broadcast(ranked), "cent_id").select("vec_id", "rc")
     scored = cosine_scores(
-        embeddings.join(cand.select("vec_id"), "vec_id", "left_semi"), query_vec
+        embeddings.join(cand.select("vec_id"), "vec_id", "left_semi"),
+        query_vec,
+        vec_col,
     ).join(cand, "vec_id")
     pv = embeddings.sparkSession.createDataFrame(
         [(int(p),) for p in probes], "n_probes int"
@@ -670,7 +658,7 @@ def kmeans_probe_curve(
         .select("n_probes", "vec_id")
     )
     brute = (
-        cosine_scores(embeddings, query_vec)
+        cosine_scores(embeddings, query_vec, vec_col)
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
         .select("vec_id")
@@ -682,7 +670,7 @@ def kmeans_probe_curve(
         "n_probes",
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_overlap"),
         F.round(F.coalesce("n_hits", F.lit(0)) / float(k), 6).alias(
-            "recall_at_10"
+            f"recall_at_{k}"
         ),
     )
     out._wqs_persisted = [q, asg]

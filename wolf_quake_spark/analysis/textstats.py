@@ -319,6 +319,23 @@ def bm25_scores(
     )
 
 
+def cm_bucket(item: Column, j: int, width: int) -> Column:
+    """Count-Min row hash: 16-bit salted-md5 nibble fold into [0, width).
+
+    The ONE definition shared by the batch sketch below and the streaming
+    per-window sketch (streaming/countmin.py) — their parity guarantee is
+    this function, not two copies kept in sync by hand.  strpos arithmetic
+    so the DuckDB oracle reproduces it (cf. dedup._hex4_int)."""
+    h = F.md5(F.concat(F.lit(f"cm{j}"), item))
+
+    def nib(i: int) -> Column:
+        return F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
+
+    return ((((nib(0) * 16 + nib(1)) * 16 + nib(2)) * 16 + nib(3)) % width).cast(
+        "int"
+    )
+
+
 def countmin_term_counts(
     docs: DataFrame,
     width: int = 256,
@@ -348,19 +365,6 @@ def countmin_term_counts(
     model = term_frequencies(docs, text_col).groupBy("term").agg(
         F.sum("tf").alias("cnt")
     )
-
-    def bucket(j: int) -> Column:
-        h = F.md5(F.concat(F.lit(f"cm{j}"), F.col("term")))
-
-        def nib(i: int) -> Column:
-            return (
-                F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
-            )
-
-        return (
-            ((nib(0) * 16 + nib(1)) * 16 + nib(2)) * 16 + nib(3)
-        ) % width
-
     hashed = model.select(
         "term",
         "cnt",
@@ -368,7 +372,8 @@ def countmin_term_counts(
             F.array(
                 *[
                     F.struct(
-                        F.lit(j).alias("j"), bucket(j).cast("int").alias("b")
+                        F.lit(j).alias("j"),
+                        cm_bucket(F.col("term"), j, width).alias("b"),
                     )
                     for j in range(depth)
                 ]

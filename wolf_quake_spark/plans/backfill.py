@@ -41,8 +41,13 @@ def backfill_daily_rollup(
     same partitions with identical rows.  Integer-cent value sums keep the
     output byte-stable across task orderings.
     """
+    from pyspark import StorageLevel
+
     spark = events.sparkSession
     day = F.to_date(F.col(ts_col))
+    # persisted: the write and the manifest are two actions — without the
+    # pin the manifest would re-run the full scan+shuffle AND could describe
+    # different rows than the files on disk if the source moved between jobs
     agg = (
         events.filter((day >= F.lit(start)) & (day < F.lit(end)))
         .groupBy(day.alias("day"), "event_type")
@@ -52,15 +57,16 @@ def backfill_daily_rollup(
                 "value_cents"
             ),
         )
-    )
+    ).persist(StorageLevel.DISK_ONLY)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         agg.write.mode("overwrite").partitionBy("day").parquet(out_dir)
+        manifest = [
+            {"day": str(r["day"]), "rows": r["n"]}
+            for r in agg.groupBy("day").agg(F.count("*").alias("n")).collect()
+        ]
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    manifest = [
-        {"day": str(r["day"]), "rows": r["n"]}
-        for r in agg.groupBy("day").agg(F.count("*").alias("n")).collect()
-    ]
+        agg.unpersist()
     return sorted(manifest, key=lambda m: m["day"])

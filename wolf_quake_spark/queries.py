@@ -3131,11 +3131,12 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH keyed AS (
       SELECT doc_id, n_chars AS weight,
              round(power(
-               (((((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               (((((((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
                  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) * 16
                  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) * 16
-                 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) + 1)
-                 / 65536.0,
+                 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) * 16
+                 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1)) + 1)
+                 - 0.5) / 1048576.0,
                1.0 / CAST(n_chars AS DOUBLE)), 9) AS sample_key
       FROM documents)
     SELECT doc_id, weight, sample_key FROM keyed
@@ -3625,7 +3626,7 @@ def q_revenue_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, "cents", [F.desc("cents"), F.asc("o_custkey")], out_col="cum"
     )
     tot = c.agg(F.sum("cents").cast("long").alias("tot"))
-    return (
+    out = (
         ranked.crossJoin(F.broadcast(tot))
         .filter((F.col("cum") - F.col("cents")) * 10 < F.col("tot") * 8)
         .agg(
@@ -3634,6 +3635,8 @@ def q_revenue_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tot").alias("total_cents"),
         )
     )
+    out._wqs_persisted = getattr(ranked, "_wqs_persisted", None)
+    return out
 
 
 @register(

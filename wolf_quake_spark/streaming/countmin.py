@@ -20,24 +20,13 @@ estimate-from-merged-sketch ≥ exact-count CM guarantee).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from wolf_quake_spark.analysis.textstats import cm_bucket as _cm_bucket
 
 CM_WIDTH = 256
 CM_DEPTH = 4
-
-
-def _cm_bucket(item: Column, j: int, width: int) -> Column:
-    """16-bit salted-md5 nibble hash folded into [0, width) — identical to
-    the batch sketch's row hash (textstats.countmin_term_counts)."""
-    h = F.md5(F.concat(F.lit(f"cm{j}"), item))
-
-    def nib(i: int) -> Column:
-        return F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
-
-    return ((((nib(0) * 16 + nib(1)) * 16 + nib(2)) * 16 + nib(3)) % width).cast(
-        "int"
-    )
 
 
 def windowed_countmin(
