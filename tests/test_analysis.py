@@ -1525,6 +1525,63 @@ def test_passjoin_exact_vs_brute_force(spark):
     assert any(a == 0 and b == front_id for a, b, _ in got)
 
 
+def test_passjoin_hypothesis_fuzz(spark):
+    """Hypothesis fuzz of the PassJoin exactness claim: random low-alphabet
+    strings (collisions and near-dups arise naturally, lengths straddle the
+    τ+1 segment boundaries) must match an all-pairs threshold-Levenshtein
+    brute force exactly.  Few examples — each is a Spark job — but each
+    example is an adversarial corpus the deterministic test above can't
+    enumerate."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wolf_quake_spark.analysis.dedup import passjoin_pairs
+
+    def lev(a, b, tau):
+        la, lb = len(a), len(b)
+        if abs(la - lb) > tau:
+            return -1
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            if min(cur) > tau:
+                return -1
+            prev = cur
+        return prev[lb] if prev[lb] <= tau else -1
+
+    import re
+
+    def norm(s):
+        return re.sub(r"[ \t\n\x0b\f\r]+", " ", s).lower()[:32]
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ab x", min_size=0, max_size=40),
+            min_size=4, max_size=18,
+        )
+    )
+    def run(texts):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = sorted(map(tuple, passjoin_pairs(docs, max_edits=3).collect()))
+        keys = {i: norm(t) for i, t in enumerate(texts) if len(norm(t)) > 3}
+        import itertools
+
+        exp = sorted(
+            (a, b, d)
+            for a, b in itertools.combinations(sorted(keys), 2)
+            if (d := lev(keys[a], keys[b], 3)) >= 0
+        )
+        assert got == exp
+
+    run()
+
+
 def test_cap_observability_metrics(spark):
     """Silent-cap observability: winnow's max_df and the LSH bucket cap
     report exactly what they dropped, via a CollectMetrics node in the same

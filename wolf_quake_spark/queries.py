@@ -2840,6 +2840,59 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(_read(spark, sf_dir, "documents"))
 
 
+@register(
+    "quality_percentile_scores",
+    """
+    WITH s AS (SELECT * FROM ({UNI}) t)
+    SELECT doc_id, mean_nll,
+           round(PERCENT_RANK() OVER (ORDER BY mean_nll), 6) AS pct_rank
+    FROM s
+    """,
+)
+def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank normalization of the perplexity quality signal —
+    the calibration step before MIXING corpora: raw mean-nll scales shift
+    with each corpus's LM, percentile ranks are comparable across them
+    (and the standard way to express 'drop the worst 10%' portably).
+
+    PERCENT_RANK = (rank − 1)/(n − 1) with RANK tie semantics, computed
+    WITHOUT a single-partition window: row positions come from the
+    two-stage enumeration, rank(v) = min position among equal scores (one
+    score-keyed agg joined back), n as a one-row broadcast.  At 100 TB the
+    only per-row work is one range exchange + two hash joins."""
+    s = unigram_logprob_scores(_read(spark, sf_dir, "documents"))
+    pos = global_enumerate(
+        s, [F.asc("mean_nll"), F.asc("doc_id")], out_col="_pos"
+    )
+    ranks = pos.groupBy("mean_nll").agg(F.min("_pos").alias("_vrank"))
+    n_tot = pos.groupBy().agg(F.count("*").alias("_n"))
+    out = (
+        pos.join(ranks, "mean_nll")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "doc_id",
+            "mean_nll",
+            F.round(
+                F.when(
+                    F.col("_n") > 1,
+                    (F.col("_vrank") - 1) / (F.col("_n") - 1),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("pct_rank"),
+        )
+    )
+    out._wqs_persisted = getattr(pos, "_wqs_persisted", None)
+    return out
+
+
+_REGISTRY["quality_percentile_scores"] = (
+    _REGISTRY["quality_percentile_scores"][0],
+    _REGISTRY["quality_percentile_scores"][1].replace(
+        "{UNI}", _REGISTRY["unigram_logprob_scores"][1]
+    ),
+)
+
+
 _BM25_SQL = f"""
     WITH {_TF_CTE},
     dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
