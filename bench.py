@@ -207,7 +207,15 @@ def main() -> None:
     # picking per-round min reports what the engine actually achieves.  All
     # paths and trials remain in the "pipeline" section.
     headline = max(pipeline.values(), key=lambda p: p["turns_per_sec"])
-    total = round(sum(qtimes.values()) + sum(p["secs"] for p in pipeline.values()), 3)
+    # value == sum of every entry in the queries table it ships (including
+    # the stateful row when enabled) — consumers cross-checking the sidecar
+    # must never see a silent mismatch
+    total = round(
+        sum(qtimes.values())
+        + sum(p["secs"] for p in pipeline.values())
+        + (stateful["secs"] if stateful is not None else 0.0),
+        3,
+    )
     out = {
         "metric": "parsed turns/sec end-to-end (parse→enrich→route→aggregate)",
         "value": total,

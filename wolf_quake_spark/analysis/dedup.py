@@ -149,7 +149,7 @@ def candidate_pairs(
     if max_bucket is None and observation is None:
         return _pairs_of(bands)
     sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("_n"))
-    cap = max_bucket if max_bucket is not None else None
+    cap = max_bucket
     handle = None
     if observation is not None:
         over = F.lit(False) if cap is None else (F.col("_n") > cap)
@@ -1076,6 +1076,9 @@ def label_propagate(
         else:
             new_labels = new_labels.persist(StorageLevel.DISK_ONLY)
         cur = new_labels.agg(F.sum("component_id")).collect()[0][0]
+        # real release on persist rounds; a NO-OP on the every-5th
+        # localCheckpoint rounds, whose blocks the ContextCleaner reclaims
+        # once the reference drops (see label_propagate_star)
         labels.unpersist()
         labels = new_labels
         if cur == prev:
@@ -1181,7 +1184,13 @@ def label_propagate_star(
             .localCheckpoint(eager=True)
         )
         cur_sig = sig(ss)
-        cur.unpersist()  # release the previous round's checkpoint blocks
+        # NOTE on release: Dataset.unpersist() is a NO-OP for a
+        # localCheckpointed frame (the persisted RDD lives outside the
+        # CacheManager and isn't reachable from PySpark).  Dropping the
+        # reference here is the real release mechanism: Spark's
+        # ContextCleaner unpersists GC'd checkpoint RDDs asynchronously —
+        # the same deferred-reclaim contract GraphX Pregel runs under.
+        # Peak storage is therefore ~2 rounds of edges, not 1.
         cur = ss
         if cur_sig == prev:
             break

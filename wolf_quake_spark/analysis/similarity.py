@@ -857,11 +857,17 @@ def semdedup_prune(
     (shuffle-free on a bucketed layout).  Norms and quantized vectors are
     hoisted before the join (HOFs are interpreted — see srp_signatures).
     """
+    from pyspark import StorageLevel
+
     assign = kmeans_assign(embeddings, k=k, iters=iters, vec_col=vec_col)
-    q = (
-        embeddings.select("vec_id", _quant(F.col(vec_col)).alias("qe"))
-        .withColumn("nn", _dot(F.col("qe"), F.col("qe")))
-    )
+    qpers = assign._wqs_persisted  # the already-persisted (vec_id, qe) frame
+    # persist the assignment: it feeds BOTH sides of the self-join AND the
+    # final keep/drop join — unpersisted, the whole Lloyd assignment pass
+    # re-ran 3× per action (visible as 3 BroadcastNestedLoopJoins in the
+    # committed plan fingerprint).  The quantized vectors come from the
+    # persisted frame kmeans_assign already built, not a fresh requantize.
+    assign = assign.persist(StorageLevel.DISK_ONLY)
+    q = qpers.withColumn("nn", _dot(F.col("qe"), F.col("qe")))
     j = assign.join(q, "vec_id")
     a = j.alias("a")
     b = j.alias("b")
@@ -881,7 +887,7 @@ def semdedup_prune(
             "vec_id", "cent_id", F.col("_dom").isNull().alias("is_kept")
         )
     )
-    out._wqs_persisted = getattr(assign, "_wqs_persisted", None)
+    out._wqs_persisted = [qpers, assign]
     return out
 
 

@@ -85,8 +85,19 @@ def _recover_leaf(leaf: str) -> bool:
     jpath = os.path.join(leaf, _JOURNAL)
     if not os.path.exists(jpath):
         return False
-    with open(jpath, encoding="utf-8") as fh:
-        j = json.load(fh)
+    try:
+        with open(jpath, encoding="utf-8") as fh:
+            j = json.load(fh)
+    except (json.JSONDecodeError, OSError):
+        # the journal is written atomically (tmp + rename), so an
+        # unparseable journal can only be a pre-atomic-write artifact or
+        # filesystem corruption — in either case the swap never started
+        # (moves happen strictly after the rename), so the correct repair
+        # is: drop the journal, let the orphan-tmp sweep reclaim staging,
+        # and redo the rewrite.  Without this guard one truncated file
+        # wedged compact_dir permanently (every run died in recovery).
+        os.remove(jpath)
+        return False
     for src, dst in j["moves"]:
         if os.path.exists(src) and not os.path.exists(os.path.join(leaf, dst)):
             shutil.move(src, os.path.join(leaf, dst))
@@ -174,8 +185,12 @@ def compact_dir(
         moves = [
             (f, f"compact-{run_id}-{i:05d}.parquet") for i, f in enumerate(new_files)
         ]
+        # atomic journal publish: write-to-tmp + fsync + rename, so a crash
+        # mid-write can never leave a half-journal (the recovery contract
+        # above depends on "journal present ⇒ journal complete")
         jpath = os.path.join(leaf, _JOURNAL)
-        with open(jpath, "w", encoding="utf-8") as fh:
+        jtmp = jpath + ".tmp"
+        with open(jtmp, "w", encoding="utf-8") as fh:
             json.dump(
                 {
                     "tmp": tmp,
@@ -184,6 +199,9 @@ def compact_dir(
                 },
                 fh,
             )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(jtmp, jpath)
         for src, dst in moves:
             shutil.move(src, os.path.join(leaf, dst))
         for f in files:

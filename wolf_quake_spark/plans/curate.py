@@ -150,8 +150,11 @@ def run_curation(
         "stages": ["input", "quality", "dedup", "decontam", "sampled"],
         # cap observability next to the stage counts: what the LSH bucket
         # cap silently excluded from pair generation this run (0 dropped
-        # when uncapped — still recorded so coverage claims are auditable)
-        "lsh_bucket_metrics": {k: int(v) for k, v in lsh_obs.get.items()},
+        # when uncapped — still recorded so coverage claims are auditable).
+        # `or 0`: on an empty/no-shingle corpus the observed F.sum metrics
+        # come back NULL, and int(None) would crash the funnel AFTER the
+        # signals/survivors were already written
+        "lsh_bucket_metrics": {k: int(v or 0) for k, v in lsh_obs.get.items()},
         "per_lang": {
             r["lang"]: [
                 r["n_input"], r["n_quality"], r["n_dedup"],

@@ -106,12 +106,17 @@ class SessionizeProcessor(StatefulProcessor):
 def sessionize_stream_tws(
     transcripts: DataFrame, ttl_ms: int | None = None
 ) -> DataFrame:
-    """Streaming DataFrame of flushed games via transformWithStateInPandas."""
+    """Streaming DataFrame of flushed games via transformWithStateInPandas.
+
+    State TTL is only legal under ``timeMode="ProcessingTime"`` — Spark's
+    StatefulProcessorHandle rejects ``ttlDurationMs`` in NoTime mode at
+    query start (cannotPerformOperationWithInvalidTimeMode), so the time
+    mode must track whether TTL is armed rather than being hardcoded."""
     return transcripts.groupBy("conv_id").transformWithStateInPandas(
         statefulProcessor=SessionizeProcessor(ttl_ms=ttl_ms),
         outputStructType=GAME_SCHEMA,
         outputMode="Append",
-        timeMode="None",
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )
 
 
