@@ -254,6 +254,20 @@ def test_compaction_crash_recovery(spark, tmp_path):
     assert spark.read.parquet(root).count() == n
     assert not any(f in os.listdir(root) for f in originals)
 
+    # (d) TRUNCATED journal (pre-atomic-write artifact / fs corruption):
+    # the journal write is now atomic, so "journal present ⇒ complete" —
+    # an unparseable one means the swap never started and must be dropped
+    # + redone, NOT crash recovery (which used to wedge every future run)
+    root, n = fresh_sink("d")
+    tmpdir = os.path.join(root, "_compact_tmp_feedface")
+    os.makedirs(tmpdir)
+    with open(os.path.join(root, _JOURNAL), "w", encoding="utf-8") as fh:
+        fh.write('{"tmp": "' + tmpdir + '", "moves": [["a", ')  # cut mid-write
+    rep = compact_dir(spark, root, target_bytes=64 * 1024 * 1024)
+    assert not os.path.exists(os.path.join(root, _JOURNAL))
+    assert not os.path.exists(tmpdir)  # staging reclaimed by orphan sweep
+    assert rep.rows == n and spark.read.parquet(root).count() == n
+
 
 def test_read_as_of_snapshot_semantics(spark, small_input, tmp_path):
     """Time-travel reads over the lineage manifest: 'as of batch k' equals
