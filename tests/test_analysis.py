@@ -1582,6 +1582,118 @@ def test_passjoin_hypothesis_fuzz(spark):
     run()
 
 
+def test_edjoin_exact_vs_brute_force(spark):
+    """Ed-Join (global-rarity q-gram prefix filter) is output-COMPLETE:
+    exact equality with all-pairs threshold-Levenshtein ground truth on a
+    corpus with planted near-dups, including repetitive low-distinct-gram
+    strings ("aaaa…") that would break a DISTINCT-gram count filter — the
+    occurrence-numbered multiset elements must handle them."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from wolf_quake_spark.analysis.dedup import edjoin_pairs
+
+    rng = random.Random(11)
+    words = ["data", "spark", "row", "agg", "key", "x", "joiner", "tbl"]
+    base = [" ".join(rng.choices(words, k=rng.randint(1, 6))) for _ in range(80)]
+    mut = []
+    for i, s in enumerate(base):
+        if i % 3 == 0 and len(s) > 4:
+            p = rng.randrange(len(s))
+            mut.append(s[:p] + rng.choice("abq ") + s[p:])  # insertion
+        if i % 4 == 0 and len(s) > 6:
+            p = rng.randrange(len(s) - 1)
+            mut.append(s[:p] + s[p + 2:])  # double deletion
+    # repetitive keys: 1 distinct gram, many occurrences — the multiset case
+    texts = base + mut + ["aaaaaaaaaa", "aaaaaaaaa", "aaaaabaaaa"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+    got = sorted(map(tuple, edjoin_pairs(docs, max_edits=2).collect()))
+
+    key = F.substring(
+        F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")), 1, 24
+    )
+    k = docs.select("doc_id", key.alias("k")).filter(F.length("k") >= 6)
+    brute = sorted(
+        map(
+            tuple,
+            k.alias("a")
+            .crossJoin(k.alias("b"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.levenshtein("a.k", "b.k", 2).cast("long").alias("edits"),
+            )
+            .filter(F.col("edits") >= 0)
+            .collect(),
+        )
+    )
+    assert got == brute
+    # the repetitive triple must pair up (1 and 2 edits respectively)
+    n = len(texts)
+    rep = {(a, b): d for a, b, d in got if a >= n - 3}
+    assert rep[(n - 3, n - 2)] == 1 and rep[(n - 3, n - 1)] == 1
+
+
+def test_edjoin_hypothesis_fuzz(spark):
+    """Hypothesis fuzz of the Ed-Join exactness claim: random low-alphabet
+    strings vs an all-pairs threshold-Levenshtein brute force — exercises
+    the count-filter boundary (keys right at length q(τ+1)), gram-df ties,
+    and occurrence numbering under heavy gram repetition."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wolf_quake_spark.analysis.dedup import edjoin_pairs
+
+    def lev(a, b, tau):
+        la, lb = len(a), len(b)
+        if abs(la - lb) > tau:
+            return -1
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            if min(cur) > tau:
+                return -1
+            prev = cur
+        return prev[lb] if prev[lb] <= tau else -1
+
+    import re
+
+    def norm(s):
+        return re.sub(r"[ \t\n\x0b\f\r]+", " ", s).lower()[:24]
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ab x", min_size=0, max_size=30),
+            min_size=4, max_size=18,
+        )
+    )
+    def run(texts):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = sorted(map(tuple, edjoin_pairs(docs, max_edits=2).collect()))
+        keys = {i: norm(t) for i, t in enumerate(texts) if len(norm(t)) >= 6}
+        import itertools
+
+        exp = sorted(
+            (a, b, d)
+            for a, b in itertools.combinations(sorted(keys), 2)
+            if (d := lev(keys[a], keys[b], 2)) >= 0
+        )
+        assert got == exp
+
+    run()
+
+
 def test_cap_observability_metrics(spark):
     """Silent-cap observability: winnow's max_df and the LSH bucket cap
     report exactly what they dropped, via a CollectMetrics node in the same

@@ -569,6 +569,128 @@ def passjoin_pairs(
     )
 
 
+def edjoin_pairs(
+    docs: DataFrame,
+    max_edits: int = 2,
+    q: int = 2,
+    prefix_len: int = 24,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT edit-distance self-join via Ed-Join q-gram prefix filtering
+    (Xiao, Wang & Lin, VLDB'08) — the second exact-filter family next to
+    :func:`passjoin_pairs`, trading PassJoin's positional segment probe for
+    a GLOBAL-RARITY gram prefix: candidates must share one of each key's
+    ``q·τ+1`` globally-rarest q-grams, so hot grams ("the ", "ing ") never
+    generate candidates unless a key has nothing rarer.
+
+    Exactness chain (count filter → prefix filter, both classical):
+
+    * each of the ``τ`` edits destroys at most ``q`` positional q-grams, so
+      keys within τ edits share ≥ ``max(|G_s|,|G_t|) − qτ`` grams as
+      MULTISETS (Gravano et al., VLDB'01 count filter);
+    * multiset intersection is made a set intersection by occurrence
+      numbering — element = (gram, k-th occurrence), so Σ min counts is
+      literal equi-join equality;
+    * prefix-filter lemma (Chaudhuri et al., ICDE'06): under any global
+      total order, two sets with overlap ≥ α intersect within their first
+      ``|set| − α + 1`` elements; with α = max(|G|) − qτ that bound is
+      ≤ ``qτ+1`` on both sides.  The order used is (df, gram, occ) — ties
+      impossible because (gram, occ) IS the element identity.
+    Keys shorter than ``q(τ+1)`` chars have |G| ≤ qτ where the count filter
+    is vacuous, so they are excluded on BOTH sides (mirrored by the
+    brute-force oracle) — same degenerate-key rule as PassJoin's ``l > τ``.
+
+    Plan shape: one explode to positional grams (~prefix_len skinny rows
+    per doc), a bounded per-(doc, gram) occurrence window, one (gram, occ)
+    hash-agg for global document frequency, a per-doc collect_list →
+    array_sort → slice (≤ prefix_len structs per group — bounded, never a
+    corpus-wide window) for the rarity prefix, then the prefix×prefix
+    equi-join on (gram, occ) with the |Δlen| ≤ τ filter, pair
+    canonicalization exactly as PassJoin, and THRESHOLD
+    ``levenshtein(k1, k2, τ)`` verify.
+
+    100 TB: candidate volume is Σ over PREFIX grams of df² — the global
+    rarity order concentrates the prefix on low-df grams, the textbook
+    Ed-Join bound (vs PassJoin's exact-substring-at-position bound; the two
+    families shine on different data — Ed-Join on long keys with rare
+    content, PassJoin on short keys where segments are long).  Everything
+    is JVM expressions: two shuffles for the df agg + join, one for the
+    prefix groupBy, one for the candidate join, one for the pair distinct.
+
+    Oracle honesty: the registry oracle is BRUTE FORCE over the |Δlen| ≤ τ
+    bound — it certifies output-completeness of the prefix filter against
+    ground truth, not a mirror of it.
+    """
+    from pyspark.sql.window import Window
+
+    tau = int(max_edits)
+    pre_n = q * tau + 1
+    key = F.substring(
+        F.lower(F.regexp_replace(F.col(text_col), WS_SPLIT, " ")), 1, prefix_len
+    )
+    keyed = (
+        docs.select("doc_id", key.alias("k"))
+        .withColumn("l", F.length("k").cast("int"))
+        .filter(F.col("l") >= q * (tau + 1))
+    )
+    grams = keyed.select(
+        "doc_id",
+        "k",
+        "l",
+        F.posexplode(
+            F.expr(f"transform(sequence(1, l - {q} + 1), p -> substring(k, p, {q}))")
+        ).alias("p0", "g"),
+    )
+    occ = F.row_number().over(
+        Window.partitionBy("doc_id", "g").orderBy("p0")
+    )  # bounded frame: occurrences of one gram within one <=prefix_len key
+    els = grams.select("doc_id", "k", "l", "g", occ.cast("int").alias("occ"))
+    df_tab = els.groupBy("g", "occ").agg(F.count("*").alias("df"))
+    prefix = (
+        els.join(df_tab, ["g", "occ"])
+        .groupBy("doc_id", "k", "l")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("df", "g", "occ"))), 1, pre_n
+            ).alias("pre")
+        )
+        .select("doc_id", "k", "l", F.explode("pre").alias("e"))
+        .select("doc_id", "k", "l", F.col("e.g").alias("g"), F.col("e.occ").alias("occ"))
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("k").alias("ka"),
+        F.col("l").alias("la"), "g", "occ",
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("k").alias("kb"),
+        F.col("l").alias("lb"), "g", "occ",
+    )
+    a_first = F.col("doc_a") < F.col("doc_b")
+    cand = (
+        a.join(b, ["g", "occ"])
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= tau)
+        )
+        .select(
+            F.least("doc_a", "doc_b").alias("pa"),
+            F.greatest("doc_a", "doc_b").alias("pb"),
+            F.when(a_first, F.col("ka")).otherwise(F.col("kb")).alias("k1"),
+            F.when(a_first, F.col("kb")).otherwise(F.col("ka")).alias("k2"),
+        )
+        .distinct()
+    )
+    ed = F.levenshtein("k1", "k2", tau).cast("long")
+    return (
+        cand.select(
+            F.col("pa").alias("doc_a"),
+            F.col("pb").alias("doc_b"),
+            ed.alias("edits"),
+        )
+        .filter(F.col("edits") >= 0)
+    )
+
+
 def minhash_estimate(
     docs: DataFrame,
     k: int = DEFAULT_K,

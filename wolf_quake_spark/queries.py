@@ -35,6 +35,7 @@ from wolf_quake_spark.analysis.dedup import (
     lsh_buckets,
     minhash_estimate,
     normalized_fingerprint,
+    edjoin_pairs,
     passjoin_pairs,
     simhash,
     simhash64,
@@ -4944,6 +4945,33 @@ def q_passjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-consistent (contrast fuzzy_prefix_pairs, whose oracle mirrors its
     token blocking).  See passjoin_pairs for the plan-shape argument."""
     return passjoin_pairs(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "edjoin_neardup_pairs",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             substr(lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),
+                    1, 24) AS k
+      FROM documents),
+    keyed AS (SELECT doc_id, k, length(k) AS l FROM k WHERE length(k) >= 6)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.k, b.k) AS BIGINT) AS edits
+    FROM keyed a JOIN keyed b
+      ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 2
+    WHERE levenshtein(a.k, b.k) <= 2
+    """,
+)
+def q_edjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edit-distance near-dup pairs (≤ 2 edits on the normalized
+    24-char prefix) via Ed-Join global-rarity q-gram prefix filtering — the
+    second exact-filter family next to PassJoin (different τ/key so the two
+    rows certify independently).  The oracle is BRUTE FORCE over the
+    provable |Δlen| ≤ τ bound, so a green row proves the count-filter →
+    prefix-filter candidate generation is output-complete against ground
+    truth.  See edjoin_pairs for the exactness chain and 100 TB bound."""
+    return edjoin_pairs(_read(spark, sf_dir, "documents"))
 
 
 @register(
