@@ -1694,6 +1694,111 @@ def test_edjoin_hypothesis_fuzz(spark):
     run()
 
 
+def test_mmr_downranks_near_duplicates(spark):
+    """MMR must NOT return k copies of the best hit: with three near-copies
+    of the top document in the pool, plain top-4 returns all three copies;
+    MMR's redundancy penalty pushes the orthogonal documents in ahead of
+    the copies."""
+    from wolf_quake_spark.analysis.similarity import mmr_topk, topk
+
+    # query direction [1,0,0]; three near-copies of the best hit; two
+    # orthogonal-ish docs with moderate relevance
+    vecs = [
+        (1, [1.0, 0.01, 0.0]),
+        (2, [1.0, 0.012, 0.0]),
+        (3, [0.99, 0.011, 0.0]),
+        (4, [0.6, 0.0, -0.8]),
+        (5, [0.6, 0.0, 0.8]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qv = [1.0, 0.0, 0.0]
+
+    plain = [r.vec_id for r in topk(emb, qv, k=4).collect()]
+    assert set(plain[:3]) == {1, 2, 3}  # top-k drowns in copies
+
+    got = mmr_topk(emb, qv, k=4, pool=5, lam=0.5, mu=0.5).collect()
+    order = [r.vec_id for r in sorted(got, key=lambda r: r.sel_rank)]
+    # first pick = most relevant; then the two diverse docs (redundancy
+    # penalty ≈ their relevance·mu, so they edge out the near-copies whose
+    # penalty ≈ mu·1); a copy only re-enters at rank 4
+    assert order[0] == 1
+    assert set(order[1:3]) == {4, 5}
+    assert order[3] in {2, 3}
+
+
+def test_leakage_safe_split_no_straddle(spark):
+    """Component-keyed splitting puts every near-dup cluster entirely in
+    one split (the leakage guarantee), on a corpus PLANTED so the naive
+    per-doc hash split provably straddles: two identical docs whose doc_ids
+    hash to different splits."""
+    from pyspark.sql import functions as F
+
+    from wolf_quake_spark.analysis.dedup import dedup_components
+
+    def bucket(i):
+        return ((i * 2654435761) % 4294967296) % 1000
+
+    # find a train-bucket id and a test-bucket id for the identical pair
+    a = next(i for i in range(1000) if bucket(i) < 800)
+    b = next(i for i in range(1000) if bucket(i) >= 900)
+    dup_text = "the same long duplicated document body with many words " * 3
+    rows = [(a, dup_text), (b, dup_text)] + [
+        (1000 + i, f"unique filler document number {i} with distinct tokens {i}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    comp = dedup_components(docs, threshold=0.5)
+    bk = ((F.col("component_id") * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(1000)
+    split = F.when(bk < 800, "train").when(bk < 900, "val").otherwise("test")
+    got = comp.select("doc_id", "component_id", split.alias("split")).collect()
+    h = getattr(comp, "_wqs_persisted", None)
+    for x in (h if isinstance(h, list) else [h]) if h is not None else []:
+        x.unpersist()
+
+    by_comp = {}
+    for r in got:
+        by_comp.setdefault(r.component_id, set()).add(r.split)
+    # leakage guarantee: no component straddles splits
+    assert all(len(s) == 1 for s in by_comp.values())
+    # the planted pair IS one component…
+    cids = {r.component_id for r in got if r.doc_id in (a, b)}
+    assert len(cids) == 1
+    # …and the naive per-doc split WOULD have straddled it
+    assert bucket(a) < 800 <= bucket(b)
+
+
+def test_spherical_kmeans_clusters_by_direction(spark):
+    """metric='cos' changes the Lloyd objective, not just the tie-break:
+    on a corpus with two directions ~26° apart at 1× and 100× magnitudes,
+    spherical k-means partitions by DIRECTION (the cosine-relevant
+    structure) while L2 k-means partitions by MAGNITUDE — the exact failure
+    an L2 quantizer exhibits under a cosine search metric."""
+    from wolf_quake_spark.analysis.similarity import kmeans_assign
+
+    vecs = [
+        (0, [1.0, 0.0]), (1, [1.1, 0.05]), (2, [0.9, 0.44]), (3, [1.0, 0.48]),
+        (4, [100.0, 0.0]), (5, [110.0, 5.0]), (6, [90.0, 44.0]), (7, [100.0, 48.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    def parts(metric):
+        a = kmeans_assign(emb, k=2, iters=6, metric=metric)
+        rows = {r.vec_id: r.cent_id for r in a.collect()}
+        h = getattr(a, "_wqs_persisted", None)
+        for x in (h if isinstance(h, list) else [h]) if h is not None else []:
+            x.unpersist()
+        return frozenset(
+            frozenset(v for v, c in rows.items() if c == cid)
+            for cid in set(rows.values())
+        )
+
+    by_direction = frozenset({frozenset({0, 1, 4, 5}), frozenset({2, 3, 6, 7})})
+    by_magnitude = frozenset({frozenset({0, 1, 2, 3}), frozenset({4, 5, 6, 7})})
+    assert parts("cos") == by_direction
+    assert parts("l2") == by_magnitude
+
+
 def test_cap_observability_metrics(spark):
     """Silent-cap observability: winnow's max_df and the LSH bucket cap
     report exactly what they dropped, via a CollectMetrics node in the same

@@ -47,6 +47,29 @@ def _l2(a: Column, b: Column) -> Column:
     )
 
 
+def _sqnorm(a: Column) -> Column:
+    """Integer squared L2 norm of a quantized array — exact BIGINT."""
+    return F.aggregate(
+        a, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+
+
+def _cos_score(qe: Column, cvec: Column, nc: Column) -> Column:
+    """Cosine RANKING score ``dot / sqrt(|c|²)`` for spherical assignment.
+
+    dot and |c|² are exact BIGINTs (≤ ~10⁸ ≪ 2⁵³, so the casts are exact),
+    leaving exactly two IEEE-754 float ops — one correctly-rounded sqrt and
+    one division — computed from identical integers in Spark and DuckDB, so
+    the score is bit-identical across engines (same determinism argument as
+    the ``floor(sum/count)`` centroid rule).  The row norm |x| is omitted:
+    constant per row, it cancels in the per-row argmax.  A zero centroid
+    (nc = 0) scores 0.0 on both engines instead of dividing by zero."""
+    d = _dot(qe, cvec)
+    return F.when(
+        nc > 0, d.cast("double") / F.sqrt(nc.cast("double"))
+    ).otherwise(F.lit(0.0))
+
+
 def _member_centroids(q: DataFrame, asg: DataFrame) -> DataFrame:
     """Member-mean centroids (cent_id, cvec) recomputed from an assignment:
     ``floor(sum/count)`` per position — the same integer rule as the Lloyd
@@ -125,6 +148,95 @@ def topk(embeddings: DataFrame, query_vec: list[float], k: int = 10) -> DataFram
     return cosine_scores(embeddings, query_vec).orderBy(
         F.desc("cosine"), F.asc("vec_id")
     ).limit(k)
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 8,
+    pool: int = 20,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein,
+    SIGIR'98): greedily select ``k`` results from the cosine top-``pool``
+    candidates, each step maximizing ``lam·rel(d) − mu·max_{s∈S} sim(d, s)``
+    — relevance traded against redundancy with what's already picked.  The
+    near-dup-heavy retrieval case (this corpus has literal near-copies) is
+    exactly where plain top-k returns k copies of one document.
+
+    Plan split: the CORPUS-scale work (quantize, integer dots, top-``pool``
+    by cosine with vec_id tiebreak) is one distributed TakeOrderedAndProject
+    pass; the greedy selection then runs driver-side over the collected
+    ``pool`` rows — a constant-size frame, the same boundedness class as
+    collecting k centroids in the Lloyd loop (NOT a data-path collect; the
+    greedy is inherently sequential in k and the candidate set is
+    O(pool) ≪ corpus by construction).  At 100 TB the pool collect is
+    ``pool`` rows regardless of corpus size.
+
+    Engine exactness: rel and pairwise sims are ``dot/sqrt(n_a·n_b)`` with
+    exact-BIGINT dots/norms (products < 2⁵³, so the int→double conversions
+    are exact) and ``lam``/``mu`` are passed as independent double literals
+    to BOTH engines (never ``1−lam``, which is not 0.3 in float64) — every
+    comparison the greedy makes is over bit-identical doubles, ties broken
+    on lowest vec_id, so the DuckDB oracle's unrolled greedy
+    (``_mmr_sql``) reproduces the selection exactly.
+
+    Returns (sel_rank 1..k, vec_id, relevance rounded 6) as a DataFrame.
+    """
+    import math
+
+    qv = [int(round(x * SCALE)) for x in query_vec]
+    qn = sum(v * v for v in qv)
+    qcol = F.array(*[F.lit(v).cast("long") for v in qv])
+    qe = embeddings.select("vec_id", _quant(F.col(vec_col)).alias("_q"))
+    dot = _dot(F.col("_q"), qcol)
+    en = _sqnorm(F.col("_q"))
+    cos = dot.cast("double") / F.sqrt((en * F.lit(qn)).cast("double"))
+    cands = (
+        qe.select(
+            "vec_id",
+            "_q",
+            en.alias("en"),
+            F.when(en > 0, cos).otherwise(F.lit(0.0)).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(pool)
+        .collect()
+    )
+    byid = {r["vec_id"]: r for r in cands}
+
+    def sim(a: int, b: int) -> float:
+        ra, rb = byid[a], byid[b]
+        if ra["en"] == 0 or rb["en"] == 0:
+            return 0.0
+        d = sum(x * y for x, y in zip(ra["_q"], rb["_q"]))
+        return d / math.sqrt(float(ra["en"] * rb["en"]))
+
+    remaining = sorted(byid)
+    selected: list[tuple[int, int, float]] = []  # (rank, vec_id, rel)
+    for rank in range(1, min(k, len(remaining)) + 1):
+        if rank == 1:
+            best = max(remaining, key=lambda v: (byid[v]["rel"], -v))
+        else:
+            sel_ids = [v for _, v, _ in selected]
+            best = max(
+                remaining,
+                key=lambda v: (
+                    lam * byid[v]["rel"] - mu * max(sim(v, s) for s in sel_ids),
+                    -v,
+                ),
+            )
+        selected.append((rank, best, byid[best]["rel"]))
+        remaining.remove(best)
+
+    out = embeddings.sparkSession.createDataFrame(
+        selected, "sel_rank int, vec_id long, relevance double"
+    )
+    return out.select(
+        "sel_rank", "vec_id", F.round("relevance", 6).alias("relevance")
+    )
 
 
 TARGET_OCCUPANCY = 64  # target vectors per coarse bucket
@@ -280,6 +392,7 @@ def kmeans_assign(
     iters: int = 2,
     vec_col: str = "embedding",
     derive_k=None,
+    metric: str = "l2",
 ) -> DataFrame:
     """Real IVF coarse quantizer: k-means over quantized vectors, entirely in
     DataFrame ops (no UDF, no collect of the data — only k-sized frames come
@@ -288,6 +401,16 @@ def kmeans_assign(
     ``k=None`` derives the centroid count from the corpus size (√n rule,
     :func:`derived_k`) so the quantizer tracks corpus growth instead of
     freezing at a demo constant.
+
+    ``metric="cos"`` switches the Lloyd ASSIGNMENT to spherical k-means
+    (argmax cosine instead of argmin L2² — the right objective when the
+    downstream search metric is cosine, as every ANN path here is): scores
+    are ``dot/sqrt(|c|²)`` with exact-integer inputs (see :func:`_cos_score`
+    for the engine-exactness argument), ties break on lowest cent_id, and
+    centroid updates stay the same integer floor-means — normalizing them
+    would only rescale, which cancels in cosine.  Seeding stays the L2
+    k-means‖ pass for both metrics (a spread heuristic, not part of the
+    objective; keeping it integer-exact avoids a wide-decimal cost pass).
 
     Seeding is k-means‖-style (Bahmani et al., VLDB'12) rather than "first k
     vectors": constant passes, oversample, weighted reduce —
@@ -372,6 +495,38 @@ def kmeans_assign(
     )
 
     def assign(cframe: DataFrame) -> DataFrame:
+        if metric == "cos":
+            # spherical Lloyd step: argmax cosine(x, c) — equivalently argmax
+            # dot(x, c/|c|), so centroids stay UNNORMALIZED integer means
+            # (magnitude cancels; only the mean's direction matters).  Ties
+            # break on LOWEST cent_id via max(struct(score, -cent_id)) —
+            # scores are bit-identical across engines (see _cos_score), so
+            # this matches the oracle's ORDER BY sc DESC, cent_id.
+            cf = cframe.select(
+                "cent_id", "cvec", _sqnorm(F.col("cvec")).alias("nc")
+            )
+            scored = q.crossJoin(F.broadcast(cf)).select(
+                "vec_id",
+                "qe",
+                "cent_id",
+                _cos_score(F.col("qe"), F.col("cvec"), F.col("nc")).alias("sc"),
+            )
+            return (
+                scored.groupBy("vec_id", "qe")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("sc"), (-F.col("cent_id")).alias("nci")
+                        )
+                    ).alias("m")
+                )
+                .select(
+                    "vec_id",
+                    "qe",
+                    (-F.col("m.nci")).cast("int").alias("cent_id"),
+                    F.col("m.sc").alias("dist"),
+                )
+            )
         scored = q.crossJoin(F.broadcast(cframe)).select(
             "vec_id", "qe", "cent_id", l2(F.col("qe"), F.col("cvec")).alias("dist")
         )
@@ -552,6 +707,7 @@ def kmeans_search(
     n_probes: int = 3,
     iters: int = 2,
     vec_col: str = "embedding",
+    metric: str = "l2",
 ) -> DataFrame:
     """Real IVF search over SEMANTIC cells: assign the corpus with the
     k-means quantizer, probe the ``n_probes`` cells whose member-mean
@@ -578,14 +734,19 @@ def kmeans_search(
     """
     from pyspark import StorageLevel
 
-    asg = kmeans_assign(embeddings, iters=iters, vec_col=vec_col)
+    asg = kmeans_assign(embeddings, iters=iters, vec_col=vec_col, metric=metric)
     q = asg._wqs_persisted  # (vec_id, qe) DISK_ONLY — shared quantized frame
     asg = asg.persist(StorageLevel.DISK_ONLY)
 
     cents = _member_centroids(q, asg)
     qlit = F.array(*[F.lit(int(round(x * SCALE))).cast("long") for x in query_vec])
+    cd = (
+        (-_cos_score(qlit, F.col("cvec"), _sqnorm(F.col("cvec")))).alias("d")
+        if metric == "cos"
+        else _l2(F.col("cvec"), qlit).alias("d")
+    )
     probes = (
-        cents.select("cent_id", _l2(F.col("cvec"), qlit).alias("d"))
+        cents.select("cent_id", cd)
         .orderBy("d", "cent_id")
         .limit(n_probes)
         .select("cent_id")
@@ -609,6 +770,7 @@ def kmeans_probe_curve(
     probes: tuple[int, ...] = (3, 5, 8),
     iters: int = 2,
     vec_col: str = "embedding",
+    metric: str = "l2",
 ) -> DataFrame:
     """Recall@k of :func:`kmeans_search` at SEVERAL probe budgets in one
     job — the recall/scan-fraction calibration curve an IVF deployment
@@ -622,15 +784,24 @@ def kmeans_probe_curve(
     """
     from pyspark import StorageLevel
 
-    asg = kmeans_assign(embeddings, iters=iters, vec_col=vec_col)
+    asg = kmeans_assign(embeddings, iters=iters, vec_col=vec_col, metric=metric)
     q = asg._wqs_persisted
     asg = asg.persist(StorageLevel.DISK_ONLY)
 
     cents = _member_centroids(q, asg)
     qlit = F.array(*[F.lit(int(round(x * SCALE))).cast("long") for x in query_vec])
     maxp = max(probes)
+    # cell ranking must use the SAME metric as the quantizer: cosine cells
+    # are angular wedges, so the nearest wedges to the query are the ones
+    # whose centroid DIRECTION is closest (negated cosine score keeps the
+    # shared ascending orderBy; query norm is constant and cancels)
+    cd = (
+        (-_cos_score(qlit, F.col("cvec"), _sqnorm(F.col("cvec")))).alias("d")
+        if metric == "cos"
+        else _l2(F.col("cvec"), qlit).alias("d")
+    )
     ranked = (
-        cents.select("cent_id", _l2(F.col("cvec"), qlit).alias("d"))
+        cents.select("cent_id", cd)
         .orderBy("d", "cent_id")
         .limit(maxp)
         .select(

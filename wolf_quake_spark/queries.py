@@ -79,6 +79,7 @@ from wolf_quake_spark.analysis.similarity import (
     kmeans_assign_two_level,
     kmeans_probe_curve,
     kmeans_search,
+    mmr_topk,
     neardup_pairs,
     quantize_int8,
     srp_hyperplanes,
@@ -4220,6 +4221,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmeans_sql(
     iters: int = 2,
     k_expr: str = "GREATEST(LEAST(ROUND(SQRT(COUNT(*))), 65536), 2)",
+    metric: str = "l2",
 ) -> str:
     """Lloyd iterations unrolled as CTEs, exactly mirroring
     analysis/similarity.kmeans_assign: corpus-derived k (√n rule),
@@ -4266,28 +4268,48 @@ def _kmeans_sql(
     c0 AS (SELECT sd.cent_id, u.pos, u.xq AS cq
            FROM u JOIN sd ON u.vec_id = sd.cand_id)"""
     ]
-    cur = "c0"
-    for i in range(1, iters + 1):
-        parts.append(f"""
-    , d{i} AS (SELECT u.vec_id, c.cent_id, SUM((u.xq - c.cq) * (u.xq - c.cq)) AS dist
-           FROM u JOIN {cur} c USING (pos) GROUP BY u.vec_id, c.cent_id),
-    a{i} AS (SELECT vec_id, cent_id FROM (
+    def _assign_cte(src: str, name: str, out: str) -> str:
+        """Per-round assignment CTEs: L2² argmin vs spherical argmax
+        cosine (dot/sqrt(|c|²): exact BIGINT inputs, two IEEE float ops —
+        bit-identical to Spark's _cos_score; see kmeans_assign)."""
+        if metric == "cos":
+            return f"""
+    cn{name} AS (SELECT cent_id, CAST(SUM(cq * cq) AS BIGINT) AS nc
+                 FROM {src} GROUP BY cent_id),
+    d{name} AS (SELECT u.vec_id, c.cent_id,
+                       CASE WHEN cn.nc > 0
+                            THEN CAST(SUM(u.xq * c.cq) AS DOUBLE)
+                                 / sqrt(CAST(cn.nc AS DOUBLE))
+                            ELSE 0.0 END AS sc
+                FROM u JOIN {src} c USING (pos)
+                JOIN cn{name} cn ON cn.cent_id = c.cent_id
+                GROUP BY u.vec_id, c.cent_id, cn.nc),
+    {out} AS (SELECT vec_id, cent_id FROM (
+             SELECT vec_id, cent_id,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cent_id) AS rn
+             FROM d{name}) WHERE rn = 1)"""
+        return f"""
+    d{name} AS (SELECT u.vec_id, c.cent_id, SUM((u.xq - c.cq) * (u.xq - c.cq)) AS dist
+           FROM u JOIN {src} c USING (pos) GROUP BY u.vec_id, c.cent_id),
+    {out} AS (SELECT vec_id, cent_id FROM (
              SELECT vec_id, cent_id,
                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
-             FROM d{i}) WHERE rn = 1),
+             FROM d{name}) WHERE rn = 1)"""
+
+    cur = "c0"
+    for i in range(1, iters + 1):
+        parts.append("\n    ," + _assign_cte(cur, str(i), f"a{i}") + f""",
     n{i} AS (SELECT a{i}.cent_id, u.pos,
                     CAST(floor(CAST(SUM(u.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
              FROM u JOIN a{i} USING (vec_id) GROUP BY a{i}.cent_id, u.pos),
     c{i} AS (SELECT p.cent_id, p.pos, COALESCE(n{i}.cq, p.cq) AS cq
              FROM {cur} p LEFT JOIN n{i} ON n{i}.cent_id = p.cent_id AND n{i}.pos = p.pos)""")
         cur = f"c{i}"
-    parts.append(f"""
-    , df AS (SELECT u.vec_id, c.cent_id, SUM((u.xq - c.cq) * (u.xq - c.cq)) AS dist
-           FROM u JOIN {cur} c USING (pos) GROUP BY u.vec_id, c.cent_id)
-    SELECT vec_id, cent_id FROM (
-      SELECT vec_id, cent_id,
-             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
-      FROM df) WHERE rn = 1""")
+    parts.append(
+        "\n    ,"
+        + _assign_cte(cur, "f", "af")
+        + "\n    SELECT vec_id, cent_id FROM af"
+    )
     return "".join(parts)
 
 
@@ -4318,6 +4340,17 @@ def q_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._wqs_persisted = getattr(asg, "_wqs_persisted", None)
     return out
+
+
+@register("ivf_spherical_assign", _kmeans_sql(metric="cos"))
+def q_spherical_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPHERICAL k-means IVF quantizer: same corpus-derived k and k-means‖
+    seeding as ivf_kmeans_assign, but Lloyd assignment by argmax COSINE
+    (dot/sqrt(|c|²), exact-integer inputs → bit-identical doubles in both
+    engines) — the right quantizer objective when the search metric is
+    cosine, as every ANN path here is.  Centroids stay unnormalized integer
+    means (magnitude cancels in cosine).  See kmeans_assign(metric='cos')."""
+    return kmeans_assign(_read(spark, sf_dir, "embeddings"), iters=2, metric="cos")
 
 
 def _kmeans2_sql(iters: int = 2, sub_iters: int = 2) -> str:
@@ -4477,6 +4510,132 @@ def q_ann_recall_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 (see kmeans_probe_curve)."""
     emb = _read(spark, sf_dir, "embeddings")
     return kmeans_probe_curve(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@register(
+    "ann_recall_spherical_curve",
+    f"""
+    WITH asg AS (SELECT * FROM ({_kmeans_sql(metric="cos")}) t),
+    u AS (SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq, pos FROM (
+      SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+    cents AS (SELECT asg.cent_id, u.pos,
+                     CAST(floor(CAST(SUM(u.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+              FROM u JOIN asg USING (vec_id) GROUP BY asg.cent_id, u.pos),
+    qv AS (SELECT pos, xq FROM u WHERE vec_id = 0),
+    cnn AS (SELECT cent_id, CAST(SUM(cq * cq) AS BIGINT) AS nc
+            FROM cents GROUP BY cent_id),
+    pd AS (SELECT c.cent_id,
+                  CASE WHEN cnn.nc > 0
+                       THEN CAST(SUM(c.cq * q.xq) AS DOUBLE) / sqrt(CAST(cnn.nc AS DOUBLE))
+                       ELSE 0.0 END AS s
+           FROM cents c JOIN qv q USING (pos)
+           JOIN cnn ON cnn.cent_id = c.cent_id
+           GROUP BY c.cent_id, cnn.nc),
+    rcc AS (SELECT cent_id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, cent_id) AS INTEGER) AS rc
+            FROM pd),
+    cand AS (SELECT asg.vec_id, rcc.rc FROM asg JOIN rcc USING (cent_id)
+             WHERE rcc.rc <= 8),
+    qq AS (SELECT CAST(SUM(xq * xq) AS BIGINT) AS qn FROM qv),
+    dots AS (SELECT u.vec_id, CAST(SUM(u.xq * q.xq) AS BIGINT) AS dot,
+                    CAST(SUM(u.xq * u.xq) AS BIGINT) AS en
+             FROM u JOIN qv q USING (pos) JOIN cand ON cand.vec_id = u.vec_id
+             GROUP BY u.vec_id),
+    sc AS (SELECT d.vec_id, cand.rc,
+                  CASE WHEN d.en > 0
+                       THEN CAST(d.dot AS DOUBLE) / sqrt(CAST(d.en AS DOUBLE) * CAST(qq.qn AS DOUBLE))
+                       ELSE 0.0 END AS cosine
+           FROM dots d JOIN cand USING (vec_id), qq),
+    pv AS (SELECT CAST(unnest([3, 5, 8]) AS INTEGER) AS n_probes),
+    perp AS (SELECT pv.n_probes, sc.vec_id, sc.cosine
+             FROM sc JOIN pv ON sc.rc <= pv.n_probes),
+    tk AS (SELECT n_probes, vec_id FROM (
+             SELECT n_probes, vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY n_probes
+                                       ORDER BY cosine DESC, vec_id) AS rn
+             FROM perp) WHERE rn <= 10),
+    brute AS (SELECT vec_id FROM ({_ANN_SQL_BODY}
+                                  ORDER BY cosine DESC, vec_id ASC LIMIT 10) t),
+    hits AS (SELECT n_probes, CAST(COUNT(*) AS BIGINT) AS n_overlap
+             FROM tk JOIN brute USING (vec_id) GROUP BY n_probes)
+    SELECT pv.n_probes, COALESCE(h.n_overlap, 0) AS n_overlap,
+           round(COALESCE(h.n_overlap, 0) / 10.0, 6) AS recall_at_10
+    FROM pv LEFT JOIN hits h USING (n_probes)
+    """,
+)
+def q_ann_recall_spherical_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF search with the SPHERICAL (cosine-assignment)
+    quantizer at probe budgets {3,5,8} — head-to-head against
+    ann_recall_probe_curve's L2 quantizer on the same corpus/query.  Cells
+    become angular wedges and cell ranking uses centroid-direction cosine,
+    so the probed wedges align with the search metric; measured recall vs
+    the L2 curve is recorded in BENCH.md."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return kmeans_probe_curve(emb, _query_vec(spark, sf_dir), k=10, metric="cos")
+
+
+def _mmr_sql(k: int = 8, pool: int = 20, lam: str = "0.7", mu: str = "0.3") -> str:
+    """MMR greedy selection unrolled as CTEs (no recursion — same unroll
+    technique as _kmeans_sql), mirroring analysis/similarity.mmr_topk:
+    cosine top-``pool`` candidate set (vec_id tiebreak), then k greedy steps
+    each maximizing ``lam·rel − mu·max sim-to-selected`` with lowest-vec_id
+    tiebreak.  lam/mu are independent literals (never 1−lam) and every
+    score is built from exact-integer dots/norms, so both engines compare
+    bit-identical doubles."""
+    head = f"""
+    WITH u AS (SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq, pos FROM (
+      SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+    qv AS (SELECT pos, xq FROM u WHERE vec_id = 0),
+    qq AS (SELECT CAST(SUM(xq * xq) AS BIGINT) AS qn FROM qv),
+    rel0 AS (SELECT u.vec_id, CAST(SUM(u.xq * q.xq) AS BIGINT) AS dot,
+                    CAST(SUM(u.xq * u.xq) AS BIGINT) AS en
+             FROM u JOIN qv q USING (pos) GROUP BY u.vec_id),
+    cands AS MATERIALIZED (SELECT vec_id, en,
+                     CASE WHEN en > 0
+                          THEN CAST(dot AS DOUBLE) / sqrt(CAST(en * qn AS DOUBLE))
+                          ELSE 0.0 END AS rel
+              FROM rel0, qq ORDER BY rel DESC, vec_id LIMIT {pool}),
+    sims AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb,
+                    CASE WHEN a.en > 0 AND b.en > 0
+                         THEN CAST(SUM(ua.xq * ub.xq) AS BIGINT)
+                              / sqrt(CAST(a.en * b.en AS DOUBLE))
+                         ELSE 0.0 END AS s
+             FROM cands a JOIN cands b ON a.vec_id <> b.vec_id
+             JOIN u ua ON ua.vec_id = a.vec_id
+             JOIN u ub ON ub.vec_id = b.vec_id AND ub.pos = ua.pos
+             GROUP BY a.vec_id, b.vec_id, a.en, b.en),
+    sel1 AS MATERIALIZED (SELECT vec_id, 1 AS sel_rank FROM (
+               SELECT vec_id FROM cands ORDER BY rel DESC, vec_id LIMIT 1))"""
+    parts = [head]
+    for i in range(2, k + 1):
+        parts.append(f"""
+    , s{i} AS (SELECT c.vec_id FROM cands c
+             JOIN sims s ON s.va = c.vec_id
+                        AND s.vb IN (SELECT vec_id FROM sel{i - 1})
+             WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+             GROUP BY c.vec_id, c.rel
+             ORDER BY {lam} * c.rel - {mu} * MAX(s.s) DESC, c.vec_id LIMIT 1),
+    sel{i} AS MATERIALIZED (SELECT * FROM sel{i - 1}
+             UNION ALL SELECT vec_id, {i} FROM s{i})""")
+    parts.append(f"""
+    SELECT CAST(sel_rank AS INT) AS sel_rank, c.vec_id,
+           round(c.rel, 6) AS relevance
+    FROM sel{k} JOIN cands c USING (vec_id)""")
+    return "".join(parts)
+
+
+@register("mmr_diverse_topk", _mmr_sql())
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-8 from the cosine top-20
+    pool (Carbonell & Goldstein '98) — relevance traded against redundancy
+    with the already-selected set, the retrieval-side antidote to a
+    near-dup-heavy corpus where plain top-k returns k copies.  Corpus-scale
+    scoring is one distributed top-pool pass; the greedy runs over the
+    constant-size pool (see mmr_topk).  The oracle unrolls the same greedy
+    as CTE steps."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return mmr_topk(emb, _query_vec(spark, sf_dir), k=8, pool=20)
 
 
 @register(
@@ -5096,6 +5255,57 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_clusters"),
         (F.col("cluster_size") * F.count("*")).alias("docs_total"),
         ((F.col("cluster_size") - 1) * F.count("*")).alias("docs_removable"),
+    )
+    out._wqs_persisted = getattr(comp, "_wqs_persisted", None)
+    return out
+
+
+@register(
+    "leakage_safe_split",
+    _MINHASH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _LSH_JACCARD_CTES
+    + _COMPONENT_GRAPH_CTES
+    + """
+    , comp AS (SELECT id AS doc_id, MIN(lab) AS component_id FROM reach GROUP BY id),
+    sp AS (SELECT doc_id, component_id,
+                  CASE WHEN ((component_id * 2654435761) % 4294967296) % 1000 < 800
+                         THEN 'train'
+                       WHEN ((component_id * 2654435761) % 4294967296) % 1000 < 900
+                         THEN 'val'
+                       ELSE 'test' END AS split
+           FROM comp)
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT component_id) AS BIGINT) AS n_components
+    FROM sp GROUP BY split
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: hash the near-dup COMPONENT id,
+    not the doc id, so an entire near-duplicate cluster lands in one split —
+    the fix for eval contamination by near-copies of training docs, which a
+    per-doc hash split (train_val_split) cannot guarantee (any ≥2-doc
+    cluster straddles splits with prob ~1-0.8^n).  Same Knuth multiplicative
+    hash as train_val_split, keyed on component_id; by construction every
+    component is entirely within one split (pinned by
+    test_leakage_safe_split_no_straddle, which also shows the naive split
+    DOES straddle on the same corpus).
+
+    100 TB shape: the component assignment is the dominant cost (see
+    dedup_components); the split itself adds one projection + hash agg.
+    Returns per-split doc and component counts — the manifest row a
+    training pipeline logs."""
+    comp = dedup_components(_read(spark, sf_dir, "documents"), threshold=0.5)
+    b = ((F.col("component_id") * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(1000)
+    split = (
+        F.when(b < 800, F.lit("train")).when(b < 900, F.lit("val")).otherwise(F.lit("test"))
+    )
+    out = (
+        comp.select(split.alias("split"), "component_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("component_id").alias("n_components"),
+        )
     )
     out._wqs_persisted = getattr(comp, "_wqs_persisted", None)
     return out
