@@ -1694,6 +1694,30 @@ def test_edjoin_hypothesis_fuzz(spark):
     run()
 
 
+def test_line_dedup_first_occurrence_wins(spark):
+    """C4 line dedup: duplicate lines dropped everywhere but the global
+    first occurrence (lowest (doc_id, idx)); survivors reassemble in
+    original order; a fully-duplicated doc survives as an empty row."""
+    from wolf_quake_spark.analysis.dedup import line_dedup
+
+    # words_per_line=2 → lines are 2-word windows
+    rows = [
+        (0, "a b c d"),          # lines: "a b", "c d"
+        (1, "a b x y"),          # "a b" duplicates doc 0's first line
+        (2, "c d a b"),          # both lines are duplicates
+        (3, "z z z"),            # "z z", "z" — unique
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in line_dedup(docs, words_per_line=2).collect()
+    }
+    assert got[0] == ("a b c d", 2, 0)
+    assert got[1] == ("x y", 1, 1)
+    assert got[2] == ("", 0, 2)
+    assert got[3] == ("z z z", 2, 0)
+
+
 def test_mmr_downranks_near_duplicates(spark):
     """MMR must NOT return k copies of the best hit: with three near-copies
     of the top document in the pool, plain top-4 returns all three copies;

@@ -691,6 +691,83 @@ def edjoin_pairs(
     )
 
 
+def line_dedup(
+    docs: DataFrame,
+    words_per_line: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style corpus-wide LINE deduplication with document reassembly
+    (Raffel et al., JMLR'20 §2.2 "we discard all but one of any three-
+    sentence span occurring more than once"): every exact-duplicate line is
+    dropped EVERYWHERE except its first occurrence (lowest (doc_id, line
+    index) wins — deterministic, order-independent), and surviving lines
+    are reassembled per document in original order.
+
+    This corpus has no newlines, so a "line" is a fixed ``words_per_line``
+    word window (deterministic chunking shared with doc_chunks); on real
+    data the chunker is one `split`-expression swap.  Unlike
+    ``dup_ngram_spans`` (a per-doc duplication SIGNAL), this is the
+    destructive cleanup op itself, returning the cleaned corpus.
+
+    Plan: one explode to (doc_id, lidx, line) instances, one groupBy(line)
+    min-struct for the global first occurrence, one equi-join back to keep
+    survivors, one per-doc collect_list/array_sort/array_join to
+    reassemble, LEFT join so fully-deduplicated docs survive with empty
+    text.  100 TB: all hash aggregations on the line string — at real
+    scale key the agg on ``xxhash64(line)`` and keep the string only for
+    the final verify, C4's own trick; candidate volume is corpus line
+    count, never pairwise.
+
+    Returns (doc_id, clean_text, n_kept, n_dropped).
+    """
+    words = F.split(F.trim(F.col(text_col)), WS_SPLIT)
+    W = int(words_per_line)
+    chunks = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(_w) / {W}.0) AS INT) - 1),"
+        f" i -> array_join(slice(_w, i * {W} + 1, {W}), ' '))"
+    )
+    inst = (
+        docs.select("doc_id", words.alias("_w"))
+        .filter(F.size("_w") > 0)
+        .select("doc_id", F.posexplode(chunks).alias("lidx", "line"))
+    )
+    firsts = inst.groupBy("line").agg(
+        F.min(F.struct("doc_id", "lidx")).alias("m")
+    )
+    kept = (
+        inst.join(firsts, "line")
+        .filter(
+            (F.col("doc_id") == F.col("m.doc_id"))
+            & (F.col("lidx") == F.col("m.lidx"))
+        )
+        .select("doc_id", "lidx", "line")
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lidx", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = inst.groupBy("doc_id").agg(F.count("*").alias("n_total"))
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.coalesce("n_total", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
 def minhash_estimate(
     docs: DataFrame,
     k: int = DEFAULT_K,

@@ -36,6 +36,7 @@ from wolf_quake_spark.analysis.dedup import (
     minhash_estimate,
     normalized_fingerprint,
     edjoin_pairs,
+    line_dedup,
     passjoin_pairs,
     simhash,
     simhash64,
@@ -5258,6 +5259,51 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._wqs_persisted = getattr(comp, "_wqs_persisted", None)
     return out
+
+
+@register(
+    "line_dedup_clean",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+      FROM documents),
+    wx AS (
+      SELECT doc_id, word, pos, CAST(floor((pos - 1) / 8) AS INT) AS lidx
+      FROM (SELECT doc_id, unnest(ws) AS word,
+                   generate_subscripts(ws, 1) AS pos
+            FROM w WHERE len(ws) > 0)),
+    inst AS (
+      SELECT doc_id, lidx, string_agg(word, ' ' ORDER BY pos) AS line
+      FROM wx GROUP BY doc_id, lidx),
+    kept AS (
+      SELECT doc_id, lidx, line FROM (
+        SELECT doc_id, lidx, line,
+               ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, lidx) AS rn
+        FROM inst) WHERE rn = 1),
+    per_doc AS (
+      SELECT doc_id, string_agg(line, ' ' ORDER BY lidx) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id),
+    totals AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total
+               FROM inst GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(p.clean_text, '') AS clean_text,
+           COALESCE(p.n_kept, 0) AS n_kept,
+           COALESCE(t.n_total, 0) - COALESCE(p.n_kept, 0) AS n_dropped
+    FROM documents d
+    LEFT JOIN totals t ON t.doc_id = d.doc_id
+    LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+)
+def q_line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line dedup WITH reassembly: every duplicate
+    8-word line dropped except its global first occurrence (lowest
+    (doc_id, idx)), surviving lines rejoined per doc in order — the
+    destructive cleanup op itself (vs dup_ngram_spans' signal).  Returns
+    the cleaned corpus + per-doc kept/dropped counts.  See line_dedup for
+    the plan/scale notes."""
+    return line_dedup(_read(spark, sf_dir, "documents"), words_per_line=8)
 
 
 @register(
