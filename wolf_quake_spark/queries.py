@@ -4460,6 +4460,49 @@ def q_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_spherical_search",
+    f"""
+    WITH asg AS (SELECT * FROM ({_kmeans_sql(metric="cos")}) t),
+    u AS (SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq, pos FROM (
+      SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+    cents AS (SELECT asg.cent_id, u.pos,
+                     CAST(floor(CAST(SUM(u.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+              FROM u JOIN asg USING (vec_id) GROUP BY asg.cent_id, u.pos),
+    qv AS (SELECT pos, xq FROM u WHERE vec_id = 0),
+    cnn AS (SELECT cent_id, CAST(SUM(cq * cq) AS BIGINT) AS nc
+            FROM cents GROUP BY cent_id),
+    pd AS (SELECT c.cent_id,
+                  CASE WHEN cnn.nc > 0
+                       THEN CAST(SUM(c.cq * q.xq) AS DOUBLE) / sqrt(CAST(cnn.nc AS DOUBLE))
+                       ELSE 0.0 END AS s
+           FROM cents c JOIN qv q USING (pos)
+           JOIN cnn ON cnn.cent_id = c.cent_id
+           GROUP BY c.cent_id, cnn.nc),
+    probes AS (SELECT cent_id FROM pd ORDER BY s DESC, cent_id LIMIT 3),
+    cand AS (SELECT vec_id FROM asg WHERE cent_id IN (SELECT cent_id FROM probes)),
+    qq AS (SELECT CAST(SUM(xq * xq) AS BIGINT) AS qn FROM qv),
+    dots AS (SELECT u.vec_id, CAST(SUM(u.xq * q.xq) AS BIGINT) AS dot,
+                    CAST(SUM(u.xq * u.xq) AS BIGINT) AS en
+             FROM u JOIN qv q USING (pos) JOIN cand ON cand.vec_id = u.vec_id
+             GROUP BY u.vec_id)
+    SELECT vec_id, dot,
+           CASE WHEN en > 0
+                THEN CAST(dot AS DOUBLE) / sqrt(CAST(en AS DOUBLE) * CAST(qn AS DOUBLE))
+                ELSE 0.0 END AS cosine
+    FROM dots, qq ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q_spherical_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over SPHERICAL cells: cosine-assignment quantizer, probe
+    set = 3 wedges ranked by centroid-direction cosine to the query, exact
+    cosine only inside the probed wedges — metric-matched end to end
+    (quantizer objective, cell ranking, and scan all cosine)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return kmeans_search(emb, _query_vec(spark, sf_dir), k=10, n_probes=3, metric="cos")
+
+
+@register(
     "ann_recall_probe_curve",
     f"""
     WITH asg AS (SELECT * FROM ({_kmeans_sql()}) t),
