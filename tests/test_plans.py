@@ -395,3 +395,51 @@ def test_semdedup_cell_confined_plan(spark):
     # the pairwise-cosine join is keyed on cent_id (cell-confined) — a
     # cross join here would be the all-pairs scale-killer
     assert "CartesianProduct" not in p
+
+
+def test_q9_profit_dims_broadcast(spark):
+    p = plan_of(spark, "product_type_profit")
+    # part/supplier/nation (and at this SF even orders) build broadcast
+    # sides; the profit expression is a single integer sum — no second pass
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+    assert "StartsWith" in p or "StringContains(p_name,gear)" in p or "Filter" in p
+    assert p.count("HashAggregate") == 2  # partial + final, one agg pass
+
+
+def test_q11_scalar_threshold_plan(spark):
+    p = plan_of(spark, "important_part_values")
+    # the grand total joins back as a 1-row broadcast nested-loop (the Q22
+    # convention) — never a data-wide cartesian; nation filter is pushed
+    assert "BroadcastNestedLoopJoin BuildRight" in p
+    assert "CartesianProduct" not in p
+    assert "EqualTo(n_name,NATION_3)" in p
+
+
+def test_q12_lateness_plan(spark):
+    p = plan_of(spark, "priority_lateness_by_status")
+    # ship-date year window reaches the lineitem reader; the lateness
+    # compare rides the join (row-local), and both priority counts come
+    # from ONE aggregate pass
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in p
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+
+
+def test_q16_blacklist_anti_join_plan(spark):
+    p = plan_of(spark, "supplier_count_by_part_attr")
+    # NOT IN realizes as a broadcast LeftAnti (map-side drop); the filtered
+    # part dim broadcasts; no cartesian anywhere
+    assert "LeftAnti, BuildRight" in p
+    assert "CartesianProduct" not in p
+    assert "LessThan(s_acctbal,0.0)" in p
+
+
+def test_q20_semi_chain_plan(spark):
+    p = plan_of(spark, "promo_part_suppliers")
+    # both IN subqueries realize as broadcast LeftSemi joins: the part
+    # family filters the lineitem scan map-side, and the qualifying
+    # supplier set broadcasts back — supplier itself is never shuffled
+    assert p.count("LeftSemi, BuildRight") >= 2
+    assert "CartesianProduct" not in p
+    assert "GreaterThan(s_acctbal,0.0)" in p

@@ -5737,3 +5737,268 @@ _REGISTRY["curation_funnel"] = (
     GROUP BY d.lang
     """,
 )
+
+
+# ===========================================================================
+# TPC-H remainder shapes (Q9 / Q11 / Q12 / Q16 / Q20 adapted to the driver
+# tables — no partsupp, l_shipmode, or l_commitdate exists, so each query
+# keeps the ORIGINAL plan shape and swaps the missing column for a
+# deterministic stand-in, following the q_min_price_supplier convention)
+# ===========================================================================
+
+
+@register(
+    "product_type_profit",
+    """
+    SELECT ns.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                    - CAST(ROUND(p_retailprice * 100) AS BIGINT) * 60
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_x10000
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY supp_nation, o_year
+    """,
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (`product type profit`): profit on a product line by
+    supplier nation × order year.  No partsupp table exists, so unit supply
+    cost is the deterministic stand-in ``0.6 * p_retailprice`` (quantized to
+    integer cents BEFORE the multiply, so both engines sum identical
+    integers — quantize-then-sum, never sum-then-round).
+
+    Scale shape: the part-name filter prunes ~13% of parts and broadcasts;
+    supplier and nation broadcast; the only shuffle is lineitem⋈orders on
+    the order key, then one hash aggregate on (nation, year) — 25×7 groups,
+    so partial aggregation collapses the map side.  At 100 TB the fact-fact
+    join dominates; every dimension stays map-side."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    profit = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+        - F.round(F.col("p_retailprice") * 100).cast("long")
+        * 60
+        * F.col("l_quantity").cast("long")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).alias("profit_x10000"))
+    )
+
+
+@register(
+    "important_part_values",
+    """
+    WITH val AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                  AS BIGINT) AS val_x10000
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey)
+    SELECT l_partkey, val_x10000 FROM val
+    WHERE val_x10000 * 10000 > (SELECT SUM(val_x10000) FROM val) * 5
+    ORDER BY val_x10000 DESC, l_partkey
+    """,
+)
+def q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (`important stock identification`): parts whose
+    observed trade value through one nation's suppliers exceeds a fraction
+    (0.05%) of that nation's total.  partsupp is absent, so "stock value"
+    is the lineitem-evidenced traded value — the plan shape (grouped agg +
+    global-scalar threshold from the SAME aggregate) is unchanged.
+
+    Scale shape: supplier and nation broadcast ahead of the lineitem scan,
+    so the only exchange is the partkey hash aggregate; the grand total is
+    a 1-row cross-join broadcast REUSING that aggregate (Spark plans the
+    CTE once per branch — both branches are post-aggregate, ~#parts rows,
+    not fact-sized).  The threshold compare is integer×integer (×10000 vs
+    ×5), never a float fraction, so the two engines agree bit-for-bit."""
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("val_x10000")
+        )
+    )
+    total = val.agg(F.sum("val_x10000").alias("grand_total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("val_x10000") * 10000 > F.col("grand_total") * 5)
+        .select("l_partkey", "val_x10000")
+        .orderBy(F.desc("val_x10000"), F.asc("l_partkey"))
+    )
+
+
+@register(
+    "priority_lateness_by_status",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (`shipping modes and order priority`): late-shipment
+    line counts split into high/low order priority.  l_shipmode and
+    l_commitdate don't exist, so the mode dimension is l_linestatus and
+    "late" is ship > order-date + 60 days — the shape (fact-fact join +
+    two conditional counts in ONE aggregate pass) is Q12's.
+
+    Scale shape: the ship-date year predicate pushes to the lineitem scan
+    BEFORE the join; the lateness predicate is row-local post-join (needs
+    both sides, no shuffle of its own); output is ≤2 groups so the final
+    exchange is trivial — at 100 TB the cost is the orderkey shuffle and
+    nothing else."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _read(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "supplier_count_by_part_attr",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+          WHERE l_suppkey NOT IN
+                (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) ps
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 15, 25, 36, 49)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_supplier_count_by_part_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (`parts/supplier relationship`): distinct-supplier
+    counts per (brand, type, size) over a negated attribute set, excluding
+    a blacklisted supplier set (NOT IN → anti-join).  partsupp is absent,
+    so the part↔supplier bridge is the DISTINCT (l_partkey, l_suppkey)
+    projection of lineitem; the blacklist stand-in is s_acctbal < 0.
+
+    Scale shape: the blacklist is a tiny aggregate → broadcast anti-join
+    (map-side drop, no shuffle); the bridge DISTINCT shuffles once on the
+    pair key; the filtered part table broadcasts; count_distinct re-keys to
+    the 3-attr group.  The negated IN list stays a scan-pushable predicate
+    set in both engines."""
+    li = _read(spark, sf_dir, "lineitem")
+    bad = (
+        _read(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = _read(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 15, 25, 36, 49))
+    )
+    bridge = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .distinct()
+    )
+    return (
+        bridge.join(F.broadcast(part), bridge.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "promo_part_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_acctbal > 0
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 280)
+    ORDER BY s_name
+    """,
+)
+def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (`potential part promotion`): suppliers who moved
+    significant volume of a name-prefixed part family in a year — the
+    nested chain part-filter → semi into lineitem → HAVING on grouped
+    quantity → semi into supplier.  The availqty threshold (partsupp is
+    absent) becomes a fixed shipped-quantity floor; the nation predicate
+    becomes s_acctbal > 0 (sf0.001 has 10 suppliers over 25 nations, so a
+    single-nation filter would be vacuously empty).
+
+    Scale shape: the part family broadcasts as a LEFT SEMI (map-side
+    filter on the lineitem scan, no fan-out); one suppkey hash aggregate
+    applies the HAVING floor; the qualifying-supplier set is aggregate-
+    sized and broadcasts back as the final LEFT SEMI — supplier is never
+    shuffled.  Quantities sum as integers in both engines."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    red = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    supp = _read(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    movers = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 280)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(movers), supp.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
