@@ -720,6 +720,50 @@ def test_bigram_logprob_scores(spark):
     assert out[2] == (1, round(-math.log(1 / 3), 6))
 
 
+def test_kneser_ney_bigram_scores(spark):
+    from wolf_quake_spark.analysis.textstats import (
+        _doc_bigram_freqs,
+        kneser_ney_bigram_scores,
+    )
+    import math
+
+    rows = [
+        (1, "a b a b"),
+        (2, "a c"),
+        (3, "x"),  # <2 tokens → no bigrams → absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_bigrams"], r["mean_nll_kn"])
+           for r in kneser_ney_bigram_scores(docs).collect()}
+    assert set(out) == {1, 2}
+    # model: c(a,b)=2 c(b,a)=1 c(a,c)=1; c(a·)=3 c(b·)=1; N1+(a·)=2 N1+(b·)=1
+    # N1+(·b)=1 N1+(·a)=1 N1+(·c)=1; |types|=3; D=0.75
+    def pkn(c12, c1, n1f, n1p):
+        return max(c12 - 0.75, 0.0) / c1 + (0.75 * n1f / c1) * (n1p / 3.0)
+
+    p_ab = pkn(2, 3, 2, 1)
+    p_ba = pkn(1, 1, 1, 1)
+    p_ac = pkn(1, 3, 2, 1)
+    assert out[1] == (3, round(-(2 * math.log(p_ab) + math.log(p_ba)) / 3, 6))
+    assert out[2] == (1, round(-math.log(p_ac), 6))
+    # smoothing invariant: observed-follower mass per context < 1 (mass is
+    # reserved for unseen continuations), and every probability is positive
+    assert 0 < p_ab + p_ac < 1  # context 'a': 2 observed followers
+    assert 0 < p_ba < 1  # context 'b': 1 observed follower
+
+    # corpus-level invariant on real data: every score positive and finite
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = kneser_ney_bigram_scores(real)
+    bad = scored.filter(
+        (F.col("mean_nll_kn") <= 0) | F.isnan("mean_nll_kn")
+    ).count()
+    assert bad == 0
+    # doc coverage: exactly the docs with ≥1 bigram are scored
+    assert scored.count() == _doc_bigram_freqs(real, "text").select(
+        "doc_id"
+    ).distinct().count()
+
+
 def test_bloom_contamination_matches_exact(spark):
     """Bloom prefilter + exact verify must equal the exact join (no false
     negatives by Bloom construction; FPs removed by the verify join) — even

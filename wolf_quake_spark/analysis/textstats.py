@@ -209,6 +209,27 @@ def unigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame
     )
 
 
+def _doc_bigram_freqs(docs: DataFrame, text_col: str) -> DataFrame:
+    """Per-doc adjacent-pair frequencies over the empty-filtered token
+    sequence: (doc_id, w1, w2, bf).  Shared by the exact-conditional and
+    Kneser-Ney bigram scorers so their token/bigram definition can't
+    drift."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(t, " "), lambda x: x != "")
+    n_bg = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_bg),
+        F.slice(toks, 2, n_bg),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        docs.select("doc_id", F.explode(bigrams).alias("bg"))
+        .select("doc_id", "bg.w1", "bg.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("bf"))
+    )
+
+
 def bigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc mean negative log-likelihood under the corpus's own bigram
     LM — the order-2 step up from :func:`unigram_logprob_scores`, with the
@@ -228,20 +249,7 @@ def bigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     100 TB both join sides hash-partition on their key (no broadcast
     assumption), and AQE handles stop-word-context skew on the w1 join.
     """
-    t = F.col(text_col)
-    toks = F.filter(F.split(t, " "), lambda x: x != "")
-    n_bg = F.greatest(F.size(toks) - 1, F.lit(0))
-    bigrams = F.zip_with(
-        F.slice(toks, 1, n_bg),
-        F.slice(toks, 2, n_bg),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    bf = (
-        docs.select("doc_id", F.explode(bigrams).alias("bg"))
-        .select("doc_id", "bg.w1", "bg.w2")
-        .groupBy("doc_id", "w1", "w2")
-        .agg(F.count("*").alias("bf"))
-    )
+    bf = _doc_bigram_freqs(docs, text_col)
     model = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c12"))
     ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
     scored = bf.join(model, ["w1", "w2"]).join(ctx, "w1")
@@ -257,6 +265,69 @@ def bigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "n_bigrams",
             F.round(-F.col("_ll") / F.col("n_bigrams").cast("double"), 6).alias(
                 "mean_nll"
+            ),
+        )
+    )
+
+
+def kneser_ney_bigram_scores(
+    docs: DataFrame, text_col: str = "text", discount: float = 0.75
+) -> DataFrame:
+    """Per-doc mean NLL under an interpolated Kneser-Ney bigram LM — the
+    smoothing actually used by KenLM (Heafield 2011), where the backoff
+    mass goes to CONTINUATION probability (how many distinct contexts a
+    word follows) rather than raw frequency:
+
+        P_KN(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+                      + (D·N1+(w1·)/c(w1·)) · N1+(·w2)/|bigram types|
+
+    with fixed discount D (Chen & Goodman 1999's D = 0.75).  Unlike the
+    exact-conditional scorer this generalizes: high-frequency-but-
+    single-context tokens (e.g. "Francisco") get LOW continuation mass,
+    which is the signal CCNet-style perplexity filters rely on.  All four
+    count statistics are exact integers; the probability is a fixed IEEE
+    expression over them evaluated with the same structure in both
+    engines, and the per-doc mean is quantized to 6 decimals (libm-vs-Java
+    log ulps, reassociation — same argument as the sibling scorers).
+
+    Scale shape: one (doc, w1, w2) hash agg → bigram-keyed model agg →
+    two aggregate-sized follow-ups (context agg on w1 with c(w1·) AND the
+    distinct-follower count in ONE pass; continuation agg on w2) → joins
+    keyed on (w1,w2), w1, w2 — all model-sized, hash-partitioned, no
+    broadcast assumption — plus a 1-row type-count broadcast → one
+    doc-keyed agg.  AQE absorbs stop-word-context skew on the w1/w2 joins.
+    """
+    d = float(discount)
+    bf = _doc_bigram_freqs(docs, text_col)
+    model = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c12"))
+    ctx = model.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1f")
+    )
+    cont = model.groupBy("w2").agg(F.count("*").alias("n1p"))
+    types = model.agg(F.count("*").alias("n_types"))
+    p = (
+        F.greatest(F.col("c12").cast("double") - F.lit(d), F.lit(0.0))
+        / F.col("c1").cast("double")
+    ) + (
+        F.lit(d)
+        * F.col("n1f").cast("double")
+        / F.col("c1").cast("double")
+    ) * (F.col("n1p").cast("double") / F.col("n_types").cast("double"))
+    scored = (
+        bf.join(model, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+    )
+    ll = F.sum(F.col("bf").cast("double") * F.log(p))
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("bf").alias("n_bigrams"), ll.alias("_ll"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(-F.col("_ll") / F.col("n_bigrams").cast("double"), 6).alias(
+                "mean_nll_kn"
             ),
         )
     )

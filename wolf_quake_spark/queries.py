@@ -93,6 +93,7 @@ from wolf_quake_spark.analysis.textstats import (
     NGRAM_PROFILES,
     STOPWORDS,
     bigram_logprob_scores,
+    kneser_ney_bigram_scores,
     bm25_scores,
     bpe_token_count,
     countmin_term_counts,
@@ -3030,6 +3031,41 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     LM with exact conditional probabilities P(w2|w1) — the KenLM plan shape
     with the model join keyed on the bigram."""
     return bigram_logprob_scores(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "kneser_ney_bigram_scores",
+    """
+    WITH tw AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM tw, UNNEST(range(1, greatest(len(w), 1))) AS t(i)),
+    bf AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS bf
+           FROM bg GROUP BY doc_id, w1, w2),
+    m AS (SELECT w1, w2, CAST(SUM(bf) AS BIGINT) AS c12 FROM bf GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS n1f FROM m GROUP BY w1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p FROM m GROUP BY w2),
+    ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM m)
+    SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+           round(-SUM(CAST(bf AS DOUBLE)
+                      * ln((GREATEST(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+                            / CAST(c1 AS DOUBLE))
+                           + (0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE))
+                             * (CAST(n1p AS DOUBLE) / CAST(n_types AS DOUBLE))))
+                 / CAST(SUM(bf) AS DOUBLE), 6) AS mean_nll_kn
+    FROM bf JOIN m USING (w1, w2) JOIN ctx USING (w1) JOIN cont USING (w2)
+    CROSS JOIN ty
+    GROUP BY doc_id
+    """,
+)
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity signal — the KenLM
+    smoothing with continuation-probability backoff mass (see
+    kneser_ney_bigram_scores for the four-statistic model plan)."""
+    return kneser_ney_bigram_scores(_read(spark, sf_dir, "documents"))
 
 
 @register(
