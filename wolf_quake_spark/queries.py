@@ -6038,3 +6038,35 @@ def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_name")
     )
+
+
+from wolf_quake_spark.analysis.graph import copurchase_edges, pagerank, pagerank_sql
+from wolf_quake_spark.analysis.sketches import hll_distinct, hll_distinct_sql
+
+
+@register("copurchase_pagerank", pagerank_sql(iterations=3))
+def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts sharing an order),
+    3 fixed rounds of join+aggregate — the link-analysis shape for
+    domain-authority / item-influence scoring.  The oracle is the same
+    recurrence unrolled as a CTE chain; scores round to 9 decimals (see
+    analysis/graph.py for the order-independence argument).  Beyond the
+    reference's static per-log tables (reference/src/report.rs renders
+    rankings from one aggregate, no propagation)."""
+    return pagerank(copurchase_edges(_read(spark, sf_dir, "lineitem")))
+
+
+@register(
+    "hll_distinct_orders",
+    hll_distinct_sql("lineitem", "l_returnflag", "l_orderkey"),
+)
+def q_hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog distinct-order estimate per return flag,
+    fully oracle-paired (deterministic salted-md5 registers, exact-integer
+    harmonic sum — see analysis/sketches.py) with the exact count and
+    relative error audited in the same job.  Complements the rows-only
+    ``sketch_profile`` (engine-private HLL++) with a sketch whose every
+    register is value-hash-checked cross-engine."""
+    return hll_distinct(
+        _read(spark, sf_dir, "lineitem"), "l_returnflag", "l_orderkey"
+    )
