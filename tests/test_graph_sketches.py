@@ -9,8 +9,17 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from wolf_quake_spark.analysis.graph import copurchase_edges, pagerank
-from wolf_quake_spark.analysis.sketches import hll_distinct
+from wolf_quake_spark.analysis.graph import (
+    copurchase_edges,
+    pagerank,
+    triangle_counts,
+)
+from wolf_quake_spark.analysis.sketches import hll_distinct, kmv_set_ops
+
+
+def _sym(spark, pairs):
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(rows, "src long, dst long")
 
 
 @pytest.fixture(scope="module")
@@ -99,6 +108,84 @@ def test_hll_small_range_linear_counting_exact_regime(spark):
         round(256.0 * math.log(256.0 / v), 4), abs=1e-9
     )
     assert abs(r.rel_error) < 0.05
+
+
+def test_triangle_counts_k4_minus_edge(spark):
+    # K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}.
+    # Node 1,2 touch both; 3,4 touch one each.  deg(1)=deg(2)=3,
+    # deg(3)=deg(4)=2 -> lcc(1)=2*2/(3*2)=0.666..., lcc(3)=2*1/(2*1)=1.0.
+    e = _sym(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)])
+    out = {r.node: r for r in triangle_counts(e).collect()}
+    assert {n: r.triangles for n, r in out.items()} == {1: 2, 2: 2, 3: 1, 4: 1}
+    assert out[1].degree == 3 and out[3].degree == 2
+    assert out[1].lcc == pytest.approx(2 / 3, abs=1e-9)
+    assert out[3].lcc == pytest.approx(1.0)
+
+
+def test_triangle_counts_triangle_free_and_isolated_leaf(spark):
+    # A 4-cycle has no triangles; the pendant (5,6) edge has degree-1
+    # endpoints (lcc defined 0).  Every node still appears in the output.
+    e = _sym(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (5, 6)])
+    out = triangle_counts(e).collect()
+    assert len(out) == 6
+    assert all(r.triangles == 0 and r.lcc == 0.0 for r in out)
+
+
+def test_triangle_counts_hub_skew_oriented_away(spark):
+    # A hub of degree 50 in a fan of triangles: hub->spokes all orient
+    # AWAY from the hub (degree ordering), so every triangle is still
+    # found while the hub generates zero wedges itself.
+    pairs = [(0, i) for i in range(1, 51)] + [
+        (i, i + 1) for i in range(1, 50, 2)
+    ]
+    out = {r.node: r for r in triangle_counts(_sym(spark, pairs)).collect()}
+    # 25 spoke-pair triangles {0, 2i-1, 2i}
+    assert out[0].triangles == 25
+    assert out[1].triangles == 1 and out[2].triangles == 1
+    assert out[0].degree == 50
+
+
+def test_kmv_exact_branch_small_sets(spark):
+    # Sets smaller than k: the sketch IS the set, every estimate exact.
+    rows = (
+        [("a", i) for i in range(40)]
+        + [("b", i) for i in range(20, 80)]  # |b|=60, overlap 20
+    )
+    df = spark.createDataFrame(rows, "grp string, item long")
+    r = kmv_set_ops(df, "grp", "item", k=128).collect()[0]
+    assert (r.g1, r.g2) == ("a", "b")
+    assert r.est_a == 40.0 and r.est_b == 60.0
+    assert r.est_union == 80.0 and r.exact_union == 80
+    assert r.exact_intersection == 20
+    assert r.jaccard_est == pytest.approx(20 / 80, abs=1e-4)
+    assert r.est_intersection == pytest.approx(20.0, abs=1e-2)
+
+
+def test_kmv_estimator_branch_within_error(spark):
+    # |A|=|B|=4000, |A∩B|=2000: KMV(k=128) relative std err ~ 1/sqrt(k-1)
+    # = 8.9%; gate estimates at 4 sigma and Jaccard at a loose band.
+    rows = [("a", i) for i in range(4000)] + [
+        ("b", i) for i in range(2000, 6000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, item long")
+    r = kmv_set_ops(df, "grp", "item", k=128).collect()[0]
+    assert abs(r.est_a - 4000) / 4000 < 0.36
+    assert abs(r.est_b - 4000) / 4000 < 0.36
+    assert r.exact_union == 6000 and r.exact_intersection == 2000
+    assert abs(r.est_union - 6000) / 6000 < 0.36
+    assert 0.15 < r.jaccard_est < 0.55  # true 1/3
+    assert abs(r.est_intersection - 2000) / 2000 < 0.6
+
+
+def test_kmv_disjoint_sets_zero_intersection(spark):
+    rows = [("a", i) for i in range(500)] + [
+        ("b", 10_000 + i) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "grp string, item long")
+    r = kmv_set_ops(df, "grp", "item", k=128).collect()[0]
+    assert r.exact_intersection == 0
+    assert r.jaccard_est < 0.05 and r.est_intersection < 60
+    assert r.exact_union == 1000
 
 
 def test_hll_merge_property_groups_independent(spark):

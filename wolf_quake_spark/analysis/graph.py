@@ -119,6 +119,182 @@ def pagerank(
     return out
 
 
+def brand_copurchase_edges(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Co-purchase edges restricted to parts of the SAME brand (both
+    directions, distinct) — the within-category affinity graph.
+
+    The brand filter keeps the graph's edge count (and hence the triangle
+    join below) bounded: cross-brand pairs dominate the unrestricted graph
+    (~2.4M directed edges at sf0.1) while same-brand pairs stay ~25×
+    sparser with the same per-order fan-out bound.
+    """
+    brand = part.select(
+        F.col("p_partkey").alias("pk"), F.col("p_brand").alias("brand")
+    )
+    a = (
+        lineitem.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+        )
+        .join(F.broadcast(brand), F.col("src") == F.col("pk"))
+        .select("ok", "src", F.col("brand").alias("brand_a"))
+    )
+    b = (
+        lineitem.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+        )
+        .join(F.broadcast(brand), F.col("dst") == F.col("pk"))
+        .select("ok", "dst", F.col("brand").alias("brand_b"))
+    )
+    return (
+        a.join(b, "ok")
+        .filter(
+            (F.col("src") != F.col("dst"))
+            & (F.col("brand_a") == F.col("brand_b"))
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame, round_to: int = 9) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient via
+    degree-ordered orientation (Cohen 2009 / the MapReduce "oriented
+    wedge" algorithm).
+
+    ``edges`` must be a symmetric directed edge list (both directions of
+    every undirected edge present, no self-loops) — the shape
+    :func:`copurchase_edges` / :func:`brand_copurchase_edges` emit.
+
+    Scale design (100 TB):
+
+    * Orientation by (degree, node-id) turns the graph into a DAG whose
+      max out-degree is O(√m) regardless of skew — the hub that ruins the
+      naive wedge join (Σ deg² with a celebrity node → quadratic) has all
+      its edges pointed INTO it, so its wedge fan-out is zero.  Σ of
+      oriented out-deg² is O(m^1.5) worst case, O(m·arboricity) typical.
+    * Each triangle {u<v<w} in the (deg, id) total order is enumerated
+      exactly once as wedge (u→v, u→w) closed by oriented edge (v→w):
+      three hash joins + one explode + one hash aggregate, no windows,
+      no driver state.
+    * The comparison is on the composite (deg, id) directly — no
+      deg·2³²+id packed key, so ids wider than 32 bits can't overflow.
+
+    Returns (node, degree, triangles, lcc) for EVERY node (zero-triangle
+    nodes included via the left join), lcc = 2T/(d(d−1)) rounded — the
+    only float, computed from exact integers, so it value-hashes
+    cross-engine.
+    """
+    und = edges.filter(F.col("src") < F.col("dst"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    # Orient each undirected edge from the (deg, id)-smaller endpoint.
+    da = deg.select(F.col("node").alias("src"), F.col("degree").alias("ds"))
+    db = deg.select(F.col("node").alias("dst"), F.col("degree").alias("dd"))
+    lo_first = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    o = (
+        und.join(da, "src")
+        .join(db, "dst")
+        .select(
+            F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("a"),
+            F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("b"),
+            F.when(lo_first, F.col("dd")).otherwise(F.col("ds")).alias("db_"),
+        )
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    w1 = o.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), F.col("db_").alias("dv")
+    )
+    w2 = o.select(
+        F.col("a").alias("u"), F.col("b").alias("w"), F.col("db_").alias("dw")
+    )
+    wedges = w1.join(w2, "u").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closure = o.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    tri = wedges.join(closure, ["v", "w"]).select("u", "v", "w")
+    per_node = (
+        tri.select(
+            F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2.0
+                * F.coalesce(F.col("triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                round_to,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+    out._wqs_persisted = o
+    return out
+
+
+def triangle_counts_sql(round_to: int = 9) -> str:
+    """DuckDB mirror of :func:`triangle_counts` over
+    :func:`brand_copurchase_edges` built from the pre-registered
+    ``lineitem``/``part`` views — same orientation, same wedge closure,
+    same rounding."""
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      JOIN part pa ON a.l_partkey = pa.p_partkey
+      JOIN part pb ON b.l_partkey = pb.p_partkey
+      WHERE a.l_partkey <> b.l_partkey AND pa.p_brand = pb.p_brand
+    ),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM e GROUP BY src),
+    o AS (
+      SELECT CASE WHEN lo THEN src ELSE dst END AS a,
+             CASE WHEN lo THEN dst ELSE src END AS b,
+             CASE WHEN lo THEN dd ELSE ds END AS db_
+      FROM (
+        SELECT e.src, e.dst, da.degree AS ds, db.degree AS dd,
+               (da.degree < db.degree
+                OR (da.degree = db.degree AND e.src < e.dst)) AS lo
+        FROM e JOIN deg da ON e.src = da.node JOIN deg db ON e.dst = db.node
+        WHERE e.src < e.dst
+      )
+    ),
+    tri AS (
+      SELECT w1.u, w1.v, w2.w
+      FROM (SELECT a AS u, b AS v, db_ AS dv FROM o) w1
+      JOIN (SELECT a AS u, b AS w, db_ AS dw FROM o) w2 ON w1.u = w2.u
+      JOIN o c ON c.a = w1.v AND c.b = w2.w
+      WHERE (w1.dv < w2.dw) OR (w1.dv = w2.dw AND w1.v < w2.w)
+    ),
+    pn AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri)
+      GROUP BY node
+    )
+    SELECT deg.node, deg.degree,
+           COALESCE(pn.triangles, 0) AS triangles,
+           CASE WHEN deg.degree >= 2
+                THEN round(2.0 * COALESCE(pn.triangles, 0)
+                           / (deg.degree * (deg.degree - 1)), {round_to})
+                ELSE 0.0 END AS lcc
+    FROM deg LEFT JOIN pn ON deg.node = pn.node
+    """
+
+
 def pagerank_sql(iterations: int = 3, damping: float = DAMPING) -> str:
     """Unrolled-CTE DuckDB mirror of :func:`pagerank` over the co-purchase
     graph built from the pre-registered ``lineitem`` view — one CTE per

@@ -127,6 +127,234 @@ def hll_distinct(
     )
 
 
+def kmv_set_ops(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """KMV (k-minimum-values, Beyer et al. 2007) sketches per group plus
+    MERGED-sketch set-operation estimates for every unordered group pair:
+    distinct |A|, |B|, |A∪B|, |A∩B| and Jaccard — the "audience overlap"
+    question HLL alone can't answer (vanilla HLL unions but doesn't
+    intersect without inclusion-exclusion error blowup).
+
+    Estimators (h normalized to (0,1] over the 48-bit hash space H):
+    D̂(S)   = (k-1) / (h_(k)/H)      when |sketch| = k, else exact |sketch|
+    D̂(A∪B) = same on the merged sketch (k smallest of the hash union)
+    Ĵ      = |{h ∈ merged-k} ∩ K(A) ∩ K(B)| / |merged|
+    D̂(A∩B) = Ĵ · D̂(A∪B)
+
+    Cross-engine determinism: the hash is the same salted-md5 nibble fold
+    as :func:`hll_distinct` (exact BIGINT in both engines); per-group
+    k-smallest selection is a window over a DISTINCT hash set (ties
+    impossible — ordering is total), so the sketch contents are identical
+    bit-for-bit; estimates are single divisions of identical integers,
+    rounded to 4 decimals.
+
+    Scale shape (100 TB): sketch build = one distinct + one PER-GROUP
+    window (partitioned by group, never global); pair stage operates on
+    ≤ k rows per group — constant state per group, mergeable, the classic
+    pre-aggregation answer for overlap matrices over billions of items.
+    The exact union/intersection columns are the in-job accuracy audit
+    (drop at true scale).  Groups must be few enough that the pair matrix
+    is small (it's |G|² sketches of k rows) — true for the enum-like
+    group columns this targets.
+    """
+    hspace = float(1 << 48)
+    h = F.md5(F.concat(F.lit("kmv"), F.col(item_col).cast("string")))
+    dh = (
+        df.select(F.col(group_col).alias("grp"), _fold(h, 0, 12).alias("h"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("h")
+    sk = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", "h")
+    )
+    per_grp = sk.groupBy("grp").agg(
+        F.count("*").alias("sz"), F.max("h").alias("hk")
+    )
+    est_of = lambda sz, hk: F.when(  # noqa: E731
+        sz < k, sz.cast("double")
+    ).otherwise(F.lit(float(k - 1) * hspace) / hk)
+
+    gs = per_grp.select(F.col("grp"))
+    pairs = (
+        gs.alias("x")
+        .join(gs.alias("y"), F.col("x.grp") < F.col("y.grp"))
+        .select(F.col("x.grp").alias("g1"), F.col("y.grp").alias("g2"))
+    )
+    s1 = sk.select(F.col("grp").alias("g1"), "h", F.lit(1).alias("f1"), F.lit(0).alias("f2"))
+    s2 = sk.select(F.col("grp").alias("g2"), "h", F.lit(0).alias("f1"), F.lit(1).alias("f2"))
+    tagged = pairs.join(s1, "g1").select("g1", "g2", "h", "f1", "f2").unionAll(
+        pairs.join(s2, "g2").select("g1", "g2", "h", "f1", "f2")
+    )
+    merged = (
+        tagged.groupBy("g1", "g2", "h")
+        .agg(F.max("f1").alias("f1"), F.max("f2").alias("f2"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("g1", "g2").orderBy("h")),
+        )
+        .filter(F.col("rn") <= k)
+    )
+    pair_est = merged.groupBy("g1", "g2").agg(
+        F.count("*").alias("msz"),
+        F.max("h").alias("mhk"),
+        F.sum(
+            (F.col("f1") * F.col("f2")).cast("long")
+        ).alias("both"),
+    )
+    exact = (
+        df.select(F.col(group_col).alias("grp"), F.col(item_col).alias("it"))
+        .distinct()
+    )
+    e1 = exact.select(F.col("grp").alias("g1"), "it")
+    e2 = exact.select(F.col("grp").alias("g2"), "it")
+    exact_pair = (
+        e1.join(e2, "it")
+        .filter(F.col("g1") < F.col("g2"))
+        .groupBy("g1", "g2")
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    exact_grp = exact.groupBy("grp").agg(F.count("*").alias("exact_d"))
+
+    ua = per_grp.select(
+        F.col("grp").alias("g1"),
+        est_of(F.col("sz"), F.col("hk")).alias("est_a_raw"),
+    )
+    ub = per_grp.select(
+        F.col("grp").alias("g2"),
+        est_of(F.col("sz"), F.col("hk")).alias("est_b_raw"),
+    )
+    est_union = F.when(
+        F.col("msz") < k, F.col("msz").cast("double")
+    ).otherwise(F.lit(float(k - 1) * hspace) / F.col("mhk"))
+    jacc = F.col("both").cast("double") / F.col("msz")
+    out = (
+        pair_est.join(ua, "g1")
+        .join(ub, "g2")
+        .join(exact_pair, ["g1", "g2"], "left")
+        .join(
+            exact_grp.select(F.col("grp").alias("g1"), F.col("exact_d").alias("xa")),
+            "g1",
+        )
+        .join(
+            exact_grp.select(F.col("grp").alias("g2"), F.col("exact_d").alias("xb")),
+            "g2",
+        )
+        .select(
+            "g1",
+            "g2",
+            F.lit(k).alias("k"),
+            F.round("est_a_raw", 4).alias("est_a"),
+            F.round("est_b_raw", 4).alias("est_b"),
+            F.round(est_union, 4).alias("est_union"),
+            F.round(jacc, 4).alias("jaccard_est"),
+            F.round(jacc * est_union, 4).alias("est_intersection"),
+            (
+                F.col("xa")
+                + F.col("xb")
+                - F.coalesce(F.col("exact_intersection"), F.lit(0))
+            ).alias("exact_union"),
+            F.coalesce(F.col("exact_intersection"), F.lit(0)).alias(
+                "exact_intersection"
+            ),
+        )
+    )
+    return out
+
+
+def kmv_set_ops_sql(
+    table: str, group_col: str, item_col: str, k: int = 128
+) -> str:
+    """DuckDB mirror of :func:`kmv_set_ops` — same salted 48-bit hash
+    fold, same per-group/per-pair k-smallest windows, same estimator
+    branches and 4-decimal rounding."""
+    hspace = float(1 << 48)
+    h = f"md5('kmv' || CAST({item_col} AS VARCHAR))"
+    nib = lambda i: f"(strpos('{_HEX}', substr({h}, {i + 1}, 1)) - 1)"  # noqa: E731
+    acc = f"CAST({nib(0)} AS BIGINT)"
+    for i in range(1, 12):
+        acc = f"({acc} * 16 + {nib(i)})"
+    knum = repr(float(k - 1) * hspace)
+    return f"""
+    WITH dh AS (
+      SELECT DISTINCT {group_col} AS grp, {acc} AS h FROM {table}
+    ),
+    sk AS (
+      SELECT grp, h FROM (
+        SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM dh
+      ) WHERE rn <= {k}
+    ),
+    pg AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS sz, MAX(h) AS hk
+      FROM sk GROUP BY grp
+    ),
+    pairs AS (
+      SELECT x.grp AS g1, y.grp AS g2 FROM pg x JOIN pg y ON x.grp < y.grp
+    ),
+    tagged AS (
+      SELECT p.g1, p.g2, s.h, 1 AS f1, 0 AS f2
+      FROM pairs p JOIN sk s ON s.grp = p.g1
+      UNION ALL
+      SELECT p.g1, p.g2, s.h, 0 AS f1, 1 AS f2
+      FROM pairs p JOIN sk s ON s.grp = p.g2
+    ),
+    merged AS (
+      SELECT g1, g2, h, f1, f2 FROM (
+        SELECT g1, g2, h, f1, f2,
+               row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn
+        FROM (SELECT g1, g2, h, MAX(f1) AS f1, MAX(f2) AS f2
+              FROM tagged GROUP BY g1, g2, h)
+      ) WHERE rn <= {k}
+    ),
+    pe AS (
+      SELECT g1, g2, CAST(COUNT(*) AS BIGINT) AS msz, MAX(h) AS mhk,
+             CAST(SUM(f1 * f2) AS BIGINT) AS both
+      FROM merged GROUP BY g1, g2
+    ),
+    ex AS (SELECT DISTINCT {group_col} AS grp, {item_col} AS it FROM {table}),
+    exg AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS exact_d FROM ex GROUP BY grp),
+    exp_ AS (
+      SELECT a.grp AS g1, b.grp AS g2, CAST(COUNT(*) AS BIGINT) AS exact_intersection
+      FROM ex a JOIN ex b ON a.it = b.it AND a.grp < b.grp
+      GROUP BY 1, 2
+    ),
+    ue AS (
+      SELECT grp, CASE WHEN sz < {k} THEN CAST(sz AS DOUBLE)
+                       ELSE CAST({knum} AS DOUBLE) / hk END AS est
+      FROM pg
+    ),
+    eu AS (
+      SELECT g1, g2, CASE WHEN msz < {k} THEN CAST(msz AS DOUBLE)
+                          ELSE CAST({knum} AS DOUBLE) / mhk END AS u
+      FROM pe
+    )
+    SELECT pe.g1, pe.g2, {k} AS k,
+           round(ua.est, 4) AS est_a,
+           round(ub.est, 4) AS est_b,
+           round(eu.u, 4) AS est_union,
+           round(CAST(pe.both AS DOUBLE) / pe.msz, 4) AS jaccard_est,
+           round(CAST(pe.both AS DOUBLE) / pe.msz * eu.u, 4) AS est_intersection,
+           (xa.exact_d + xb.exact_d - COALESCE(exp_.exact_intersection, 0))
+             AS exact_union,
+           COALESCE(exp_.exact_intersection, 0) AS exact_intersection
+    FROM pe
+    JOIN eu ON pe.g1 = eu.g1 AND pe.g2 = eu.g2
+    JOIN ue ua ON ua.grp = pe.g1
+    JOIN ue ub ON ub.grp = pe.g2
+    LEFT JOIN exp_ ON exp_.g1 = pe.g1 AND exp_.g2 = pe.g2
+    JOIN exg xa ON xa.grp = pe.g1
+    JOIN exg xb ON xb.grp = pe.g2
+    """
+
+
 def hll_distinct_sql(
     table: str, group_col: str, item_col: str, p: int = 8
 ) -> str:

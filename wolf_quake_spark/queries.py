@@ -6040,8 +6040,20 @@ def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from wolf_quake_spark.analysis.graph import copurchase_edges, pagerank, pagerank_sql
-from wolf_quake_spark.analysis.sketches import hll_distinct, hll_distinct_sql
+from wolf_quake_spark.analysis.graph import (
+    brand_copurchase_edges,
+    copurchase_edges,
+    pagerank,
+    pagerank_sql,
+    triangle_counts,
+    triangle_counts_sql,
+)
+from wolf_quake_spark.analysis.sketches import (
+    hll_distinct,
+    hll_distinct_sql,
+    kmv_set_ops,
+    kmv_set_ops_sql,
+)
 
 
 @register("copurchase_pagerank", pagerank_sql(iterations=3))
@@ -6068,5 +6080,34 @@ def q_hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sketch_profile`` (engine-private HLL++) with a sketch whose every
     register is value-hash-checked cross-engine."""
     return hll_distinct(
+        _read(spark, sf_dir, "lineitem"), "l_returnflag", "l_orderkey"
+    )
+
+
+@register("copurchase_triangles", triangle_counts_sql())
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle count + local clustering coefficient over the
+    same-brand co-purchase graph, via degree-ordered orientation (max
+    oriented out-degree O(√m) — hub-skew-proof wedge join; see
+    analysis/graph.py).  The community-density signal for item graphs —
+    beyond the reference's flat aggregation tables."""
+    return triangle_counts(
+        brand_copurchase_edges(
+            _read(spark, sf_dir, "lineitem"), _read(spark, sf_dir, "part")
+        )
+    )
+
+
+@register(
+    "kmv_audience_overlap",
+    kmv_set_ops_sql("lineitem", "l_returnflag", "l_orderkey"),
+)
+def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-sketch set-operation estimates (distinct, union, intersection,
+    Jaccard) between every pair of return-flag order populations, with
+    exact counts audited in the same job — the audience-overlap matrix at
+    constant state per group (see analysis/sketches.py; every register is
+    value-hash-checked cross-engine like hll_distinct_orders)."""
+    return kmv_set_ops(
         _read(spark, sf_dir, "lineitem"), "l_returnflag", "l_orderkey"
     )
