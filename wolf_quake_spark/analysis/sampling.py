@@ -363,3 +363,86 @@ def dsir_scores(
 
     out._wqs_persisted = persisted_handles(ranked) + [scored]
     return out
+
+
+def temperature_weights(
+    docs: DataFrame, group_col: str = "lang", alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual-LM sampling
+    rule, Conneau & Lample 2019 / mT5): given raw group shares p_g, sample
+    groups ∝ p_g^α so low-resource groups are up-weighted — α=1 keeps the
+    natural mix, α→0 approaches uniform.
+
+    Returns per group: n_docs, natural share p (rounded 6), resampled
+    share q = p^α / Σ p^α (rounded 6), the per-DOC sampling weight
+    multiplier q/p (rounded 6, >1 means oversample), and the expected doc
+    count q·N an epoch of the same size would draw (rounded 4).
+
+    Determinism: p is one IEEE division of exact BIGINTs; ``pow`` and the
+    Σ p^α normalizer are float (summation order may differ per engine, a
+    ~1e-16 relative drift) but every emitted value is rounded 10 orders
+    coarser than that drift (the tfidf_top_terms argument).
+
+    Scale shape (100 TB): one hash aggregate to |G| rows, the normalizer a
+    1-row aggregate of that, joined back broadcast — constant-size state
+    after the first agg, nothing else touches the corpus.
+    """
+    counts = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_docs")
+    )
+    tot = counts.agg(
+        F.sum("n_docs").alias("n_total"),
+    )
+    shared = counts.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("n_total")).alias("p"),
+        F.col("n_total"),
+    )
+    norm = shared.agg(
+        F.sum(F.pow(F.col("p"), F.lit(alpha))).alias("z")
+    )
+    out = shared.crossJoin(F.broadcast(norm)).select(
+        "grp",
+        "n_docs",
+        F.round("p", 6).alias("natural_share"),
+        F.round(F.pow(F.col("p"), F.lit(alpha)) / F.col("z"), 6).alias(
+            "resampled_share"
+        ),
+        F.round(
+            F.pow(F.col("p"), F.lit(alpha)) / F.col("z") / F.col("p"), 6
+        ).alias("sample_weight"),
+        F.round(
+            F.pow(F.col("p"), F.lit(alpha))
+            / F.col("z")
+            * F.col("n_total"),
+            4,
+        ).alias("expected_epoch_docs"),
+    )
+    return out
+
+
+def temperature_weights_sql(
+    table: str = "documents", group_col: str = "lang", alpha: float = 0.3
+) -> str:
+    """DuckDB mirror of :func:`temperature_weights` — same exact-integer
+    shares, same pow/normalize arithmetic, same rounding."""
+    return f"""
+    WITH counts AS (
+      SELECT {group_col} AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM {table} GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_docs) AS n_total FROM counts),
+    shared AS (
+      SELECT grp, n_docs,
+             CAST(n_docs AS DOUBLE) / n_total AS p, n_total
+      FROM counts CROSS JOIN tot
+    ),
+    norm AS (SELECT SUM(pow(p, {alpha!r})) AS z FROM shared)
+    SELECT grp, n_docs,
+           round(p, 6) AS natural_share,
+           round(pow(p, {alpha!r}) / z, 6) AS resampled_share,
+           round(pow(p, {alpha!r}) / z / p, 6) AS sample_weight,
+           round(pow(p, {alpha!r}) / z * n_total, 4) AS expected_epoch_docs
+    FROM shared CROSS JOIN norm
+    """

@@ -6111,3 +6111,31 @@ def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(
         _read(spark, sf_dir, "lineitem"), "l_returnflag", "l_orderkey"
     )
+
+
+from wolf_quake_spark.analysis.linkage import fs_link_pairs, fs_link_pairs_sql
+from wolf_quake_spark.analysis.sampling import (
+    temperature_weights,
+    temperature_weights_sql,
+)
+
+
+@register("fs_link_pairs", fs_link_pairs_sql("documents"))
+def q_fs_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over composite-blocked
+    document pairs: per-field agreement weights log2(m/u) with
+    u-probabilities ESTIMATED from exact corpus value frequencies
+    (Σc²/N², integer-exact), thresholded into match/possible/non_match —
+    entity resolution beyond the reference's exact-name joins
+    (reference/src/report.rs player assembly).  See analysis/linkage.py
+    for the scale argument."""
+    return fs_link_pairs(_read(spark, sf_dir, "documents"))
+
+
+@register("temperature_mix_weights", temperature_weights_sql("documents"))
+def q_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (p^α) mixture reweighting per language — the
+    multilingual-LM sampling rule (α=0.3): natural vs resampled shares,
+    per-doc sample-weight multiplier, expected epoch doc counts.  Constant
+    state after one hash aggregate (see analysis/sampling.py)."""
+    return temperature_weights(_read(spark, sf_dir, "documents"))
