@@ -6132,6 +6132,110 @@ def q_fs_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_link_pairs(_read(spark, sf_dir, "documents"))
 
 
+from wolf_quake_spark.analysis.quantiles import (
+    exact_quantiles,
+    exact_quantiles_sql,
+)
+
+
+@register(
+    "exact_price_quantiles",
+    exact_quantiles_sql("lineitem", "l_extendedprice"),
+)
+def q_exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of l_extendedprice WITHOUT a global sort:
+    iterative histogram refinement, only B-row histograms on the driver
+    (see analysis/quantiles.py — 2 scans reach 10^12 rows at production
+    B=4096/threshold=100k).  The small B/threshold here force ≥2
+    refinement rounds at test scale so the oracle exercises the loop, not
+    just the top-j tail.  Matches DuckDB quantile_disc bit-for-bit (the
+    value is copied from the data, never computed)."""
+    return exact_quantiles(
+        _read(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        buckets=16,
+        exact_threshold=500,
+    )
+
+
+_ATTRIBUTION_SQL = """
+WITH base AS (
+  -- floor, not bare CAST: epoch() is a DOUBLE with sub-second fraction
+  -- and DuckDB's cast rounds-to-nearest while Spark unix_timestamp floors
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+s AS (
+  SELECT *,
+    last_value(CASE WHEN event_type IN ('click','view') THEN ts_s END
+               IGNORE NULLS) OVER w AS t_ts,
+    last_value(CASE WHEN event_type IN ('click','view') THEN event_id END
+               IGNORE NULLS) OVER w AS t_id,
+    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END
+               IGNORE NULLS) OVER w AS t_type
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS purchase_id, user_id,
+  CASE WHEN t_ts IS NOT NULL AND ts_s - t_ts <= 604800
+       THEN t_type ELSE 'direct' END AS channel,
+  CASE WHEN t_ts IS NOT NULL AND ts_s - t_ts <= 604800
+       THEN t_id END AS touch_event_id,
+  CASE WHEN t_ts IS NOT NULL AND ts_s - t_ts <= 604800
+       THEN ts_s - t_ts END AS secs_since_touch
+FROM s WHERE event_type = 'purchase'
+"""
+
+
+@register("purchase_attribution", _ATTRIBUTION_SQL)
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the most
+    recent click/view by the same user within a 7-day lookback, else
+    'direct'.  One user-keyed window with IGNORE-NULLS last_value over the
+    deterministic (ts, event_id) total order — the (ts)-only order would
+    be tie-ambiguous cross-engine.  Per-user window, parallel across
+    users; a mega-user would take the sessionize salting treatment."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    s = (
+        ev.withColumn(
+            "t_ts", F.last(F.when(is_touch, F.col("ts_s")), True).over(w)
+        )
+        .withColumn(
+            "t_id", F.last(F.when(is_touch, F.col("event_id")), True).over(w)
+        )
+        .withColumn(
+            "t_type",
+            F.last(F.when(is_touch, F.col("event_type")), True).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+    )
+    fresh = F.col("t_ts").isNotNull() & (
+        F.col("ts_s") - F.col("t_ts") <= 604800
+    )
+    return s.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(fresh, F.col("t_type")).otherwise("direct").alias("channel"),
+        F.when(fresh, F.col("t_id")).alias("touch_event_id"),
+        F.when(fresh, F.col("ts_s") - F.col("t_ts")).alias(
+            "secs_since_touch"
+        ),
+    )
+
+
 @register("temperature_mix_weights", temperature_weights_sql("documents"))
 def q_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based (p^α) mixture reweighting per language — the
