@@ -550,3 +550,76 @@ def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
         stop_ratio_x1000.alias("stop_ratio_x1000"),
         score.cast("long").alias("quality_score"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    top_k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over corpus
+    bigrams (Church & Hanks 1990): PMI(w1,w2) = log2(p(w1,w2) /
+    (p(w1·)·p(·w2))) with all probabilities from EXACT corpus bigram
+    counts, ``min_count`` suppressing the low-frequency PMI explosion.
+
+    Reuses :func:`_doc_bigram_freqs` so the token/bigram definition cannot
+    drift from the LM scorers.  The emitted PMI is one log2 over a ratio
+    of exact BIGINTs (c12·B / (c1·c2) composed in double in the same
+    operand order both engines), rounded to 6 — and the top-k order is
+    (pmi desc, w1, w2), a total order, so the cut is deterministic.
+
+    Scale shape (100 TB): three hash aggregates (bigram, left-margin,
+    right-margin) + broadcast of the two margin frames' join — margins are
+    vocabulary-sized, the bigram model is the big frame and is touched
+    once; top-k is TakeOrderedAndProject (a heap, not a sort).
+    """
+    bf = _doc_bigram_freqs(docs, text_col)
+    m = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c12"))
+    left = m.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    right = m.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = m.agg(F.sum("c12").alias("btot"))
+    pmi = F.round(
+        F.log2(
+            (F.col("c12").cast("double") * F.col("btot"))
+            / (F.col("c1").cast("double") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        m.filter(F.col("c12") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", "c1", "c2", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def pmi_collocations_sql(
+    table: str = "documents", top_k: int = 20, min_count: int = 5
+) -> str:
+    """DuckDB mirror of :func:`pmi_collocations` — same bigram
+    definition as the LM oracles, same exact counts, same PMI operand
+    order and rounding, same total-order cut."""
+    return f"""
+    WITH tw AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM {table}),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM tw, UNNEST(range(1, greatest(len(w), 1))) AS t(i)),
+    m AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+          FROM bg GROUP BY w1, w2),
+    l AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM m GROUP BY w1),
+    r AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM m GROUP BY w2),
+    tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS btot FROM m)
+    SELECT w1, w2, c12, c1, c2,
+           round(log2((CAST(c12 AS DOUBLE) * btot)
+                      / (CAST(c1 AS DOUBLE) * c2)), 6) AS pmi
+    FROM m JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+    WHERE c12 >= {min_count}
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {top_k}
+    """

@@ -6236,6 +6236,189 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from wolf_quake_spark.analysis.textstats import (
+    pmi_collocations,
+    pmi_collocations_sql,
+)
+
+
+@register("pmi_collocations", pmi_collocations_sql("documents"))
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information from exact
+    corpus bigram counts (min_count=5 floor) — the classic phrase-mining
+    signal; margins broadcast, top-k a heap (see
+    analysis/textstats.pmi_collocations)."""
+    return pmi_collocations(_read(spark, sf_dir, "documents"))
+
+
+_RFM_SQL = """
+WITH p AS (
+  SELECT user_id,
+         CAST(MAX(floor(epoch(ts))) AS BIGINT) AS r_ts,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM p),
+rk AS (
+  SELECT user_id, r_ts, freq, cents,
+         row_number() OVER (ORDER BY r_ts, user_id) AS pr,
+         row_number() OVER (ORDER BY freq, user_id) AS pf,
+         row_number() OVER (ORDER BY cents, user_id) AS pm
+  FROM p
+)
+SELECT user_id, r_ts, freq, cents,
+       CAST(floor((pr - 1) * 5.0 / nu) + 1 AS INTEGER) AS r_score,
+       CAST(floor((pf - 1) * 5.0 / nu) + 1 AS INTEGER) AS f_score,
+       CAST(floor((pm - 1) * 5.0 / nu) + 1 AS INTEGER) AS m_score,
+       CAST(CAST(floor((pr - 1) * 5.0 / nu) + 1 AS INTEGER) AS VARCHAR)
+       || CAST(CAST(floor((pf - 1) * 5.0 / nu) + 1 AS INTEGER) AS VARCHAR)
+       || CAST(CAST(floor((pm - 1) * 5.0 / nu) + 1 AS INTEGER) AS VARCHAR)
+         AS segment
+FROM rk CROSS JOIN n
+"""
+
+
+@register("rfm_segments", _RFM_SQL)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency/frequency/monetary quintiles,
+    5 = best) — every quintile computed with the DISTRIBUTED two-stage
+    rank (sampling.global_enumerate), never a single-partition ntile
+    window.  Monetary sums floor-cents BIGINTs so the rank order is
+    integer-exact cross-engine (a raw double sum could reorder ties by
+    summation-order ulps).  Quintile = floor((pos-1)·5/n)+1, an equal-
+    frequency cut identical in both engines."""
+    from wolf_quake_spark.analysis import persisted_handles
+    from wolf_quake_spark.analysis.sampling import global_enumerate
+
+    p = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_timestamp("ts")).alias("r_ts"),
+            F.count("*").alias("freq"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    # Three INDEPENDENT enumerations of the small per-user frame joined
+    # back on user_id — chaining them would nest each pass's plan inside
+    # the next (the persisted frames dedupe execution but not the plan).
+    from pyspark.storagelevel import StorageLevel
+
+    p = p.persist(StorageLevel.DISK_ONLY)
+    handles = [p]
+    ranked = p
+    for key, pos in (("r_ts", "pr"), ("freq", "pf"), ("cents", "pm")):
+        e = global_enumerate(p, [F.col(key), F.col("user_id")], pos)
+        handles.extend(persisted_handles(e))
+        ranked = ranked.join(e.select("user_id", pos), "user_id")
+    nu = p.agg(F.count("*").alias("nu"))
+    score = lambda pos: (  # noqa: E731
+        F.floor((F.col(pos) - 1) * 5.0 / F.col("nu")) + 1
+    ).cast("int")
+    out = ranked.crossJoin(F.broadcast(nu)).select(
+        "user_id",
+        "r_ts",
+        "freq",
+        "cents",
+        score("pr").alias("r_score"),
+        score("pf").alias("f_score"),
+        score("pm").alias("m_score"),
+        F.concat(
+            score("pr").cast("string"),
+            score("pf").cast("string"),
+            score("pm").cast("string"),
+        ).alias("segment"),
+    )
+    out._wqs_persisted = handles
+    return out
+
+
+_LAG_CORR_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+x AS (SELECT d, c FROM daily WHERE event_type = 'click'),
+y AS (SELECT d, c FROM daily WHERE event_type = 'purchase'),
+lags AS (SELECT unnest(range(0, 8)) AS lag),
+j AS (
+  SELECT lags.lag, x.c AS xv, y.c AS yv
+  FROM lags JOIN x ON TRUE JOIN y ON y.d = x.d + CAST(lags.lag AS INTEGER)
+),
+s AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xv) AS BIGINT) AS sx, CAST(SUM(yv) AS BIGINT) AS sy,
+         CAST(SUM(xv * yv) AS BIGINT) AS sxy,
+         CAST(SUM(xv * xv) AS BIGINT) AS sxx,
+         CAST(SUM(yv * yv) AS BIGINT) AS syy
+  FROM j GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+FROM s
+"""
+
+
+@register("event_lag_correlation", _LAG_CORR_SQL)
+def q_event_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson cross-correlation of daily click vs purchase counts at lags
+    0..7 days — the ad-effectiveness lead/lag probe.  All five moment sums
+    are exact BIGINTs over integer daily counts; the correlation is one
+    closed-form float from those integers (deterministic cross-engine),
+    rounded to 6.  Daily pre-aggregation shrinks the corpus to |days|
+    rows, so the lag join is constant-size at any event volume."""
+    daily = (
+        _read(spark, sf_dir, "events")
+        .groupBy(
+            F.col("ts").cast("date").alias("d"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    x = daily.filter(F.col("event_type") == "click").select(
+        "d", F.col("c").alias("xv")
+    )
+    y = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("d").alias("yd"), F.col("c").alias("yv")
+    )
+    lags = spark.range(0, 8).select(F.col("id").alias("lag"))
+    j = (
+        lags.crossJoin(x)
+        .join(
+            y,
+            F.col("yd")
+            == F.date_add(F.col("d"), F.col("lag").cast("int")),
+        )
+    )
+    s = j.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("xv").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("xv") * F.col("yv")).alias("sxy"),
+        F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+    )
+    corr = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        / F.sqrt(
+            (
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+            ).cast("double")
+            * (
+                F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+            ).cast("double")
+        ),
+        6,
+    )
+    return s.select("lag", F.col("n").alias("n_days"), corr.alias("corr"))
+
+
 @register("temperature_mix_weights", temperature_weights_sql("documents"))
 def q_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based (p^α) mixture reweighting per language — the
