@@ -6419,6 +6419,254 @@ def q_event_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("lag", F.col("n").alias("n_days"), corr.alias("corr"))
 
 
+_KS_SQL = """
+WITH s AS (
+  SELECT value,
+         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 1 ELSE 2 END AS p
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+n AS (
+  SELECT CAST(SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN p = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM s
+),
+byv AS (
+  SELECT value,
+         CAST(SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN p = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM s GROUP BY value
+),
+cum AS (
+  SELECT value,
+         SUM(c1) OVER (ORDER BY value) AS k1,
+         SUM(c2) OVER (ORDER BY value) AS k2
+  FROM byv
+)
+SELECT n1, n2,
+       round(MAX(abs(CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)), 6)
+         AS ks_stat,
+       round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)), 6)
+         AS ks_critical_005
+FROM cum CROSS JOIN n GROUP BY n1, n2
+"""
+
+
+@register("ks_drift_purchase_value", _KS_SQL)
+def q_ks_drift_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between first-half and
+    second-half-of-the-month purchase values — the distribution-shift
+    monitor for a feature column.  The two empirical CDFs come from ONE
+    distributed prefix sum over the distinct-value frame
+    (sampling.global_cumsum — no single-partition window; the oracle's
+    plain window is the single-node mirror).  D and the 5% critical value
+    are closed-form floats over exact BIGINT counts."""
+    from wolf_quake_spark.analysis import persisted_handles
+    from wolf_quake_spark.analysis.sampling import global_cumsum
+
+    s = (
+        _read(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "value",
+            F.when(
+                F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"),
+                1,
+            )
+            .otherwise(2)
+            .alias("p"),
+        )
+    )
+    byv = s.groupBy("value").agg(
+        F.sum(F.when(F.col("p") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("p") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    cum = global_cumsum(byv, "c1", [F.col("value")], "k1")
+    handles = persisted_handles(cum)
+    cum = global_cumsum(cum, "c2", [F.col("value")], "k2")
+    handles.extend(persisted_handles(cum))
+    n = s.agg(
+        F.sum(F.when(F.col("p") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("p") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    out = (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("k1").cast("double") / F.col("n1")
+                        - F.col("k2").cast("double") / F.col("n2")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+            F.round(
+                F.lit(1.358)
+                * F.sqrt(
+                    (F.col("n1") + F.col("n2")).cast("double")
+                    / (F.col("n1") * F.col("n2"))
+                ),
+                6,
+            ).alias("ks_critical_005"),
+        )
+        .select("n1", "n2", "ks_stat", "ks_critical_005")
+    )
+    out._wqs_persisted = handles
+    return out
+
+
+_CHI2_SQL = """
+WITH o AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS weekday,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt FROM o GROUP BY 1),
+c AS (SELECT weekday, CAST(SUM(obs) AS BIGINT) AS ct FROM o GROUP BY 1),
+t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+dims AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+                CAST(COUNT(DISTINCT weekday) AS BIGINT) AS nc FROM o)
+SELECT round(SUM(
+         (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+         * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+         / (CAST(rt AS DOUBLE) * ct / n)), 4) AS chi2,
+       (nr - 1) * (nc - 1) AS dof, n
+FROM o JOIN r USING (event_type) JOIN c USING (weekday)
+CROSS JOIN t CROSS JOIN dims
+GROUP BY dof, n
+"""
+
+
+@register("chi2_type_weekday", _CHI2_SQL)
+def q_chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and weekday —
+    the seasonality/DQ probe.  Observed and marginal counts are exact
+    BIGINTs; expected counts and the statistic are closed-form floats
+    (rounded 4 — summation-order drift is ~12 orders below).  Spark
+    dayofweek is 1-based Sunday; the oracle shifts DuckDB's 0-based to
+    match.  Zero-count cells contribute nothing in either engine (absent
+    from the observed frame by construction — noted, not hidden: a strict
+    textbook chi2 with structural zeros would add their expected mass)."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("weekday")
+    )
+    o = ev.groupBy("event_type", "weekday").agg(F.count("*").alias("obs"))
+    r = o.groupBy("event_type").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("weekday").agg(F.sum("obs").alias("ct"))
+    t = o.agg(F.sum("obs").alias("n"))
+    dims = o.agg(
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("weekday").alias("nc"),
+    )
+    e = (
+        F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    )
+    return (
+        o.join(r, "event_type")
+        .join(F.broadcast(c), "weekday")
+        .crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(dims))
+        .groupBy(
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+            F.col("n"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("obs").cast("double") - e)
+                    * (F.col("obs").cast("double") - e)
+                    / e
+                ),
+                4,
+            ).alias("chi2")
+        )
+        .select("chi2", "dof", "n")
+    )
+
+
+def _markov_stationary_sql(iterations: int = 4) -> str:
+    parts = [
+        """
+    seq AS (
+      SELECT user_id, event_type AS t1,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS t2
+      FROM events
+    ),
+    m AS (SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c
+          FROM seq WHERE t2 IS NOT NULL GROUP BY t1, t2),
+    ctx AS (SELECT t1, CAST(SUM(c) AS BIGINT) AS ct FROM m GROUP BY t1),
+    states AS (SELECT t1 AS s FROM ctx),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+    pi0 AS (SELECT s, 1.0 / k AS pr FROM states CROSS JOIN ns)
+    """
+    ]
+    for t in range(iterations):
+        parts.append(
+            f"""
+    pi{t + 1} AS (
+      SELECT m.t2 AS s, SUM(p.pr * m.c / ctx.ct) AS pr
+      FROM m JOIN pi{t} p ON m.t1 = p.s JOIN ctx ON m.t1 = ctx.t1
+      GROUP BY m.t2
+    )
+    """
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT s AS state, round(pr, 9) AS pi FROM pi{iterations}
+    """
+    )
+
+
+@register("markov_stationary_events", _markov_stationary_sql())
+def q_markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    (4 power-iteration rounds over the transition matrix the
+    event_transition_matrix query exposes) — where user journeys
+    concentrate in the long run.  Same unrolled join+aggregate shape as
+    copurchase_pagerank: the model is |states|² rows after one window
+    pass, so every round is constant-size.  Rounded to 9 (float drift
+    argument as pagerank)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type").over(w).alias("t2"),
+    ).filter(F.col("t2").isNotNull())
+    m = seq.groupBy("t1", "t2").agg(F.count("*").alias("c"))
+    ctx = m.groupBy("t1").agg(F.sum("c").alias("ct"))
+    states = ctx.select(F.col("t1").alias("s"))
+    k = states.agg(F.count("*").alias("k"))
+    pi = states.crossJoin(F.broadcast(k)).select(
+        "s", (F.lit(1.0) / F.col("k")).alias("pr")
+    )
+    mm = m.join(ctx, "t1")
+    for _ in range(4):
+        pi = (
+            mm.join(pi, mm["t1"] == pi["s"])
+            .select(
+                F.col("t2"),
+                (F.col("pr") * F.col("c") / F.col("ct")).alias("contrib"),
+            )
+            .groupBy("t2")
+            .agg(F.sum("contrib").alias("pr"))
+            .select(F.col("t2").alias("s"), "pr")
+        )
+    return pi.select(
+        F.col("s").alias("state"), F.round("pr", 9).alias("pi")
+    )
+
+
 @register("temperature_mix_weights", temperature_weights_sql("documents"))
 def q_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based (p^α) mixture reweighting per language — the
