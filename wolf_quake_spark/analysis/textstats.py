@@ -623,3 +623,76 @@ def pmi_collocations_sql(
     ORDER BY pmi DESC, w1, w2
     LIMIT {top_k}
     """
+
+
+def term_burstiness(
+    docs: DataFrame, top_k: int = 20, min_df: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Top-k burstiest terms by variance-to-mean ratio of per-doc counts
+    (Church & Gale 1995): content words clump (VMR ≫ 1), function words
+    spread Poisson-like (VMR ≈ 1) — the dispersion signal for stopword
+    discovery and topicality scoring.
+
+    Zero-count docs are included analytically, never materialized:
+    with N docs and exact integer Σtf, Σtf² over docs containing the term,
+    mean = Σtf/N and E[x²] = Σtf²/N already account for the zeros, so
+    VMR = (E[x²] − mean²)/mean needs only the term's posting rows.  One
+    explode + two hash aggregates + a 1-row broadcast; top-k is a heap
+    with the (vmr desc, term) total order.  Every emitted stat is a
+    closed-form float over exact BIGINTs, rounded to 6.
+    """
+    tf = term_frequencies(docs, text_col)
+    n_docs = docs.agg(F.count("*").alias("nd"))
+    per_term = tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("s1"),
+        F.sum(F.col("tf") * F.col("tf")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("nd")
+    ex2 = F.col("s2").cast("double") / F.col("nd")
+    vmr = (ex2 - mean * mean) / mean
+    return (
+        per_term.filter(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df",
+            F.col("s1").alias("total_tf"),
+            F.round(mean, 6).alias("mean_tf"),
+            F.round(vmr, 6).alias("vmr"),
+        )
+        .orderBy(F.col("vmr").desc(), "term")
+        .limit(top_k)
+    )
+
+
+def term_burstiness_sql(
+    table: str = "documents", top_k: int = 20, min_df: int = 10
+) -> str:
+    """DuckDB mirror of :func:`term_burstiness` — same tokenization as
+    term_frequencies, same exact sums, same closed forms and rounding."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, t AS term
+      FROM {table}, UNNEST(string_split(text, ' ')) AS u(t)
+      WHERE t <> ''
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM {table}),
+    pt AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS s1,
+             CAST(SUM(tf * tf) AS BIGINT) AS s2
+      FROM tf GROUP BY term
+    )
+    SELECT term, df, s1 AS total_tf,
+           round(CAST(s1 AS DOUBLE) / nd, 6) AS mean_tf,
+           round((CAST(s2 AS DOUBLE) / nd
+                  - (CAST(s1 AS DOUBLE) / nd) * (CAST(s1 AS DOUBLE) / nd))
+                 / (CAST(s1 AS DOUBLE) / nd), 6) AS vmr
+    FROM pt CROSS JOIN nd
+    WHERE df >= {min_df}
+    ORDER BY vmr DESC, term
+    LIMIT {top_k}
+    """

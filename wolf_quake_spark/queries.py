@@ -6667,6 +6667,183 @@ def q_markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from wolf_quake_spark.analysis.textstats import (
+    term_burstiness,
+    term_burstiness_sql,
+)
+
+
+@register("term_burstiness", term_burstiness_sql("documents"))
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 burstiest terms by variance-to-mean ratio of per-doc counts
+    (Church-Gale dispersion; zero-docs folded in analytically, never
+    materialized) — stopword discovery / topicality signal.  See
+    analysis/textstats.term_burstiness."""
+    return term_burstiness(_read(spark, sf_dir, "documents"))
+
+
+_TARGET_ENC_SQL = """
+WITH base AS (
+  SELECT event_type, event_id % 5 AS fold,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+pf AS (
+  SELECT event_type, fold, CAST(COUNT(*) AS BIGINT) AS n_fold,
+         CAST(SUM(cents) AS BIGINT) AS s_fold
+  FROM base GROUP BY 1, 2
+),
+pc AS (SELECT event_type, CAST(SUM(n_fold) AS BIGINT) AS n_cat,
+              CAST(SUM(s_fold) AS BIGINT) AS s_cat
+       FROM pf GROUP BY 1),
+g AS (SELECT CAST(SUM(n_cat) AS BIGINT) AS n_all,
+             CAST(SUM(s_cat) AS BIGINT) AS s_all FROM pc)
+SELECT pf.event_type, pf.fold, pf.n_fold,
+       round(CAST(s_cat - s_fold AS DOUBLE) / (n_cat - n_fold), 4)
+         AS oof_mean_cents,
+       round((CAST(s_cat - s_fold AS DOUBLE)
+              + 10.0 * (CAST(s_all AS DOUBLE) / n_all))
+             / (CAST(n_cat - n_fold AS DOUBLE) + 10.0), 4)
+         AS smoothed_cents
+FROM pf JOIN pc USING (event_type) CROSS JOIN g
+"""
+
+
+@register("target_encoding_oof", _TARGET_ENC_SQL)
+def q_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe K-fold target encoding of event_type against the
+    floor-cents value target: each fold's encoding excludes its own rows
+    (out-of-fold mean), with m=10 shrinkage toward the global prior —
+    the standard high-cardinality categorical feature for tabular models.
+    Two hash aggregates + broadcast joins; every mean is one division of
+    exact BIGINTs.  Folds key on event_id % 5 — deterministic
+    cross-engine, no RNG in the split."""
+    base = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.col("event_id") % 5).alias("fold"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    pf = base.groupBy("event_type", "fold").agg(
+        F.count("*").alias("n_fold"), F.sum("cents").alias("s_fold")
+    )
+    pc = pf.groupBy("event_type").agg(
+        F.sum("n_fold").alias("n_cat"), F.sum("s_fold").alias("s_cat")
+    )
+    g = pc.agg(
+        F.sum("n_cat").alias("n_all"), F.sum("s_cat").alias("s_all")
+    )
+    oof = (F.col("s_cat") - F.col("s_fold")).cast("double") / (
+        F.col("n_cat") - F.col("n_fold")
+    )
+    smoothed = (
+        (F.col("s_cat") - F.col("s_fold")).cast("double")
+        + 10.0 * (F.col("s_all").cast("double") / F.col("n_all"))
+    ) / ((F.col("n_cat") - F.col("n_fold")).cast("double") + 10.0)
+    return (
+        pf.join(F.broadcast(pc), "event_type")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "fold",
+            "n_fold",
+            F.round(oof, 4).alias("oof_mean_cents"),
+            F.round(smoothed, 4).alias("smoothed_cents"),
+        )
+    )
+
+
+_WELCH_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s1,
+         CAST(SUM(cents * cents) AS BIGINT) AS s2
+  FROM base GROUP BY 1
+),
+w AS (
+  SELECT a.n AS n1, b.n AS n2,
+         CAST(a.s1 AS DOUBLE) / a.n AS m1, CAST(b.s1 AS DOUBLE) / b.n AS m2,
+         (CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * a.s1 / a.n)
+           / (a.n - 1) / a.n AS se1,
+         (CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * b.s1 / b.n)
+           / (b.n - 1) / b.n AS se2
+  FROM m a JOIN m b ON a.event_type = 'purchase' AND b.event_type = 'click'
+)
+SELECT n1, n2, round(m1 - m2, 4) AS mean_diff_cents,
+       round((m1 - m2) / sqrt(se1 + se2), 4) AS t_stat,
+       round((se1 + se2) * (se1 + se2)
+             / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 2) AS df_welch
+FROM w
+"""
+
+
+@register("welch_t_purchase_vs_click", _WELCH_SQL)
+def q_welch_t_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic comparing purchase vs click
+    values (floor-cents) with Welch-Satterthwaite df — the A/B-readout
+    primitive.  All five moments are exact BIGINT sums (Σcents² needs
+    DECIMAL headroom past ~10^10 rows of 10^5-cent values — noted, not
+    silently wrong); the statistic is one closed-form float, rounded."""
+    base = (
+        _read(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("purchase", "click")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    m = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    a = m.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n1"), F.col("s1").alias("a1"), F.col("s2").alias("a2")
+    )
+    b = m.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n2"), F.col("s1").alias("b1"), F.col("s2").alias("b2")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    m1 = F.col("a1").cast("double") / F.col("n1")
+    m2 = F.col("b1").cast("double") / F.col("n2")
+    se1 = (
+        (F.col("a2").cast("double") - F.col("a1").cast("double") * F.col("a1") / F.col("n1"))
+        / (F.col("n1") - 1)
+        / F.col("n1")
+    )
+    se2 = (
+        (F.col("b2").cast("double") - F.col("b1").cast("double") * F.col("b1") / F.col("n2"))
+        / (F.col("n2") - 1)
+        / F.col("n2")
+    )
+    return j.select(
+        "n1",
+        "n2",
+        F.round(m1 - m2, 4).alias("mean_diff_cents"),
+        F.round((m1 - m2) / F.sqrt(se1 + se2), 4).alias("t_stat"),
+        F.round(
+            (se1 + se2)
+            * (se1 + se2)
+            / (
+                se1 * se1 / (F.col("n1") - 1)
+                + se2 * se2 / (F.col("n2") - 1)
+            ),
+            2,
+        ).alias("df_welch"),
+    )
+
+
 @register("temperature_mix_weights", temperature_weights_sql("documents"))
 def q_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based (p^α) mixture reweighting per language — the
