@@ -79,7 +79,11 @@ def fs_link_pairs(
     verdict) for every blocked pair, weight rounded to 6 decimals,
     verdict ∈ {match, possible, non_match}.
     """
-    feats = _features(docs, text_col)
+    from pyspark.storagelevel import StorageLevel
+
+    # Five consumers (three u-scalars + both join sides) — persist so the
+    # tokenize/regex projection runs over the corpus once.
+    feats = _features(docs, text_col).persist(StorageLevel.DISK_ONLY)
     a = feats.alias("a")
     b = feats.alias("b")
     pairs = (
@@ -107,7 +111,7 @@ def fs_link_pairs(
             F.log2(F.lit(m) / u),
         ).otherwise(F.log2(F.lit(1.0 - m) / (F.lit(1.0) - u)))
     w = F.round(weight, 6)
-    return scored.select(
+    out = scored.select(
         "doc_a",
         "doc_b",
         F.col("ag_lang").cast("int").alias("agree_lang"),
@@ -119,6 +123,8 @@ def fs_link_pairs(
         .otherwise(F.lit("non_match"))
         .alias("verdict"),
     )
+    out._wqs_persisted = feats
+    return out
 
 
 def fs_link_pairs_sql(

@@ -393,11 +393,19 @@ def temperature_weights(
     tot = counts.agg(
         F.sum("n_docs").alias("n_total"),
     )
-    shared = counts.crossJoin(F.broadcast(tot)).select(
-        "grp",
-        "n_docs",
-        (F.col("n_docs").cast("double") / F.col("n_total")).alias("p"),
-        F.col("n_total"),
+    from pyspark import StorageLevel
+
+    # Two consumers (normalizer + output rows) — persist so the corpus
+    # count aggregate runs once.
+    shared = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "grp",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_total")).alias("p"),
+            F.col("n_total"),
+        )
+        .persist(StorageLevel.DISK_ONLY)
     )
     norm = shared.agg(
         F.sum(F.pow(F.col("p"), F.lit(alpha))).alias("z")
@@ -419,6 +427,7 @@ def temperature_weights(
             4,
         ).alias("expected_epoch_docs"),
     )
+    out._wqs_persisted = shared
     return out
 
 

@@ -168,12 +168,16 @@ def kmv_set_ops(
         .distinct()
     )
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     w = Window.partitionBy("grp").orderBy("h")
+    # Four consumers below (per-group stats + both pair-tag sides) — persist
+    # so the full-table distinct+window runs once, not four times.
     sk = (
         dh.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("grp", "h")
+        .persist(StorageLevel.DISK_ONLY)
     )
     per_grp = sk.groupBy("grp").agg(
         F.count("*").alias("sz"), F.max("h").alias("hk")
@@ -266,6 +270,7 @@ def kmv_set_ops(
             ),
         )
     )
+    out._wqs_persisted = sk
     return out
 
 

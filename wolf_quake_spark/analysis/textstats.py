@@ -574,8 +574,16 @@ def pmi_collocations(
     vocabulary-sized, the bigram model is the big frame and is touched
     once; top-k is TakeOrderedAndProject (a heap, not a sort).
     """
+    from pyspark.storagelevel import StorageLevel
+
     bf = _doc_bigram_freqs(docs, text_col)
-    m = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c12"))
+    # Four consumers (margins, total, scored rows) — persist the bigram
+    # model so the corpus-wide explode+agg runs once.
+    m = (
+        bf.groupBy("w1", "w2")
+        .agg(F.sum("bf").alias("c12"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
     left = m.groupBy("w1").agg(F.sum("c12").alias("c1"))
     right = m.groupBy("w2").agg(F.sum("c12").alias("c2"))
     tot = m.agg(F.sum("c12").alias("btot"))
@@ -586,7 +594,7 @@ def pmi_collocations(
         ),
         6,
     )
-    return (
+    out = (
         m.filter(F.col("c12") >= min_count)
         .join(left, "w1")
         .join(right, "w2")
@@ -595,6 +603,8 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(top_k)
     )
+    out._wqs_persisted = m
+    return out
 
 
 def pmi_collocations_sql(

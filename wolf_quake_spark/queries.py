@@ -6065,7 +6065,12 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     analysis/graph.py for the order-independence argument).  Beyond the
     reference's static per-log tables (reference/src/report.rs renders
     rankings from one aggregate, no propagation)."""
-    return pagerank(copurchase_edges(_read(spark, sf_dir, "lineitem")))
+    return pagerank(
+        copurchase_edges(_read(spark, sf_dir, "lineitem")),
+        # the part catalog is dimension-sized next to the edge list, so the
+        # per-round rank join broadcasts (see pagerank's docstring)
+        broadcast_ranks=True,
+    )
 
 
 @register(
@@ -6460,6 +6465,8 @@ def q_ks_drift_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sampling.global_cumsum — no single-partition window; the oracle's
     plain window is the single-node mirror).  D and the 5% critical value
     are closed-form floats over exact BIGINT counts."""
+    from pyspark.storagelevel import StorageLevel
+
     from wolf_quake_spark.analysis import persisted_handles
     from wolf_quake_spark.analysis.sampling import global_cumsum
 
@@ -6478,13 +6485,13 @@ def q_ks_drift_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(2)
             .alias("p"),
         )
-    )
+    ).persist(StorageLevel.DISK_ONLY)  # two consumers: CDF counts + n1/n2
     byv = s.groupBy("value").agg(
         F.sum(F.when(F.col("p") == 1, 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("p") == 2, 1).otherwise(0)).alias("c2"),
     )
     cum = global_cumsum(byv, "c1", [F.col("value")], "k1")
-    handles = persisted_handles(cum)
+    handles = [s] + persisted_handles(cum)
     cum = global_cumsum(cum, "c2", [F.col("value")], "k2")
     handles.extend(persisted_handles(cum))
     n = s.agg(
@@ -6555,10 +6562,18 @@ def q_chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     match.  Zero-count cells contribute nothing in either engine (absent
     from the observed frame by construction — noted, not hidden: a strict
     textbook chi2 with structural zeros would add their expected mass)."""
+    from pyspark.storagelevel import StorageLevel
+
     ev = _read(spark, sf_dir, "events").select(
         "event_type", F.dayofweek("ts").alias("weekday")
     )
-    o = ev.groupBy("event_type", "weekday").agg(F.count("*").alias("obs"))
+    # Five consumers (marginals, total, dims, scored rows) — persist the
+    # contingency table so the corpus aggregate runs once.
+    o = (
+        ev.groupBy("event_type", "weekday")
+        .agg(F.count("*").alias("obs"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
     r = o.groupBy("event_type").agg(F.sum("obs").alias("rt"))
     c = o.groupBy("weekday").agg(F.sum("obs").alias("ct"))
     t = o.agg(F.sum("obs").alias("n"))
@@ -6569,7 +6584,7 @@ def q_chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         F.col("rt").cast("double") * F.col("ct") / F.col("n")
     )
-    return (
+    out = (
         o.join(r, "event_type")
         .join(F.broadcast(c), "weekday")
         .crossJoin(F.broadcast(t))
@@ -6590,6 +6605,8 @@ def q_chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("chi2", "dof", "n")
     )
+    out._wqs_persisted = o
+    return out
 
 
 def _markov_stationary_sql(iterations: int = 4) -> str:
@@ -6650,7 +6667,11 @@ def q_markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pi = states.crossJoin(F.broadcast(k)).select(
         "s", (F.lit(1.0) / F.col("k")).alias("pr")
     )
-    mm = m.join(ctx, "t1")
+    from pyspark.storagelevel import StorageLevel
+
+    # Loop-invariant transition model: persist so the window-over-events
+    # pass runs once, not once per power-iteration round.
+    mm = m.join(ctx, "t1").persist(StorageLevel.DISK_ONLY)
     for _ in range(4):
         pi = (
             mm.join(pi, mm["t1"] == pi["s"])
@@ -6662,9 +6683,11 @@ def q_markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("contrib").alias("pr"))
             .select(F.col("t2").alias("s"), "pr")
         )
-    return pi.select(
+    out = pi.select(
         F.col("s").alias("state"), F.round("pr", 9).alias("pi")
     )
+    out._wqs_persisted = mm
+    return out
 
 
 from wolf_quake_spark.analysis.textstats import (
@@ -6727,9 +6750,13 @@ def q_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 100).cast("long").alias("cents"),
         )
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # Consumed by the category rollup AND the final join — persist so the
+    # events scan runs once.
     pf = base.groupBy("event_type", "fold").agg(
         F.count("*").alias("n_fold"), F.sum("cents").alias("s_fold")
-    )
+    ).persist(StorageLevel.DISK_ONLY)
     pc = pf.groupBy("event_type").agg(
         F.sum("n_fold").alias("n_cat"), F.sum("s_fold").alias("s_cat")
     )
@@ -6743,7 +6770,7 @@ def q_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s_cat") - F.col("s_fold")).cast("double")
         + 10.0 * (F.col("s_all").cast("double") / F.col("n_all"))
     ) / ((F.col("n_cat") - F.col("n_fold")).cast("double") + 10.0)
-    return (
+    out = (
         pf.join(F.broadcast(pc), "event_type")
         .crossJoin(F.broadcast(g))
         .select(
@@ -6754,6 +6781,8 @@ def q_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(smoothed, 4).alias("smoothed_cents"),
         )
     )
+    out._wqs_persisted = pf
+    return out
 
 
 _WELCH_SQL = """
@@ -6803,11 +6832,15 @@ def q_welch_t_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 100).cast("long").alias("cents"),
         )
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # Both group slices below consume this 2-row aggregate — persist so
+    # the events scan runs once.
     m = base.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("s1"),
         F.sum(F.col("cents") * F.col("cents")).alias("s2"),
-    )
+    ).persist(StorageLevel.DISK_ONLY)
     a = m.filter(F.col("event_type") == "purchase").select(
         F.col("n").alias("n1"), F.col("s1").alias("a1"), F.col("s2").alias("a2")
     )
@@ -6827,7 +6860,7 @@ def q_welch_t_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("n2") - 1)
         / F.col("n2")
     )
-    return j.select(
+    out = j.select(
         "n1",
         "n2",
         F.round(m1 - m2, 4).alias("mean_diff_cents"),
@@ -6842,6 +6875,8 @@ def q_welch_t_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("df_welch"),
     )
+    out._wqs_persisted = m
+    return out
 
 
 @register("temperature_mix_weights", temperature_weights_sql("documents"))
