@@ -6879,6 +6879,41 @@ def q_welch_t_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+from wolf_quake_spark.analysis.diagnostics import (
+    join_cardinality_estimate,
+    join_cardinality_estimate_sql,
+    key_skew_report,
+    key_skew_report_sql,
+)
+
+
+@register("skew_report_user_key", key_skew_report_sql("events", "user_id"))
+def q_skew_report_user_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle skew audit of the user_id join/groupBy key: top-key
+    share, rank-based p50/p99 per-key counts, Gini of the key
+    distribution — the number that decides "salt or don't salt" (see
+    analysis/diagnostics.py; percentiles and the Gini prefix sum use the
+    distributed two-stage rank, no single-partition window)."""
+    return key_skew_report(_read(spark, sf_dir, "events"), "user_id")
+
+
+@register(
+    "join_size_histogram_estimate",
+    join_cardinality_estimate_sql("lineitem", "l_partkey"),
+)
+def q_join_size_histogram_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Optimizer-statistics audit: the bucketed-histogram self-join size
+    estimate Σ cnt_b²/ndv_b next to the exact Σ c(k)² for the partkey
+    equi-join, with the estimate's relative error — measures the
+    uniform-within-bucket assumption ON THIS data without materializing
+    any join."""
+    return join_cardinality_estimate(
+        _read(spark, sf_dir, "lineitem"), "l_partkey"
+    )
+
+
 @register("temperature_mix_weights", temperature_weights_sql("documents"))
 def q_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based (p^α) mixture reweighting per language — the
