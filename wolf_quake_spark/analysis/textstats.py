@@ -706,3 +706,245 @@ def term_burstiness_sql(
     ORDER BY vmr DESC, term
     LIMIT {top_k}
     """
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    compressibility quality signal: natural prose sits ~4 bits/char,
+    low-entropy docs are repetitive boilerplate/padding, very-high-entropy
+    docs are base64/binary junk.  Standard pre-training filter axis
+    alongside :func:`quality_metrics` (beyond-reference; the reference's
+    only text-quality gate is its timestamp sanity check,
+    reference/src/quake3_parser/parser.rs:171-174).
+
+    Entropy is computed from EXACT integer character counts via the
+    cancellation-free form ``H = log2(n) − (Σ c·log2 c)/n``: one explode of
+    (doc_id, position) → substr(text, i, 1) → hash aggregate on
+    (doc_id, ch) → per-doc aggregate.  The per-char explode is the honest
+    linear scan (same shape as tokenize); map-side partial aggregation
+    collapses it to ≤ alphabet-size rows per doc before any shuffle.  At
+    100 TB an Arrow ``mapInPandas`` kernel computing per-doc counts inside
+    one batch pass is the constant-factor upgrade; the plan shape (narrow →
+    two keyed aggs) is already the scalable one.
+
+    Cross-engine determinism: counts are exact BIGINTs; each ``log2``
+    carries ≤1 ulp libm disagreement and the per-doc sum reassociates, so
+    the result is rounded to 6 decimals — 7+ orders above the drift (the
+    repo-wide float convention, cf. unigram_logprob_scores).  Empty docs
+    are excluded in BOTH engines (no chars → entropy undefined).
+    """
+    t = F.col(text_col)
+    pos = docs.filter(F.length(t) > 0).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length(t))).alias("i"),
+        t.alias("_t"),
+    )
+    cc = (
+        pos.select("doc_id", F.substring(F.col("_t"), F.col("i"), F.lit(1)).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c")
+    slog = F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double")))
+    return (
+        cc.groupBy("doc_id")
+        .agg(
+            n.alias("n_chars_counted"),
+            F.count("*").alias("n_distinct_chars"),
+            slog.alias("_slog"),
+        )
+        .select(
+            "doc_id",
+            "n_chars_counted",
+            "n_distinct_chars",
+            F.round(
+                F.log2(F.col("n_chars_counted").cast("double"))
+                - F.col("_slog") / F.col("n_chars_counted").cast("double"),
+                6,
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+def char_entropy_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`char_entropy` — same substr(text, i, 1)
+    character definition, exact counts, same closed form and rounding."""
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, text, CAST(u.i AS INTEGER) AS i
+      FROM {table}, UNNEST(range(1, length(text) + 1)) AS u(i)
+      WHERE length(text) > 0
+    ),
+    cc AS (
+      SELECT doc_id, substr(text, i, 1) AS ch, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pos GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_chars_counted,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           round(log2(CAST(SUM(c) AS DOUBLE))
+                 - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                   / CAST(SUM(c) AS DOUBLE), 6) AS entropy_bits
+    FROM cc GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+def vocab_growth_heaps(
+    docs: DataFrame, text_col: str = "text", n_checkpoints: int = 10
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve + power-law fit V(T) ≈ K·T^β —
+    the corpus-health gauge that tells a data pipeline whether new
+    documents still contribute vocabulary (β near the 0.4–0.6 prose band)
+    or the crawl has saturated/degenerated (β → 0: duplication; β → 1:
+    junk-token explosion).  Beyond-reference corpus analysis.
+
+    Plan (all stages linear, no single-partition window over data):
+
+    1. global doc rank by ``doc_id`` via the distributed two-stage
+       enumeration (sampling.global_enumerate);
+    2. tokenize (term_frequencies' split-on-space definition) →
+       per-doc token counts AND per-term first-occurrence rank
+       ``min(rnk)`` — two hash aggregates off one explode;
+    3. ``n_checkpoints`` prefix checkpoints n_j = ceil(j·N/J) from a
+       broadcast one-row max-rank aggregate (never a driver count);
+       cumulative tokens / vocabulary at each checkpoint via a ≤J-row
+       broadcast inequality join against the DOC-level and TERM-level
+       aggregates (≪ corpus rows — the explode never re-runs);
+    4. the log-log OLS fit (β, K) over the ≤J curve points is a one-row
+       closed form joined back onto the curve.
+
+    Cross-engine determinism: ranks/counts are exact BIGINTs; ln/exp enter
+    only in the J-point fit, rounded to 6 decimals (repo float
+    convention).  Checkpoints with zero tokens or vocabulary are kept in
+    the curve but excluded from the fit in BOTH engines.
+
+    Returns J rows: (ckpt, n_docs, n_tokens, vocab, beta, heaps_k); the
+    persisted enumeration frame rides ``_wqs_persisted``.
+    """
+    from wolf_quake_spark.analysis.sampling import global_enumerate
+
+    ranked = global_enumerate(
+        docs.select("doc_id", F.col(text_col).alias("_t")),
+        [F.col("doc_id")],
+        out_col="rnk",
+    )
+    handle = ranked._wqs_persisted
+    tok = ranked.select(
+        "rnk", F.explode(F.split(F.col("_t"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dt = tok.groupBy("rnk").agg(F.count("*").alias("nt"))
+    fr = tok.groupBy("term").agg(F.min("rnk").alias("fr"))
+    nrow = ranked.agg(F.max("rnk").alias("n"))
+    spark = docs.sparkSession
+    ck = (
+        spark.range(1, n_checkpoints + 1)
+        .select(F.col("id").cast("int").alias("ckpt"))
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "ckpt",
+            F.ceil(F.col("ckpt") * F.col("n") / F.lit(float(n_checkpoints)))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )
+    tj = (
+        dt.join(F.broadcast(ck), dt["rnk"] <= ck["n_docs"])
+        .groupBy("ckpt", "n_docs")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    vj = (
+        fr.join(F.broadcast(ck), fr["fr"] <= ck["n_docs"])
+        .groupBy("ckpt")
+        .agg(F.count("*").alias("vocab"))
+    )
+    # both sides are ≤ n_checkpoints rows — never let stats-blind planning
+    # sort-merge a 10-row join
+    curve = tj.join(F.broadcast(vj), "ckpt").select(
+        "ckpt", "n_docs", "n_tokens", "vocab"
+    )
+    pts = curve.filter((F.col("n_tokens") > 0) & (F.col("vocab") > 0)).select(
+        F.log(F.col("n_tokens").cast("double")).alias("x"),
+        F.log(F.col("vocab").cast("double")).alias("y"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("double").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("m"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("m"))
+        ).alias("_beta"),
+        "sx",
+        "sy",
+        "m",
+    )
+    fit = fit.select(
+        F.round(F.col("_beta"), 6).alias("beta"),
+        F.round(
+            F.exp(F.col("sy") / F.col("m") - F.col("_beta") * F.col("sx") / F.col("m")),
+            6,
+        ).alias("heaps_k"),
+    )
+    out = curve.crossJoin(F.broadcast(fit)).select(
+        "ckpt", "n_docs", "n_tokens", "vocab", "beta", "heaps_k"
+    )
+    out._wqs_persisted = handle
+    return out
+
+
+def vocab_growth_heaps_sql(table: str = "documents", n_checkpoints: int = 10) -> str:
+    """DuckDB mirror of :func:`vocab_growth_heaps` — same rank/tokenize/
+    checkpoint definitions, same log-log OLS closed form and rounding."""
+    return f"""
+    WITH ranked AS (
+      SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS rnk
+      FROM {table}
+    ),
+    tok AS (
+      SELECT rnk, t AS term
+      FROM ranked, UNNEST(string_split(text, ' ')) AS u(t)
+      WHERE t <> ''
+    ),
+    dt AS (SELECT rnk, CAST(COUNT(*) AS BIGINT) AS nt FROM tok GROUP BY rnk),
+    fr AS (SELECT term, MIN(rnk) AS fr FROM tok GROUP BY term),
+    nrow AS (SELECT MAX(rnk) AS n FROM ranked),
+    ck AS (
+      SELECT CAST(u.j AS INTEGER) AS ckpt,
+             CAST(ceil(u.j * n / {float(n_checkpoints)}) AS BIGINT) AS n_docs
+      FROM UNNEST(range(1, {n_checkpoints} + 1)) AS u(j), nrow
+    ),
+    tj AS (
+      SELECT ckpt, n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM dt JOIN ck ON dt.rnk <= ck.n_docs GROUP BY ckpt, n_docs
+    ),
+    vj AS (
+      SELECT ckpt, CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM fr JOIN ck ON fr.fr <= ck.n_docs GROUP BY ckpt
+    ),
+    curve AS (
+      SELECT tj.ckpt, tj.n_docs, tj.n_tokens, vj.vocab
+      FROM tj JOIN vj ON tj.ckpt = vj.ckpt
+    ),
+    pts AS (
+      SELECT ln(CAST(n_tokens AS DOUBLE)) AS x, ln(CAST(vocab AS DOUBLE)) AS y
+      FROM curve WHERE n_tokens > 0 AND vocab > 0
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS m, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts
+    ),
+    fit AS (
+      SELECT round((sxy - sx * sy / m) / (sxx - sx * sx / m), 6) AS beta,
+             round(exp(sy / m - ((sxy - sx * sy / m) / (sxx - sx * sx / m))
+                               * sx / m), 6) AS heaps_k
+      FROM agg
+    )
+    SELECT ckpt, n_docs, n_tokens, vocab, beta, heaps_k
+    FROM curve CROSS JOIN fit
+    ORDER BY ckpt
+    """

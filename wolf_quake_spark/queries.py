@@ -6705,6 +6705,30 @@ def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_burstiness(_read(spark, sf_dir, "documents"))
 
 
+from wolf_quake_spark.analysis.textstats import (
+    char_entropy,
+    char_entropy_sql,
+    vocab_growth_heaps,
+    vocab_growth_heaps_sql,
+)
+
+
+@register("char_entropy_quality", char_entropy_sql("documents"))
+def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character Shannon entropy (bits/char) from exact counts —
+    the compressibility quality axis (low = boilerplate/padding, very high
+    = base64/binary junk).  See analysis/textstats.char_entropy."""
+    return char_entropy(_read(spark, sf_dir, "documents"))
+
+
+@register("vocab_growth_heaps", vocab_growth_heaps_sql("documents"))
+def q_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve at 10 doc-prefix checkpoints
+    with the log-log OLS fit V ≈ K·T^β — crawl-saturation / duplication
+    gauge.  See analysis/textstats.vocab_growth_heaps."""
+    return vocab_growth_heaps(_read(spark, sf_dir, "documents"))
+
+
 _TARGET_ENC_SQL = """
 WITH base AS (
   SELECT event_type, event_id % 5 AS fold,
