@@ -75,3 +75,40 @@ def test_vocab_growth_pure_duplication_beta_zero(spark):
     out = vocab_growth_heaps(_docs(spark, texts)).collect()
     assert all(r.vocab == 4 for r in out)
     assert abs(out[0].beta) < 1e-9
+
+
+def test_zipf_perfect_power_law(spark):
+    # Construct term counts following f(r) = 64 / 2^(r-1) for r=1..4:
+    # freqs 64,32,16,8 -> exact slope s = 1/ (ln ratio...) recompute in
+    # Python below; ranks and frequencies integer-exact.
+    from wolf_quake_spark.analysis.textstats import zipf_rank_frequency
+
+    words = []
+    for r, f in enumerate([64, 32, 16, 8], start=1):
+        words += [f"w{r}"] * f
+    docs = spark.createDataFrame(
+        [(0, " ".join(words), "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    out = zipf_rank_frequency(docs, fit_n=4, top_k=4).orderBy("rank").collect()
+    assert [(r.rank, r.freq) for r in out] == [(1, 64), (2, 32), (3, 16), (4, 8)]
+    xs = [math.log(r) for r in (1, 2, 3, 4)]
+    ys = [math.log(f) for f in (64, 32, 16, 8)]
+    m, sx, sy = 4, sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (sxy - sx * sy / m) / (sxx - sx * sx / m)
+    assert abs(out[0].zipf_s - (-slope)) < 1e-5
+    assert len({r.zipf_s for r in out}) == 1
+
+
+def test_zipf_tiebreak_on_term(spark):
+    # equal frequencies rank alphabetically
+    from wolf_quake_spark.analysis.textstats import zipf_rank_frequency
+
+    docs = spark.createDataFrame(
+        [(0, "b a c b a c", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    out = zipf_rank_frequency(docs, fit_n=3, top_k=3).orderBy("rank").collect()
+    assert [r.term for r in out] == ["a", "b", "c"]

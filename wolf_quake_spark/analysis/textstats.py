@@ -948,3 +948,120 @@ def vocab_growth_heaps_sql(table: str = "documents", n_checkpoints: int = 10) ->
     FROM curve CROSS JOIN fit
     ORDER BY ckpt
     """
+
+
+def zipf_rank_frequency(
+    docs: DataFrame, text_col: str = "text", fit_n: int = 100, top_k: int = 20
+) -> DataFrame:
+    """Zipf rank-frequency fit f(r) ≈ C·r^(−s) over the corpus's top
+    ``fit_n`` terms — the companion gauge to :func:`vocab_growth_heaps`:
+    natural language sits near s ≈ 1; s ≫ 1 means a few tokens dominate
+    (template spam), s ≈ 0 means a flat, unnatural distribution
+    (beyond-reference corpus analysis).
+
+    Plan shape: the term-frequency table (vocab-sized, ≪ corpus) is built
+    with one explode + hash agg; the top ``fit_n`` terms come off it via a
+    distributed TakeOrderedAndProject (freq desc, term asc tiebreak).  The
+    ONLY full-frame window (rank enumeration) runs over that ``fit_n``-row
+    post-limit frame — bounded by a literal, never by data size, the same
+    boundedness class as the Lloyd loop's k-row collects.  The log-log OLS
+    fit over the ``fit_n`` points is a one-row closed form broadcast back
+    onto the top-``top_k`` rows.
+
+    Cross-engine determinism: ranks/frequencies are exact BIGINTs; ln
+    enters only the fit, rounded to 6 decimals (repo float convention).
+    Returns ``top_k`` rows: (rank, term, freq, zipf_s, zipf_c).
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    freqs = tok.groupBy("term").agg(F.count("*").alias("freq"))
+    top = freqs.orderBy(F.desc("freq"), F.asc("term")).limit(fit_n)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.asc("term")))
+        .cast("long"),
+    )
+    pts = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    fit = (
+        pts.agg(
+            F.count("*").cast("double").alias("m"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .select(
+            (
+                (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("m"))
+                / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("m"))
+            ).alias("_slope"),
+            "sx",
+            "sy",
+            "m",
+        )
+        .select(
+            F.round(-F.col("_slope"), 6).alias("zipf_s"),
+            F.round(
+                F.exp(
+                    F.col("sy") / F.col("m")
+                    - F.col("_slope") * F.col("sx") / F.col("m")
+                ),
+                6,
+            ).alias("zipf_c"),
+        )
+    )
+    return (
+        ranked.filter(F.col("rank") <= top_k)
+        .crossJoin(F.broadcast(fit))
+        .select("rank", "term", "freq", "zipf_s", "zipf_c")
+    )
+
+
+def zipf_rank_frequency_sql(
+    table: str = "documents", fit_n: int = 100, top_k: int = 20
+) -> str:
+    """DuckDB mirror of :func:`zipf_rank_frequency` — same tokenization,
+    rank tiebreak, OLS closed form and rounding."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, t AS term
+      FROM {table}, UNNEST(string_split(text, ' ')) AS u(t)
+      WHERE t <> ''
+    ),
+    freqs AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY term
+    ),
+    ranked AS (
+      SELECT term, freq,
+             row_number() OVER (ORDER BY freq DESC, term) AS rank
+      FROM freqs
+      ORDER BY freq DESC, term
+      LIMIT {fit_n}
+    ),
+    pts AS (
+      SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+      FROM ranked
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS m, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts
+    ),
+    fit AS (
+      SELECT round(-((sxy - sx * sy / m) / (sxx - sx * sx / m)), 6) AS zipf_s,
+             round(exp(sy / m - ((sxy - sx * sy / m) / (sxx - sx * sx / m))
+                               * sx / m), 6) AS zipf_c
+      FROM agg
+    )
+    SELECT rank, term, freq, zipf_s, zipf_c
+    FROM ranked CROSS JOIN fit
+    WHERE rank <= {top_k}
+    ORDER BY rank
+    """

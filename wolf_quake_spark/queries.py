@@ -6710,6 +6710,8 @@ from wolf_quake_spark.analysis.textstats import (
     char_entropy_sql,
     vocab_growth_heaps,
     vocab_growth_heaps_sql,
+    zipf_rank_frequency,
+    zipf_rank_frequency_sql,
 )
 
 
@@ -6727,6 +6729,14 @@ def q_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the log-log OLS fit V ≈ K·T^β — crawl-saturation / duplication
     gauge.  See analysis/textstats.vocab_growth_heaps."""
     return vocab_growth_heaps(_read(spark, sf_dir, "documents"))
+
+
+@register("zipf_rank_frequency", zipf_rank_frequency_sql("documents"))
+def q_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit f ≈ C·r^(−s) over the top-100 terms (top-20
+    rows emitted) — template-spam / unnatural-distribution gauge.  See
+    analysis/textstats.zipf_rank_frequency."""
+    return zipf_rank_frequency(_read(spark, sf_dir, "documents"))
 
 
 _TARGET_ENC_SQL = """
