@@ -258,18 +258,37 @@ def extract_events_pandas(transcripts: DataFrame, audit: bool = False) -> DataFr
 # Pure-Catalyst variant (JVM-side, whole-stage codegen; no Python workers)
 # ---------------------------------------------------------------------------
 
-def _u32_col(tok: Column) -> Column:
-    ok = tok.rlike(r"^\+?[0-9]{1,10}$") & (
-        F.regexp_replace(tok, r"^\+", "").cast("long") <= F.lit(U32_MAX)
+def _u32_digits(tok: Column) -> Column:
+    """Body of a ``^\\+?[0-9]{1,10}$``-shaped token (leading ``+`` stripped),
+    NULL when the shape doesn't hold — translate/length arithmetic only, no
+    per-token regex (the hot path runs this 4× per line)."""
+    body = F.when(tok.startswith("+"), F.substring(tok, 2, 10)).otherwise(tok)
+    # the substring above caps at 10 chars, so a '+' followed by >10 digits
+    # must be re-rejected on the ORIGINAL length, not the truncated body
+    ok = (
+        (body != "")
+        & (F.length(tok) <= F.when(tok.startswith("+"), 11).otherwise(10))
+        & (F.length(F.translate(body, "0123456789", "")) == 0)
     )
-    return F.when(ok, F.regexp_replace(tok, r"^\+", "").cast("long"))
+    return F.when(ok, body)
+
+
+def _u32_col(tok: Column) -> Column:
+    body = _u32_digits(tok)
+    val = body.cast("long")
+    return F.when(body.isNotNull() & (val <= F.lit(U32_MAX)), val)
 
 
 def extract_events_sql(transcripts: DataFrame, audit: bool = False) -> DataFrame:
     """Same semantics as :func:`extract_events`, built from Catalyst exprs.
 
-    posexplode(split(text)) → regexp gate → regexp field extraction.  Used as
-    the performance alternate; `bench.py` measures both paths.
+    posexplode(split(text)) → ONE whitespace tokenization per line (split
+    after an anchored leading-whitespace strip) → field selection by array
+    index; the gate and u32 parses are translate/length arithmetic.  The
+    original formulation re-scanned each line with ~7 independent regexes
+    (tok0, tag, a 3-group kill regex evaluated 3×, rest) — measured 9.1 s →
+    see BENCH.md after the rewrite at sf0.1/local[32].  Used as the
+    performance alternate; `bench.py` measures both paths.
     """
     lines = transcripts.select(
         "conv_id",
@@ -279,25 +298,45 @@ def extract_events_sql(transcripts: DataFrame, audit: bool = False) -> DataFrame
         ),
     ).withColumn("line_no", F.col("line_no").cast("int"))
 
-    tok0 = F.regexp_extract("line", r"^\s*(\S+)", 1)
-    gated = lines.withColumn("tok0", tok0).withColumn(
-        "gate", (tok0 != "") & tok0.rlike(r"^[0-9:]{4,}$")
+    # one tokenization per line: strip leading whitespace (anchored regex),
+    # split on whitespace runs.  A trailing whitespace run yields one
+    # trailing "" element (Java split keeps it at limit -1) — harmless for
+    # front-indexed fields; rest_norm trims it away.
+    toks = F.split(F.regexp_replace("line", r"^\s+", ""), r"\s+")
+    gated = (
+        lines.withColumn("toks", toks)
+        .withColumn("tok0", F.coalesce(F.get("toks", 0), F.lit("")))
+        .withColumn(
+            "gate",
+            (F.length("tok0") >= 4)
+            & (F.length(F.translate("tok0", "0123456789:", "")) == 0),
+        )
     )
     if not audit:
         gated = gated.filter("gate")
 
-    tag = F.regexp_extract("line", r"^\s*\S+\s+(\S+)", 1)
     mapping = F.create_map(
         *[F.lit(x) for kv in EVENT_TAGS.items() for x in kv]
     )
-    df = gated.withColumn("tag", tag).withColumn("ev", mapping[F.col("tag")])
+    df = gated.withColumn(
+        "tag", F.coalesce(F.get("toks", 1), F.lit(""))
+    ).withColumn("ev", mapping[F.col("tag")])
 
-    ktok = [F.regexp_extract("line", r"^\s*\S+\s+\S+\s+(\S+)(?:\s+(\S+))?(?:\s+(\S+))?", i) for i in (1, 2, 3)]
+    ktok = [F.coalesce(F.get("toks", i), F.lit("")) for i in (2, 3, 4)]
     mod_tok = ktok[2]
     mod_body = F.substring(mod_tok, 1, F.length(mod_tok) - F.lit(1))
 
-    rest = F.regexp_extract("line", r"^\s*\S+\s+\S+\s+\S+((?:\s+\S+)*)\s*$", 1)
-    rest_norm = F.trim(F.regexp_replace(rest, r"\s+", " "))
+    # tokens 4.. joined with single spaces == the old trim+collapse of the
+    # raw remainder (interior runs can't survive a \s+ split; the possible
+    # trailing "" joins as a trailing space that trim removes)
+    rest_norm = F.trim(
+        F.array_join(
+            F.slice(
+                F.col("toks"), 4, F.greatest(F.size("toks") - 3, F.lit(0))
+            ),
+            " ",
+        )
+    )
     uname = F.split(F.substring(rest_norm, 3, 1 << 30), r"\\", 2).getItem(0)
 
     killer = _u32_col(ktok[0])
