@@ -2028,3 +2028,59 @@ def test_star_components_chain_and_random_agree_with_plain(spark):
     rand = [(h(i) % 120, h(i + 1000) % 120) for i in range(90)]
     rand = [(a, b) for a, b in rand if a != b]
     run(rand, 120)
+
+
+def test_ppjoin_exact_vs_brute_force(spark):
+    """PPJoin rarest-first prefix filtering is output-COMPLETE (exact
+    equality with all-pairs shingle-Jaccard ground truth) on an adversarial
+    corpus: exact dups (J=1), planted high-overlap mutations straddling the
+    3/5 threshold, heavy shared boilerplate (frequent shingles that must
+    NOT flood candidates — they never enter a rarest-first prefix), and
+    size-ratio edge cases right at t*|b| = |a|.  The integer-fraction
+    threshold is exercised on exact-boundary pairs (5*inter == 3*union)."""
+    import random
+
+    from wolf_quake_spark.analysis.dedup import ppjoin_pairs, word_shingles
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+             "iota", "kappa", "lam", "mu", "nu", "xi", "omi", "pi"]
+    boiler = "terms of service apply to all users"  # shared frequent opener
+    base = [
+        boiler + " " + " ".join(rng.choices(vocab, k=rng.randint(6, 20)))
+        for _ in range(60)
+    ]
+    texts = list(base)
+    for i, s in enumerate(base):
+        if i % 4 == 0:
+            texts.append(s)  # exact duplicate, J = 1
+        if i % 5 == 0:
+            w = s.split()
+            p = rng.randrange(len(w))
+            w[p] = "MUT"  # single word swap: high but sub-1 overlap
+            texts.append(" ".join(w))
+        if i % 7 == 0:
+            texts.append(s + " tail words appended here now")  # size-ratio edge
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    got = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in ppjoin_pairs(docs).collect()
+    )
+
+    # brute force over the same distinct 3-shingle sets
+    sets: dict[int, set] = {}
+    for r in word_shingles(docs).collect():
+        sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+    want = []
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and 5 * inter >= 3 * union:
+                want.append((a, b, round(inter / union, 9)))
+    assert got == sorted(want)
+    assert any(j == 1.0 for _, _, j in got)  # exact dups present
+    assert len(got) < len(ids) * (len(ids) - 1) // 4  # boilerplate didn't flood

@@ -691,6 +691,132 @@ def edjoin_pairs(
     )
 
 
+def ppjoin_pairs(
+    docs: DataFrame,
+    t_num: int = 3,
+    t_den: int = 5,
+    shingle_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join via prefix filtering (the
+    All-Pairs/PPJoin family: Bayardo, Ma & Srikant WWW'07; Xiao, Wang, Lin
+    & Yu WWW'08) over per-document word-SHINGLE sets (the same distinct
+    ``shingle_n``-gram sets the MinHash family signs) — the third
+    exact-filter join family next to PassJoin/Ed-Join (those bound EDIT
+    distance on a prefix key; this bounds SET similarity on the full
+    shingle set, the semantics MinHash/LSH only approximate — so a PPJoin
+    row is the exact ground truth the LSH rows estimate).
+
+    Threshold is the exact fraction ``t_num/t_den`` (default 3/5 = 0.6) so
+    every comparison is integer arithmetic — no IEEE boundary can
+    include/exclude a pair differently across engines.
+
+    Candidate generation (the scale argument):
+
+    1. tokens are globally ordered RAREST-FIRST by (document frequency,
+       token) — one groupBy(token) count, broadcast back via join;
+    2. each doc keeps only its PREFIX under that order: the first
+       ``|s| - ceil(t*|s|) + 1`` tokens.  Completeness proof (probe-prefix
+       vs full-set form): for a qualifying pair with |a| <= |b| (ties on
+       doc_id), J >= t implies |inter| >= t*|union| >= t*|a|; a's suffix
+       holds only ``ceil(t*|a|) - 1 < t*|a| <= |inter|`` tokens, so at
+       least one common token sits in a's PREFIX — joining prefix(smaller
+       side) x all-tokens(larger side) on the token misses nothing;
+    3. the join applies the provable size bound ``t*|b| <= |a|`` (integer
+       form ``t_den*|a| >= t_num*|b|``), then dedups candidates.
+
+    Candidate volume is sum over tokens of prefix_count x token_count —
+    rarest-first ordering puts only RARE tokens in prefixes, which is the
+    whole point of the family: frequent tokens (the O(n^2) threat) never
+    generate candidates.  Verification joins each candidate to the two
+    per-doc sorted token arrays and computes the exact intersection — one
+    narrow array op per candidate.  No CartesianProduct, no caps, no
+    heuristics: the DuckDB oracle is BRUTE FORCE over the |size|-ratio
+    bound, so a green row certifies output-completeness against ground
+    truth, not self-consistency.
+
+    At 100 TB: token-frequency agg, per-doc window rank, and the bucketed
+    candidate join are all key-partitioned shuffles; per-doc state is
+    bounded by doc length.  Skewed tokens cannot explode candidates
+    because a token appears in a PREFIX only while it is globally rare.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    # three consumers (global-df agg, ranked prefix join, verify arrays) —
+    # persist the shingle explode once, handle released by the registry
+    toks = (
+        word_shingles(docs, n=shingle_n, text_col=text_col)
+        .withColumnRenamed("shingle", "tok")
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    # global rarest-first order: (df asc, tok asc) — deterministic
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+            ),
+        )
+        .withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    # prefix length |s| - ceil(t|s|) + 1; ceil(t_num*s/t_den) via floordiv
+    ceil_ts = F.floor((F.lit(t_num) * F.col("sz") + F.lit(t_den - 1)) / F.lit(t_den))
+    prefix = ranked.filter(F.col("pos") <= F.col("sz") - ceil_ts + 1).select(
+        F.col("doc_id").alias("pa"), F.col("tok").alias("tok"), F.col("sz").alias("sa")
+    )
+    allt = ranked.select(
+        F.col("doc_id").alias("pb"), F.col("tok").alias("tok"), F.col("sz").alias("sb")
+    )
+    # probe prefix of the SMALLER side (ties: lower doc_id) against all
+    # tokens of the larger; size bound t*|b| <= |a| in integer form
+    cand = (
+        prefix.join(allt, "tok")
+        .filter(
+            (
+                (F.col("sa") < F.col("sb"))
+                | ((F.col("sa") == F.col("sb")) & (F.col("pa") < F.col("pb")))
+            )
+            & (F.lit(t_den) * F.col("sa") >= F.lit(t_num) * F.col("sb"))
+        )
+        .select("pa", "pb")
+        .distinct()
+    )
+    arrs = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("tok")).alias("ts"), F.count("*").alias("sz")
+    )
+    aa = arrs.select(
+        F.col("doc_id").alias("pa"), F.col("ts").alias("ta"), F.col("sz").alias("na")
+    )
+    bb = arrs.select(
+        F.col("doc_id").alias("pb"), F.col("ts").alias("tb"), F.col("sz").alias("nb")
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    out = (
+        cand.join(aa, "pa")
+        .join(bb, "pb")
+        .withColumn("n_inter", inter.cast("long"))
+        .filter(
+            F.lit(t_den) * F.col("n_inter")
+            >= F.lit(t_num) * (F.col("na") + F.col("nb") - F.col("n_inter"))
+        )
+        .select(
+            F.least("pa", "pb").alias("doc_a"),
+            F.greatest("pa", "pb").alias("doc_b"),
+            (
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    out._wqs_persisted = toks
+    return out
+
+
 def line_dedup(
     docs: DataFrame,
     words_per_line: int = 8,

@@ -38,6 +38,7 @@ from wolf_quake_spark.analysis.dedup import (
     edjoin_pairs,
     line_dedup,
     passjoin_pairs,
+    ppjoin_pairs,
     simhash,
     simhash64,
     simhash64_neardup_pairs,
@@ -5184,6 +5185,43 @@ def q_passjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-consistent (contrast fuzzy_prefix_pairs, whose oracle mirrors its
     token blocking).  See passjoin_pairs for the plan-shape argument."""
     return passjoin_pairs(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "ppjoin_neardup_pairs",
+    """
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text),
+             '[ \\t\\n\\x0B\\f\\r]+') AS w FROM documents),
+    tok AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok
+      FROM words, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+    sets AS (
+      SELECT doc_id, count(*) AS sz, list_sort(list(tok)) AS ts
+      FROM tok GROUP BY doc_id)
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+    FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS na, b.sz AS nb,
+             len(list_intersect(a.ts, b.ts)) AS n_inter
+      FROM sets a JOIN sets b
+        ON a.doc_id < b.doc_id
+       AND 5 * a.sz >= 3 * b.sz AND 5 * b.sz >= 3 * a.sz)
+    WHERE 5 * n_inter >= 3 * (na + nb - n_inter)
+    """,
+)
+def q_ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 3/5 token-SET similarity self-join via All-Pairs/
+    PPJoin rarest-first prefix filtering — the third exact-filter join
+    family (PassJoin/Ed-Join bound edit distance on a fixed prefix key;
+    this bounds set overlap on the full token set, the semantics the
+    MinHash/LSH family only approximates).  The oracle is BRUTE FORCE over
+    the provable size-ratio bound t*|b| <= |a| <= |b|/t, so a green row
+    certifies the prefix-filter candidate generation is output-COMPLETE
+    against ground truth.  Threshold handled as the integer fraction 3/5
+    end-to-end — no IEEE boundary divergence.  See ppjoin_pairs for the
+    completeness proof and 100 TB candidate-volume argument."""
+    return ppjoin_pairs(_read(spark, sf_dir, "documents"))
 
 
 @register(
