@@ -2084,3 +2084,28 @@ def test_ppjoin_exact_vs_brute_force(spark):
     assert got == sorted(want)
     assert any(j == 1.0 for _, _, j in got)  # exact dups present
     assert len(got) < len(ids) * (len(ids) - 1) // 4  # boilerplate didn't flood
+
+
+def test_knn_classify_separable_clusters(spark):
+    """On a corpus of two well-separated embedding clusters with consistent
+    labels, every held-out probe (vec_id % 10 == 0) must be voted its own
+    cluster's label through the IVF routing; a probe whose cell holds no
+    labeled candidate yields no row (never a NULL prediction)."""
+    from wolf_quake_spark.analysis.similarity import knn_classify
+
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            vec, lab = [1.0, 0.0, 0.01 * (i % 5)], "even"
+        else:
+            vec, lab = [-1.0, 0.0, -0.01 * (i % 5)], "odd"
+        rows.append((i, vec, lab))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    got = {r["vec_id"]: r for r in knn_classify(emb, k=5).collect()}
+    assert got, "no probes classified"
+    for vid, r in got.items():
+        assert vid % 10 == 0
+        assert r["pred_label"] == r["true_label"], (vid, r)
+        assert r["correct"] == 1 and 1 <= r["n_votes"] <= 5

@@ -1087,3 +1087,99 @@ def ivf_search(
     assigned = ivf_assign(embeddings, n_buckets)
     probe = assigned.filter(F.col("bucket").isin(sorted(set(probes))))
     return topk(probe, query_vec, k=k)
+
+
+def knn_classify(
+    embeddings: DataFrame,
+    k: int = 5,
+    holdout_mod: int = 10,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label classification THROUGH the IVF index — the ANN machinery
+    driving an end task (label transfer / weak supervision over an
+    embedding corpus) instead of a raw neighbor list.
+
+    Every ``vec_id % holdout_mod == 0`` vector is a PROBE whose label is
+    hidden; the rest are the labeled index.  Since probes are part of the
+    k-means corpus, each probe's cell assignment IS its (1-probe) IVF
+    routing — no separate centroid ranking pass.  Candidates are the
+    labeled vectors in the probe's own cell (equi-join on cent_id — the
+    same bounded Σ cell² shape as every bucketed join here, never
+    probe × corpus), scored by exact quantized cosine, cut to the top ``k``
+    by (cosine desc, vec_id), and majority-voted with the deterministic
+    (votes desc, label asc) tie-break.
+
+    Returns (vec_id, true_label, pred_label, n_votes, correct) — one row
+    per probe that had at least one in-cell labeled neighbor (a probe alone
+    in its cell yields no row, identically in both engines).
+
+    At 100 TB: the quantizer is the corpus-scaled k-means (hierarchical
+    variant past the broadcast cap); the classify pass adds one cell-keyed
+    equi-join + per-probe window over in-cell candidates + one vote agg —
+    all key-partitioned, cost Σ probes_c · cand_c over cells, the IVF
+    occupancy target keeping each term bounded.  Raising recall = assign
+    probes to multiple nearby cells (multi-probe), which only widens the
+    equi-join input, not the shape.
+    """
+    from pyspark import StorageLevel
+
+    asg = kmeans_assign(embeddings, iters=iters, vec_col=vec_col)
+    q = asg._wqs_persisted  # (vec_id, qe) DISK_ONLY — shared quantized frame
+    aq = (
+        asg.join(q, "vec_id")
+        .join(embeddings.select("vec_id", label_col), "vec_id")
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    is_probe = F.col("vec_id") % holdout_mod == 0
+    pr = aq.filter(is_probe).select(
+        F.col("vec_id").alias("pid"),
+        "cent_id",
+        F.col("qe").alias("pqe"),
+        F.col(label_col).alias("true_label"),
+    )
+    ca = aq.filter(~is_probe).select(
+        F.col("vec_id").alias("cid"),
+        "cent_id",
+        F.col("qe").alias("cqe"),
+        F.col(label_col).alias("cand_label"),
+    )
+    np_, nc = _sqnorm(F.col("pqe")), _sqnorm(F.col("cqe"))
+    dot = _dot(F.col("pqe"), F.col("cqe"))
+    cos = F.when(
+        (np_ > 0) & (nc > 0),
+        dot.cast("double") / F.sqrt((np_ * nc).cast("double")),
+    ).otherwise(F.lit(0.0))
+    from pyspark.sql import Window
+
+    scored = pr.join(ca, "cent_id").select(
+        "pid", "true_label", "cid", "cand_label", cos.alias("cos")
+    )
+    top = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy(F.desc("cos"), F.asc("cid"))
+        ),
+    ).filter(F.col("rn") <= k)
+    votes = top.groupBy("pid", "true_label", "cand_label").agg(
+        F.count("*").alias("nv")
+    )
+    pred = votes.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy(F.desc("nv"), F.asc("cand_label"))
+        ),
+    ).filter(F.col("rn") == 1)
+    out = pred.select(
+        F.col("pid").alias("vec_id"),
+        "true_label",
+        F.col("cand_label").alias("pred_label"),
+        F.col("nv").cast("long").alias("n_votes"),
+        F.when(F.col("true_label") == F.col("cand_label"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("correct"),
+    )
+    out._wqs_persisted = [q, aq]
+    return out

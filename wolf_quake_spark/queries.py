@@ -81,6 +81,7 @@ from wolf_quake_spark.analysis.similarity import (
     kmeans_assign_two_level,
     kmeans_probe_curve,
     kmeans_search,
+    knn_classify,
     mmr_topk,
     neardup_pairs,
     quantize_int8,
@@ -4484,6 +4485,58 @@ _KMEANS_SEARCH_SQL = f"""
                 ELSE 0.0 END AS cosine
     FROM dots, qq ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """
+
+
+@register(
+    "knn_label_vote",
+    f"""
+    WITH asg AS (SELECT * FROM ({_kmeans_sql()}) t),
+    u AS (SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq, pos FROM (
+      SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS nn FROM u GROUP BY vec_id),
+    pr AS (SELECT vec_id, cent_id FROM asg WHERE vec_id % 10 = 0),
+    ca AS (SELECT vec_id, cent_id FROM asg WHERE vec_id % 10 <> 0),
+    dots AS (SELECT p.vec_id AS pid, c.vec_id AS cid,
+                    CAST(SUM(a.xq * b.xq) AS BIGINT) AS dot
+             FROM pr p JOIN ca c ON c.cent_id = p.cent_id
+             JOIN u a ON a.vec_id = p.vec_id
+             JOIN u b ON b.vec_id = c.vec_id AND b.pos = a.pos
+             GROUP BY p.vec_id, c.vec_id),
+    scored AS (SELECT d.pid, d.cid,
+                      CASE WHEN na.nn > 0 AND nb.nn > 0
+                           THEN CAST(d.dot AS DOUBLE)
+                                / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+                           ELSE 0.0 END AS cos
+               FROM dots d JOIN norms na ON na.vec_id = d.pid
+               JOIN norms nb ON nb.vec_id = d.cid),
+    top AS (SELECT pid, cid FROM (
+              SELECT pid, cid,
+                     ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cos DESC, cid) AS rn
+              FROM scored) WHERE rn <= 5),
+    votes AS (SELECT t.pid, l.label AS cand_label, COUNT(*) AS nv
+              FROM top t JOIN lab l ON l.vec_id = t.cid GROUP BY t.pid, l.label),
+    pred AS (SELECT pid, cand_label, nv FROM (
+               SELECT pid, cand_label, nv,
+                      ROW_NUMBER() OVER (PARTITION BY pid ORDER BY nv DESC, cand_label) AS rn
+               FROM votes) WHERE rn = 1)
+    SELECT p.pid AS vec_id, tl.label AS true_label, p.cand_label AS pred_label,
+           CAST(p.nv AS BIGINT) AS n_votes,
+           CAST(CASE WHEN tl.label = p.cand_label THEN 1 ELSE 0 END AS BIGINT) AS correct
+    FROM pred p JOIN lab tl ON tl.vec_id = p.pid
+    """,
+)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification THROUGH the IVF index: every 10th vector's
+    label is hidden and predicted by majority vote of its top-5 exact-cosine
+    neighbors WITHIN ITS OWN k-means cell (the probe's assignment is its IVF
+    routing — candidates come from one cell-keyed equi-join, never
+    probe × corpus).  The end-task consumer of the ANN machinery: label
+    transfer / weak supervision over an embedding corpus.  Deterministic
+    tie-breaks ((cos desc, cid) cut, (votes desc, label) vote) and the
+    engine-exact quantized cosine make the oracle bit-for-bit."""
+    return knn_classify(_read(spark, sf_dir, "embeddings"), k=5, holdout_mod=10)
 
 
 @register("ivf_kmeans_search", _KMEANS_SEARCH_SQL)
