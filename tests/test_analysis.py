@@ -2109,3 +2109,63 @@ def test_knn_classify_separable_clusters(spark):
         assert vid % 10 == 0
         assert r["pred_label"] == r["true_label"], (vid, r)
         assert r["correct"] == 1 and 1 <= r["n_votes"] <= 5
+
+
+def test_hashed_features_mirrors_reference_hash(spark):
+    """hashed_features folds token counts into signed buckets exactly as
+    the md5-instr reference computed in plain Python; zero-sum collision
+    cells are dropped."""
+    import hashlib
+    from collections import defaultdict
+
+    from wolf_quake_spark.analysis.textstats import hashed_features
+
+    texts = ["a b b c", "c c a", "", "d d d d e"]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    n_features = 16  # tiny bucket space to force collisions
+
+    def bucket_sign(tok):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        h20 = 0
+        for i in range(5):
+            h20 = h20 * 16 + int(h[i], 16)
+        return h20 % n_features, 1 if int(h[5], 16) % 2 == 0 else -1
+
+    want = defaultdict(int)
+    for did, text in enumerate(texts):
+        for tok in text.split():
+            b, s = bucket_sign(tok)
+            want[(did, b)] += s
+    want = {k: v for k, v in want.items() if v != 0}
+
+    got = {
+        (r["doc_id"], r["feature"]): r["value"]
+        for r in hashed_features(docs, n_features=n_features).collect()
+    }
+    assert got == want
+
+
+def test_count_vectorizer_df_bounds_and_rank(spark):
+    """min_df floors rare terms, the max_df integer ceiling drops corpus-wide
+    stopwords, and term ids are dense 1..V in (df desc, term asc) order."""
+    from wolf_quake_spark.analysis.textstats import count_vectorizer
+
+    # 10 docs: "the" in all 10 (df=10 > 4/5*10=8 → dropped), "rare" in 1
+    # (< min_df=2 → dropped), "spark" in 6, "data" in 6 (tie → alpha),
+    # "join" in 3
+    texts = []
+    for i in range(10):
+        t = ["the"]
+        if i < 6:
+            t += ["spark", "data"]
+        if i < 3:
+            t.append("join")
+        if i == 0:
+            t.append("rare")
+        texts.append(" ".join(t))
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = count_vectorizer(docs, min_df=2).collect()
+    vocab = {r["term"]: r["term_id"] for r in out}
+    assert vocab == {"data": 1, "spark": 2, "join": 3}
+    assert all(r["tf"] == 1 for r in out)
+    assert len(out) == 6 + 6 + 3

@@ -1065,3 +1065,100 @@ def zipf_rank_frequency_sql(
     WHERE rank <= {top_k}
     ORDER BY rank
     """
+
+
+def hashed_features(
+    docs: DataFrame, n_features: int = 1024, text_col: str = "text"
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) vectorizer — Weinberger et al.
+    ICML'09, the HashingVectorizer / Vowpal Wabbit input encoding: token
+    counts fold into a FIXED ``n_features``-dimensional sparse vector via
+    ``feature = h(token) % n_features`` with a signed correction bit
+    ``s(token) ∈ {+1,-1}`` that keeps collision noise zero-mean.
+
+    No vocabulary pass, no model state, no driver round-trip — the
+    property that makes this THE text featurizer at 100 TB: one narrow
+    explode + one (doc_id, feature) hash aggregate with map-side partials,
+    executor memory O(n_features) regardless of vocabulary growth (compare
+    count_vectorizer, which must materialize the vocabulary).  Zero-sum
+    collision cells are dropped (standard sparse form; identical in both
+    engines since the sum is exact integer).
+
+    Bucket and sign come from md5 hex chars via instr arithmetic (repo
+    convention, cf. similarity._hash20) so the DuckDB oracle reproduces
+    every cell bit-for-bit: bucket = 20-bit md5 prefix mod n_features,
+    sign = parity of hex char 6.
+
+    Returns (doc_id, feature, value), value = signed collision-corrected
+    count.
+    """
+    t = F.col(text_col)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(t, " ")).alias("term")
+    ).filter(F.col("term") != "")
+    h = F.md5(F.col("term"))
+
+    def v(i: int) -> Column:
+        return F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
+
+    h20 = v(0)
+    for i in range(1, 5):
+        h20 = h20 * 16 + v(i)
+    feature = (h20 % n_features).cast("int")
+    sign = F.when(v(5) % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        tok.select("doc_id", feature.alias("feature"), sign.alias("s"))
+        .groupBy("doc_id", "feature")
+        .agg(F.sum("s").cast("long").alias("value"))
+        .filter(F.col("value") != 0)
+    )
+
+
+def count_vectorizer(
+    docs: DataFrame,
+    min_df: int = 5,
+    max_df_num: int = 4,
+    max_df_den: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """CountVectorizer with a df-bounded vocabulary: terms must appear in
+    at least ``min_df`` documents (rare-noise floor) and at most
+    ``max_df_num/max_df_den`` of the corpus (stopword ceiling, checked as
+    exact integer ``max_df_den·df <= max_df_num·n_docs`` — no IEEE
+    boundary), then get dense ids 1..V by the deterministic
+    (df desc, term asc) order and the doc-term matrix is emitted sparse.
+
+    The vocabulary-bearing sibling of :func:`hashed_features` (reversible
+    term ids for model vocab files, vs the stateless hash fold).  Term ids
+    use the distributed two-stage rank (:func:`global_enumerate` — no
+    single-partition window over the vocabulary), n_docs rides a 1-row
+    count frame (broadcast, no driver round-trip), and df filtering
+    happens BEFORE ranking so the rank input is already the final
+    vocabulary.  At 100 TB: tf and df are map-side-partial hash aggs on
+    (doc, term) / term; the matrix join broadcasts the vocabulary when it
+    fits and hash-partitions on term past that.
+
+    Returns (doc_id, term_id, term, tf).
+    """
+    from wolf_quake_spark.analysis import persisted_handles
+    from wolf_quake_spark.analysis.sampling import global_enumerate
+
+    tf = term_frequencies(docs, text_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count_distinct("doc_id").alias("_n"))
+    bounded = (
+        dfreq.crossJoin(F.broadcast(nd))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.lit(max_df_den) * F.col("df") <= F.lit(max_df_num) * F.col("_n"))
+        )
+        .select("term", "df")
+    )
+    vocab = global_enumerate(
+        bounded, [F.desc("df"), F.asc("term")], out_col="term_id"
+    )
+    out = tf.join(vocab.select("term", "term_id"), "term").select(
+        "doc_id", "term_id", "term", F.col("tf").cast("long").alias("tf")
+    )
+    out._wqs_persisted = persisted_handles(vocab)
+    return out

@@ -98,7 +98,9 @@ from wolf_quake_spark.analysis.textstats import (
     kneser_ney_bigram_scores,
     bm25_scores,
     bpe_token_count,
+    count_vectorizer,
     countmin_term_counts,
+    hashed_features,
     lang_id,
     lang_id_ngram,
     quality_metrics,
@@ -2925,6 +2927,57 @@ def _cm_bucket_sql(j: int) -> str:
     return (
         f"((({nib(0)} * 16 + {nib(1)}) * 16 + {nib(2)}) * 16 + {nib(3)}) % 256"
     )
+
+
+def _hf_nib(i: int) -> str:
+    return f"(strpos('0123456789abcdef', substr(md5(term), {i + 1}, 1)) - 1)"
+
+
+@register(
+    "hashed_doc_features",
+    f"""
+    WITH {_TF_CTE},
+    sgn AS (
+      SELECT doc_id, tf,
+             CAST((((({_hf_nib(0)} * 16 + {_hf_nib(1)}) * 16 + {_hf_nib(2)}) * 16
+                    + {_hf_nib(3)}) * 16 + {_hf_nib(4)}) % 1024 AS INTEGER) AS feature,
+             CASE WHEN {_hf_nib(5)} % 2 = 0 THEN 1 ELSE -1 END AS s
+      FROM tf)
+    SELECT doc_id, feature, CAST(SUM(tf * s) AS BIGINT) AS value
+    FROM sgn GROUP BY doc_id, feature HAVING SUM(tf * s) <> 0
+    """,
+)
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) vectorizer: token counts folded into
+    a fixed 1024-bucket signed sparse vector — no vocabulary pass, no model
+    state, executor memory independent of vocab growth (the featurizer that
+    still works when the vocabulary itself no longer fits anywhere).
+    md5-instr bucket/sign per repo convention keeps the oracle bit-exact;
+    zero-sum collision cells dropped identically in both engines."""
+    return hashed_features(_read(spark, sf_dir, "documents"), n_features=1024)
+
+
+@register(
+    "count_vectorizer_matrix",
+    f"""
+    WITH {_TF_CTE},
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    vocab AS (SELECT term,
+                     CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS BIGINT) AS term_id
+              FROM dfq, nd WHERE df >= 5 AND 5 * df <= 4 * n)
+    SELECT tf.doc_id, v.term_id, tf.term, tf.tf
+    FROM tf JOIN vocab v USING (term)
+    """,
+)
+def q_count_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountVectorizer doc-term matrix over a df-bounded vocabulary
+    (min_df=5 rare floor, max_df=4/5 stopword ceiling as exact integer
+    bounds): dense term ids 1..V in (df desc, term) order via the
+    distributed two-stage rank, n_docs on a broadcast 1-row frame — the
+    vocabulary-bearing sibling of hashed_doc_features when models need a
+    reversible vocab file."""
+    return count_vectorizer(_read(spark, sf_dir, "documents"))
 
 
 @register(
