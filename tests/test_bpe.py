@@ -1,0 +1,100 @@
+"""BPE tokenizer training: Spark result vs an independent pure-Python
+reference of the same deterministic merge procedure (word-freq weighted
+pair counts, (cnt desc, left, right) tie order, 3-pass wrapped-replace
+merge — see analysis/bpe.py for why that variant and how it differs from
+textbook greedy-left on odd chains)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from wolf_quake_spark.analysis.bpe import bpe_learn, bpe_token_lengths
+
+
+def _py_merge_once(seq: str, left: str, right: str) -> str:
+    out = f" {seq} "
+    for _ in range(3):
+        out = out.replace(f" {left} {right} ", f" {left}{right} ")
+    return out.strip()
+
+
+def _py_bpe(word_freqs: dict[str, int], n_merges: int):
+    seqs = {w: " ".join(w) for w in word_freqs}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for w, f in word_freqs.items():
+            syms = seqs[w].split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, cnt))
+        seqs = {w: _py_merge_once(s, l, r) for w, s in seqs.items()}
+    return merges, seqs
+
+
+CORPUS = [
+    (0, "low low low lower lowest"),
+    (1, "new newer newest wide wider"),
+    (2, "low wide new new new"),
+    (3, "aaaaa aaa aa a"),  # odd chains exercise the 3-pass fixpoint
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def _word_freqs() -> dict[str, int]:
+    freqs: Counter = Counter()
+    for _, text in CORPUS:
+        freqs.update(t for t in re.split(r" ", text) if t)
+    return dict(freqs)
+
+
+def test_bpe_merge_table_matches_reference(spark, docs):
+    merges, vocab_final = bpe_learn(spark, docs, n_merges=6)
+    got = [tuple(r) for r in merges.orderBy("rank").collect()]
+    want, _ = _py_bpe(_word_freqs(), 6)
+    assert got == want
+    h = getattr(vocab_final, "_wqs_persisted", None)
+    if h is not None:
+        h.unpersist()
+
+
+def test_bpe_final_sequences_match_reference(spark, docs):
+    _, vocab_final = bpe_learn(spark, docs, n_merges=6)
+    got = {r["word"]: r["seq"] for r in vocab_final.collect()}
+    _, want = _py_bpe(_word_freqs(), 6)
+    assert got == want
+    h = getattr(vocab_final, "_wqs_persisted", None)
+    if h is not None:
+        h.unpersist()
+
+
+def test_bpe_token_lengths_sum(spark, docs):
+    out = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_lengths(spark, docs).collect()
+    }
+    _, seqs = _py_bpe(_word_freqs(), 8)
+    want = {
+        doc_id: sum(len(seqs[t].split(" ")) for t in text.split(" ") if t)
+        for doc_id, text in CORPUS
+    }
+    assert out == want
+
+
+def test_three_pass_replace_reaches_fixpoint():
+    """A 4th pass never changes anything the 3rd didn't (chain cases)."""
+    for chain_len in range(1, 12):
+        seq = " ".join("a" * 1 for _ in range(chain_len))
+        three = _py_merge_once(seq, "a", "a")
+        four = f" {three} ".replace(" a a ", " aa ").strip()
+        assert three == four, chain_len

@@ -7099,3 +7099,127 @@ def q_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sample-weight multiplier, expected epoch doc counts.  Constant
     state after one hash aggregate (see analysis/sampling.py)."""
     return temperature_weights(_read(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Distributed BPE tokenizer training (analysis/bpe.py)
+# ===========================================================================
+
+from wolf_quake_spark.analysis.bpe import N_MERGES as _BPE_N
+from wolf_quake_spark.analysis.bpe import bpe_learn, bpe_token_lengths
+
+
+def _bpe_sql_ctes(n_merges: int) -> str:
+    """DuckDB mirror of the bpe_learn iteration, unrolled (one p/m/s CTE
+    trio per merge round; m/s MATERIALIZED so the chain re-plans linearly,
+    not exponentially — the MMR lesson, see BENCH.md)."""
+    parts = [
+        """
+    tokw AS (
+      SELECT term AS word FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term <> ''),
+    w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tokw GROUP BY word),
+    s0 AS (SELECT word, freq,
+                  array_to_string(string_split(word, ''), ' ') AS seq FROM w)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""
+    p{k} AS (
+      SELECT arr[i] AS l, arr[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, string_split(seq, ' ') AS arr FROM s{k - 1}) t,
+           UNNEST(range(1, len(t.arr))) u(i)
+      GROUP BY 1, 2),
+    m{k} AS MATERIALIZED (
+      SELECT {k} AS rank, l, r, cnt FROM p{k}
+      ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+    s{k} AS MATERIALIZED (
+      SELECT word, freq,
+             trim(replace(replace(replace(' ' || seq || ' ',
+                  ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' '),
+                  ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' '),
+                  ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ')) AS seq
+      FROM s{k - 1}, m{k} m)"""
+        )
+    return ",".join(parts)
+
+
+_BPE_MERGES_UNION = " UNION ALL ".join(
+    f"SELECT * FROM m{k}" for k in range(1, _BPE_N + 1)
+)
+
+
+@register(
+    "bpe_merge_table",
+    f"""
+    WITH {_bpe_sql_ctes(_BPE_N)}
+    SELECT rank, l AS left_sym, r AS right_sym, l || r AS merged,
+           cnt AS pair_count
+    FROM ({_BPE_MERGES_UNION})
+    """,
+)
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich 2016): the top-8 merge
+    table learned from corpus word frequencies.  One full-corpus pass
+    builds the vocabulary; each round is one hash-agg over the persisted
+    (Heaps-law-sized) vocab plus a scalar driver collect — the k-means
+    driver-touch discipline.  Engine-portable 3-pass wrapped-replace merge
+    semantics make the oracle bit-exact (see analysis/bpe.py docstring)."""
+    merges, vocab_final = bpe_learn(spark, _read(spark, sf_dir, "documents"))
+    merges._wqs_persisted = getattr(vocab_final, "_wqs_persisted", None)
+    return merges
+
+
+@register(
+    "bpe_token_lengths",
+    f"""
+    WITH {_bpe_sql_ctes(_BPE_N)},
+    lens AS (SELECT word, len(string_split(seq, ' ')) AS n_syms FROM s{_BPE_N}),
+    dw AS (SELECT doc_id, term AS word FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term <> '')
+    SELECT doc_id, CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens
+    FROM dw JOIN lens USING (word) GROUP BY doc_id
+    """,
+)
+def q_bpe_token_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus: per-document
+    post-merge token count via a token-keyed shuffle join against the
+    merged vocabulary (not broadcast — the vocab outgrows broadcast at web
+    scale) and one per-doc hash-agg.  This is the tokenizer-throughput
+    question every training pipeline asks: how many tokens is this corpus
+    under MY tokenizer?"""
+    return bpe_token_lengths(spark, _read(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Naive Bayes seed classifier (analysis/classify.py)
+# ===========================================================================
+
+from wolf_quake_spark.analysis.classify import (
+    nb_confusion,
+    nb_confusion_sql,
+    nb_predictions,
+    nb_predictions_sql,
+)
+
+
+@register("nb_lang_predictions", nb_predictions_sql())
+def q_nb_lang_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes seed classifier (the DCLM/CCNet-style cheap
+    linear quality/domain filter): train per-(class, term) add-1-smoothed
+    likelihoods on the doc_id%5≠0 folds, score the held-out fold, argmax
+    with deterministic class tie order.  Class-level state broadcast; the
+    vocab-sized likelihood table joins on the term key (never broadcast at
+    web scale); per-doc argmax is a doc-partitioned 5-row window (see
+    analysis/classify.py)."""
+    return nb_predictions(_read(spark, sf_dir, "documents"))
+
+
+@register("nb_lang_confusion", nb_confusion_sql())
+def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the Naive Bayes classifier on the held-out fold
+    — the trained-model-quality readout next to lang_id_confusion's
+    stopword heuristic."""
+    return nb_confusion(_read(spark, sf_dir, "documents"))
