@@ -1,0 +1,115 @@
+"""Iceberg-style hidden partitioning: transform spec semantics (truncate
+on negatives, NULL → NULL), manifest-pruned reads equal full-scan + filter
+while provably skipping partitions, and numeric stats compare numerically
+(not lexically) at prune time."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wolf_quake_spark.plans.partition_transforms import (
+    PartitionSpec,
+    bucket,
+    days,
+    pruned_read,
+    truncate,
+    write_hidden_partitioned,
+)
+
+
+@pytest.fixture()
+def events(spark):
+    rows = []
+    for i in range(200):
+        ts = dt.datetime(2026, 8, 1 + i % 10, i % 24, 0, 0)
+        rows.append((i, ts, i % 37 if i % 50 else None, f"type{i % 4}"))
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_truncate_spec_negatives(spark):
+    df = spark.createDataFrame([(-7,), (-10,), (0,), (7,), (13,)], "v long")
+    got = [r["t"] for r in df.select(truncate(10, "v").alias("t")).orderBy("v").collect()]
+    # W * floor(v / W): -7 → -10, -10 → -10, 0 → 0, 7 → 0, 13 → 10
+    assert got == [-10, -10, 0, 0, 10]
+
+
+def test_bucket_null_safe_and_range(spark):
+    df = spark.createDataFrame([(1,), (2,), (None,)], "v long")
+    got = df.select(bucket(16, "v").alias("b")).collect()
+    vals = [r["b"] for r in got]
+    assert vals.count(None) == 1
+    assert all(v is None or 0 <= v < 16 for v in vals)
+
+
+def test_pruned_read_matches_full_scan_and_skips(spark, events, tmp_path):
+    out = str(tmp_path / "tbl")
+    manifest = write_hidden_partitioned(
+        events,
+        out,
+        [
+            PartitionSpec("day", "ts", days("ts")),
+            PartitionSpec("user_bucket", "user_id", bucket(4, "user_id")),
+        ],
+    )
+    assert len(manifest["partitions"]) > 10
+    # NULL user_id rows land in the hive default partition and stay readable
+    full = spark.read.parquet(out)
+    assert full.count() == 200
+
+    lo, hi = "2026-08-03 00:00:00", "2026-08-04 23:59:59"
+    got, report = pruned_read(spark, out, "ts", lo, hi)
+    want = events.where(F.col("ts").between(lo, hi))
+    assert report["partitions_read"] < report["partitions_total"]
+    assert got.count() == want.count() == report_rows_bound(report, got)
+    got_ids = {r["event_id"] for r in got.collect()}
+    want_ids = {r["event_id"] for r in want.collect()}
+    assert got_ids == want_ids
+
+
+def report_rows_bound(report, got):
+    n = got.count()
+    assert n <= report["rows_in_read_partitions"]
+    return n
+
+
+def test_pruned_read_numeric_stats_not_lexical(spark, tmp_path):
+    # values 0..19 partitioned by truncate(10): stats min/max are "0"/"9"
+    # and "10"/"19"; a lexical compare would wrongly drop the second
+    # partition for lo=5 (since "10" < "5" lexically)
+    df = spark.createDataFrame([(i,) for i in range(20)], "v long")
+    out = str(tmp_path / "num")
+    write_hidden_partitioned(
+        df, out, [PartitionSpec("vt", "v", truncate(10, "v"))]
+    )
+    got, report = pruned_read(spark, out, "v", "5", "15")
+    assert report["partitions_read"] == report["partitions_total"] == 2
+    assert sorted(r["v"] for r in got.collect()) == list(range(5, 16))
+    got2, report2 = pruned_read(spark, out, "v", "12", "15")
+    assert report2["partitions_read"] == 1
+    assert sorted(r["v"] for r in got2.collect()) == [12, 13, 14, 15]
+
+
+def test_pruned_read_empty_range(spark, events, tmp_path):
+    out = str(tmp_path / "tbl2")
+    write_hidden_partitioned(
+        events, out, [PartitionSpec("day", "ts", days("ts"))]
+    )
+    got, report = pruned_read(spark, out, "ts", "2030-01-01", "2030-12-31")
+    assert report["partitions_read"] == 0
+    assert got.count() == 0
+
+
+def test_manifest_on_disk_layout(spark, events, tmp_path):
+    out = str(tmp_path / "tbl3")
+    write_hidden_partitioned(
+        events, out, [PartitionSpec("day", "ts", days("ts"))]
+    )
+    dirs = [d for d in os.listdir(out) if d.startswith("day=")]
+    assert len(dirs) == 10  # 10 distinct days in the fixture
+    assert os.path.exists(os.path.join(out, "_partition_manifest.json"))

@@ -1,0 +1,240 @@
+"""Iceberg-style hidden partition transforms + manifest-pruned reads.
+
+The north rule targets Iceberg tables of transcripts; this container has no
+Iceberg runtime jars, so (same convention as the snapshot/changes layer in
+``plans/checkpoint.py``) the TABLE FORMAT is emulated as parquet + a JSON
+manifest while the TRANSFORM SEMANTICS follow the Iceberg spec
+(https://iceberg.apache.org/spec/#partition-transforms):
+
+* ``bucket[N]``  — deterministic hash of the value, mod N.  The spec pins
+  32-bit Murmur3; we use the repo's portable md5-nibble hash instead so
+  every derived partition value is oracle-checkable in DuckDB (the
+  contract that matters — deterministic, uniform, null-safe — is kept;
+  the exact hash function is a sandbox substitution, called out here so a
+  production port would swap in ``F.expr("murmur3")``-compatible hashing).
+* ``truncate[W]`` — integers: ``v - (((v % W) + W) % W)`` (= ``W *
+  floor(v / W)``, spec-exact including negatives); strings: first W chars.
+* ``year / month / day / hour`` — UTC date parts of a timestamp (the
+  session pins ``spark.sql.session.timeZone=UTC``), rendered as the
+  spec's human-readable partition values (``2026``, ``2026-08``,
+  ``2026-08-19``, ``2026-08-19-14``).
+* NULL source values map to NULL partition values (spec rule), which
+  parquet's partitionBy renders as ``__HIVE_DEFAULT_PARTITION__``.
+
+"Hidden" means queries filter on the SOURCE column and the reader prunes
+derived partitions itself — the user never mentions the partition column.
+``pruned_read`` does that with the manifest's per-partition min/max stats
+of each source column: a range predicate on the source column selects only
+the partition directories whose stats intersect, then re-applies the exact
+predicate as a residual filter (Iceberg's manifest-entry pruning, spec
+§Scan Planning).  At 100 TB this is the difference between reading one
+day's directory and scanning three years of transcripts.
+
+Reference parity: wolf_quake reads one log file (reference/src/main.rs);
+partition layout is beyond-reference surface driven by the north rule's
+"Iceberg table ... partitioning handled explicitly".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def _nib(h: Column, i: int) -> Column:
+    return F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1
+
+
+def _fold(h: Column, start: int, n: int) -> Column:
+    acc = _nib(h, start).cast("long")
+    for i in range(start + 1, start + n):
+        acc = acc * 16 + _nib(h, i)
+    return acc
+
+
+def bucket(n: int, col: str) -> Column:
+    """bucket[n]: portable-hash mod n, NULL-safe (see module docstring)."""
+    h = F.md5(F.concat(F.lit("bkt"), F.col(col).cast("string")))
+    return F.when(F.col(col).isNull(), F.lit(None)).otherwise(
+        (_fold(h, 0, 8) % n).cast("int")
+    )
+
+
+def truncate(w: int, col: str) -> Column:
+    """truncate[w]: W*floor(v/W) for integers (negatives included),
+    substring for strings.  Type is resolved at plan time by the caller
+    passing the right variant; this helper dispatches on use."""
+    c = F.col(col)
+    return c - (((c % w) + w) % w)
+
+
+def truncate_str(w: int, col: str) -> Column:
+    return F.substring(F.col(col), 1, w)
+
+
+def years(col: str) -> Column:
+    return F.date_format(col, "yyyy")
+
+
+def months(col: str) -> Column:
+    return F.date_format(col, "yyyy-MM")
+
+
+def days(col: str) -> Column:
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+def hours(col: str) -> Column:
+    return F.date_format(col, "yyyy-MM-dd-HH")
+
+
+# DuckDB mirrors (for oracle-paired transform-value queries)
+def bucket_sql(n: int, col: str) -> str:
+    h = f"md5('bkt' || CAST({col} AS VARCHAR))"
+    nib = lambda i: f"(strpos('{_HEX}', substr({h}, {i + 1}, 1)) - 1)"  # noqa: E731
+    fold = nib(0)
+    for i in range(1, 8):
+        fold = f"({fold} * 16 + {nib(i)})"
+    return (
+        f"CASE WHEN {col} IS NULL THEN NULL "
+        f"ELSE CAST({fold} % {n} AS INTEGER) END"
+    )
+
+
+def truncate_sql(w: int, col: str) -> str:
+    return f"({col} - ((({col} % {w}) + {w}) % {w}))"
+
+
+def days_sql(col: str) -> str:
+    return f"strftime({col}, '%Y-%m-%d')"
+
+
+def hours_sql(col: str) -> str:
+    return f"strftime({col}, '%Y-%m-%d-%H')"
+
+
+def months_sql(col: str) -> str:
+    return f"strftime({col}, '%Y-%m')"
+
+
+@dataclass
+class PartitionSpec:
+    """One hidden-partition field: derived name, source column, transform."""
+
+    name: str
+    source: str
+    expr: Column
+
+
+MANIFEST = "_partition_manifest.json"
+
+
+def write_hidden_partitioned(
+    df: DataFrame, out_dir: str, spec: list[PartitionSpec]
+) -> dict:
+    """Write ``df`` partitioned by the spec's derived columns and record a
+    manifest with per-partition row counts and min/max stats of every
+    source column — the pruning index ``pruned_read`` consults.
+
+    The stats aggregation is one hash-agg keyed by the derived partition
+    tuple (same shuffle the write itself needs), so the manifest costs no
+    extra full pass at scale.
+    """
+    derived = df
+    for p in spec:
+        derived = derived.withColumn(p.name, p.expr)
+    part_cols = [p.name for p in spec]
+    derived.write.mode("overwrite").partitionBy(*part_cols).parquet(out_dir)
+
+    aggs = [F.count("*").alias("n_rows")]
+    for p in spec:
+        aggs.append(F.min(p.source).cast("string").alias(f"min_{p.source}"))
+        aggs.append(F.max(p.source).cast("string").alias(f"max_{p.source}"))
+    stats = derived.groupBy(*part_cols).agg(*aggs).collect()
+    manifest = {
+        "spec": [{"name": p.name, "source": p.source} for p in spec],
+        "partitions": [
+            {
+                "values": {c: (None if r[c] is None else str(r[c])) for c in part_cols},
+                "n_rows": r["n_rows"],
+                "stats": {
+                    p.source: [r[f"min_{p.source}"], r[f"max_{p.source}"]]
+                    for p in spec
+                },
+            }
+            for r in stats
+        ],
+    }
+    with open(os.path.join(out_dir, MANIFEST), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
+def _part_dir(out_dir: str, values: dict) -> str:
+    segs = [
+        f"{k}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+        for k, v in values.items()
+    ]
+    return os.path.join(out_dir, *segs)
+
+
+def pruned_read(
+    spark: SparkSession,
+    out_dir: str,
+    source_col: str,
+    lo: str,
+    hi: str,
+) -> tuple[DataFrame, dict]:
+    """Hidden-partition pruned scan: read only the partition directories
+    whose manifest min/max stats of ``source_col`` intersect ``[lo, hi]``,
+    then re-apply the exact predicate as the residual filter (bounds cast
+    to the column's own type, so numeric and timestamp comparisons are
+    typed, not lexical).  Returns (frame, scan report).
+
+    The directory selection is manifest-driven (driver-side metadata only,
+    like Iceberg scan planning); the data read is basePath-anchored so the
+    partition columns stay available.  Stats are stored as canonical
+    strings in the JSON manifest; pruning compares them numerically when
+    both sides parse as numbers, lexically otherwise (ISO timestamps and
+    dates order correctly as strings).
+    """
+
+    def key(v: str):
+        try:
+            return (0, float(v), "")
+        except (TypeError, ValueError):
+            return (1, 0.0, v)
+
+    with open(os.path.join(out_dir, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    klo, khi = key(lo), key(hi)
+    keep = []
+    for part in manifest["partitions"]:
+        mn, mx = part["stats"][source_col]
+        if mn is None or mx is None:
+            keep.append(part)  # all-NULL partition: stats can't exclude it
+        elif not (key(mx) < klo or key(mn) > khi):
+            keep.append(part)
+    report = {
+        "partitions_total": len(manifest["partitions"]),
+        "partitions_read": len(keep),
+        "rows_in_read_partitions": sum(p["n_rows"] for p in keep),
+    }
+    if not keep:
+        empty = spark.read.parquet(out_dir).limit(0)
+        return empty, report
+    paths = [_part_dir(out_dir, p["values"]) for p in keep]
+    raw = spark.read.option("basePath", out_dir).parquet(*paths)
+    dtype = raw.schema[source_col].dataType
+    df = raw.where(
+        F.col(source_col).between(
+            F.lit(lo).cast(dtype), F.lit(hi).cast(dtype)
+        )
+    )
+    return df, report

@@ -7223,3 +7223,46 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the trained-model-quality readout next to lang_id_confusion's
     stopword heuristic."""
     return nb_confusion(_read(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Iceberg-style hidden partition transforms (plans/partition_transforms.py)
+# ===========================================================================
+
+from wolf_quake_spark.plans.partition_transforms import (
+    bucket as _pt_bucket,
+    bucket_sql as _pt_bucket_sql,
+    days as _pt_days,
+    days_sql as _pt_days_sql,
+    hours as _pt_hours,
+    hours_sql as _pt_hours_sql,
+    truncate_str as _pt_truncate_str,
+)
+
+
+@register(
+    "hidden_partition_values",
+    f"""
+    SELECT {_pt_days_sql('ts')} AS day,
+           {_pt_hours_sql('ts')} AS ts_hour,
+           {_pt_bucket_sql(16, 'user_id')} AS user_bucket,
+           substr(event_type, 1, 3) AS type_prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_hidden_partition_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg partition-transform semantics (spec §Partition Transforms),
+    oracle-paired: day/hour temporal transforms (UTC), bucket[16] over the
+    user key (portable md5 hash — see plans/partition_transforms.py for
+    the murmur3 substitution note), truncate[3] over the event type.  The
+    groupBy is exactly the shuffle a hidden-partitioned write performs, so
+    this query IS the write path's partition histogram — the skew check
+    run before choosing a layout."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        _pt_days("ts").alias("day"),
+        _pt_hours("ts").alias("ts_hour"),
+        _pt_bucket(16, "user_id").alias("user_bucket"),
+        _pt_truncate_str(3, "event_type").alias("type_prefix"),
+    ).agg(F.count("*").alias("n_rows"))
