@@ -7266,3 +7266,29 @@ def q_hidden_partition_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pt_bucket(16, "user_id").alias("user_bucket"),
         _pt_truncate_str(3, "event_type").alias("type_prefix"),
     ).agg(F.count("*").alias("n_rows"))
+
+
+from wolf_quake_spark.plans.bloom_index import (
+    bloom_words_frame as _bloom_words_frame,
+    bloom_words_sql as _bloom_words_sql,
+)
+
+_BLOOM_M, _BLOOM_K = 3840, 3
+
+
+@register(
+    "bloom_partition_words",
+    _bloom_words_sql(_BLOOM_M, _BLOOM_K, "user_id", "strftime(ts, '%Y-%m-%d')", "events")
+    .replace("SELECT part,", "SELECT part AS day,", 1),
+)
+def q_bloom_partition_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Bloom bitset words over the user key — the exact
+    distributed bit_or aggregation plans/bloom_index.py's sidecar builder
+    runs (portable md5-fold hash, 60-bit words; see module docstring for
+    the Puffin/parquet-bloom parity note).  Oracle-paired bit-for-bit:
+    DuckDB rebuilds the same words with the mirrored hash, proving the
+    point-lookup pruner's index content, not just its row counts."""
+    ev = _read(spark, sf_dir, "events")
+    return _bloom_words_frame(
+        ev, F.date_format("ts", "yyyy-MM-dd"), "user_id", _BLOOM_M, _BLOOM_K
+    ).withColumnRenamed("part", "day")
