@@ -1,0 +1,134 @@
+"""Iceberg-style merge-on-read equality deletes.
+
+An equality delete file records key tuples plus the SEQUENCE NUMBER at
+which the delete was committed; at read time a data row is dead iff some
+delete with a HIGHER sequence number matches its keys (Iceberg spec
+§Row-level deletes / §Sequence numbers).  Deleting 10^6 conv_ids from a
+10^12-turn table therefore writes a few MB of delete files and rewrites
+nothing; readers pay one broadcast join until a compaction folds the
+deletes in.
+
+Emulation convention (same as the rest of ``plans/``): data appends land
+under ``data/seq=N/`` and delete files under ``deletes/seq=M/`` with a
+JSON log tracking the sequence counter.  The read path:
+
+1. aggregate the (typically tiny) delete relation to ``max(seq)`` per
+   key tuple — at most one row per deleted key,
+2. broadcast it into a left join against the data scan,
+3. keep rows where no delete matched or the delete predates the row
+   (``delete_seq <= data_seq`` — a row re-inserted AFTER a delete
+   survives it, the Iceberg re-insert semantics).
+
+``compact_deletes`` rewrites the survivors as one new data append and
+clears the delete directory — the maintenance job that caps read-side
+join cost; row-identity equality with the MoR read is pytest-enforced.
+
+Reference parity: beyond-reference surface (the reference never mutates
+its input); driven by the north rule's Iceberg-table framing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+SEQ_LOG = "_seq_log.json"
+
+
+def _load(table_dir: str) -> dict:
+    try:
+        with open(os.path.join(table_dir, SEQ_LOG)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {"last_seq": 0, "key_cols": None}
+
+
+def _dump(table_dir: str, state: dict) -> None:
+    os.makedirs(table_dir, exist_ok=True)
+    with open(os.path.join(table_dir, SEQ_LOG), "w") as fh:
+        json.dump(state, fh, indent=1, sort_keys=True)
+
+
+def append_data(df: DataFrame, table_dir: str) -> int:
+    """Append a data file set at the next sequence number."""
+    state = _load(table_dir)
+    seq = state["last_seq"] + 1
+    df.write.mode("errorifexists").parquet(
+        os.path.join(table_dir, "data", f"seq={seq}")
+    )
+    state["last_seq"] = seq
+    _dump(table_dir, state)
+    return seq
+
+
+def append_equality_deletes(
+    keys: DataFrame, table_dir: str, key_cols: list[str]
+) -> int:
+    """Commit an equality-delete file: kills every matching data row with
+    a lower sequence number.  Key columns are pinned on first use."""
+    state = _load(table_dir)
+    if state["key_cols"] is None:
+        state["key_cols"] = key_cols
+    elif state["key_cols"] != key_cols:
+        raise ValueError(f"delete key cols pinned to {state['key_cols']}")
+    seq = state["last_seq"] + 1
+    keys.select(*key_cols).distinct().write.mode("errorifexists").parquet(
+        os.path.join(table_dir, "deletes", f"seq={seq}")
+    )
+    state["last_seq"] = seq
+    _dump(table_dir, state)
+    return seq
+
+
+def read_mor(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Merge-on-read scan: data minus sequence-applicable equality
+    deletes.  The delete relation is max-seq-per-key then broadcast, so
+    the data side never shuffles."""
+    data_dir = os.path.join(table_dir, "data")
+    data = spark.read.option("basePath", data_dir).parquet(data_dir)
+    del_dir = os.path.join(table_dir, "deletes")
+    if not os.path.isdir(del_dir) or not os.listdir(del_dir):
+        return data.drop("seq") if "seq" in data.columns else data
+    key_cols = _load(table_dir)["key_cols"]
+    dels = (
+        spark.read.option("basePath", del_dir)
+        .parquet(del_dir)
+        .groupBy(*key_cols)
+        .agg(F.max("seq").alias("_del_seq"))
+    )
+    joined = data.join(broadcast(dels), on=key_cols, how="left")
+    return joined.where(
+        F.col("_del_seq").isNull() | (F.col("_del_seq") <= F.col("seq"))
+    ).drop("_del_seq", "seq")
+
+
+def compact_deletes(spark: SparkSession, table_dir: str) -> dict:
+    """Materialize the MoR view as one new data append, then retire the
+    old data files and all delete files.  The rewrite is verified by row
+    count before anything is removed (same crash-ordering discipline as
+    plans/compact.py: new files land first, originals go last)."""
+    survivors = read_mor(spark, table_dir)
+    n_before = survivors.count()
+    state = _load(table_dir)
+    seq = state["last_seq"] + 1
+    out = os.path.join(table_dir, "data", f"seq={seq}")
+    survivors.write.mode("errorifexists").parquet(out)
+    n_after = spark.read.parquet(out).count()
+    if n_after != n_before:
+        shutil.rmtree(out)
+        raise RuntimeError(f"compaction row mismatch {n_before} != {n_after}")
+    data_dir = os.path.join(table_dir, "data")
+    for d in os.listdir(data_dir):
+        if d.startswith("seq=") and d != f"seq={seq}":
+            shutil.rmtree(os.path.join(data_dir, d))
+    del_dir = os.path.join(table_dir, "deletes")
+    if os.path.isdir(del_dir):
+        shutil.rmtree(del_dir)
+    state["last_seq"] = seq
+    _dump(table_dir, state)
+    return {"rows": n_after, "data_seq": seq}
