@@ -203,3 +203,27 @@ def test_hll_merge_property_groups_independent(spark):
     ).collect()
     est_with = next(r for r in both if r.grp == "s").hll_estimate
     assert est_alone == est_with
+
+
+def _sym(spark, undirected):
+    both = [(a, b) for a, b in undirected] + [(b, a) for a, b in undirected]
+    return spark.createDataFrame(both, "src long, dst long")
+
+
+def test_bfs_chain_branch_and_island(spark):
+    from wolf_quake_spark.analysis.graph import bfs_distances
+
+    # source = min node = 1; chain 1-2-3-4-5-6, branch 2-10, island 50-51
+    edges = _sym(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (2, 10), (50, 51)])
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, max_depth=4).collect()}
+    # depth cap 4: node 6 (5 hops) and the island are unreached
+    assert got == {1: 0, 2: 1, 3: 2, 10: 2, 4: 3, 5: 4}
+
+
+def test_bfs_min_dist_on_cycle(spark):
+    from wolf_quake_spark.analysis.graph import bfs_distances
+
+    # 5-cycle from node 1: two directions meet; dists are min hop counts
+    edges = _sym(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)])
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, max_depth=4).collect()}
+    assert got == {1: 0, 2: 1, 5: 1, 3: 2, 4: 2}

@@ -7292,3 +7292,23 @@ def q_bloom_partition_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bloom_words_frame(
         ev, F.date_format("ts", "yyyy-MM-dd"), "user_id", _BLOOM_M, _BLOOM_K
     ).withColumnRenamed("part", "day")
+
+
+from wolf_quake_spark.analysis.graph import (
+    bfs_distances as _bfs_distances,
+    bfs_distances_sql as _bfs_distances_sql,
+)
+
+
+@register("bfs_copurchase_hops", _bfs_distances_sql(max_depth=4))
+def q_bfs_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances over the same-brand co-purchase
+    graph (source = min part key): frontier-only Pregel expansion, each
+    node's edges processed exactly once, depth-bounded at 4 so the plan
+    is statically unrolled and the DuckDB oracle is a UNION-recursive
+    CTE with MIN(dist) — the reachability-radius primitive next to
+    copurchase_pagerank's influence scores."""
+    edges = brand_copurchase_edges(
+        _read(spark, sf_dir, "lineitem"), _read(spark, sf_dir, "part")
+    )
+    return _bfs_distances(edges, max_depth=4)
