@@ -7312,3 +7312,140 @@ def q_bfs_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "lineitem"), _read(spark, sf_dir, "part")
     )
     return _bfs_distances(edges, max_depth=4)
+
+
+@register(
+    "column_stats_profile",
+    """
+    SELECT * FROM (
+      SELECT 'event_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT event_id) AS BIGINT) AS ndv,
+             CAST(MIN(event_id) AS VARCHAR) AS min_v, CAST(MAX(event_id) AS VARCHAR) AS max_v
+      FROM events
+      UNION ALL
+      SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT user_id) AS BIGINT),
+             CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR) FROM events
+      UNION ALL
+      SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT event_type) AS BIGINT),
+             MIN(event_type), MAX(event_type) FROM events
+      UNION ALL
+      SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT ts) AS BIGINT),
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S'), strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') FROM events
+      UNION ALL
+      SELECT 'value', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT value) AS BIGINT),
+             printf('%.6f', MIN(value)), printf('%.6f', MAX(value)) FROM events
+    )
+    """,
+)
+def q_column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE-style per-column statistics (row count, null count,
+    exact NDV, canonical min/max rendering) — the CBO/statistics inputs a
+    lakehouse catalog stores next to the manifests (Iceberg keeps these
+    per data file; Spark's own `ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    COLUMNS` computes the same shape).  ONE pass: Spark plans the five
+    exact count-distincts in a single aggregate via EXPAND (5x row
+    multiply, map-side partial-combined), then `stack` unpivots the
+    single stats row — never five scans.  At 100 TB you'd swap exact NDV
+    for approx_count_distinct; exact keeps the oracle bit-stable and the
+    plan shape identical."""
+    ev = _read(spark, sf_dir, "events")
+    one = ev.agg(
+        F.count("*").alias("n"),
+        *[
+            a
+            for c in ("event_id", "user_id", "event_type", "ts", "value")
+            for a in (
+                F.sum(F.col(c).isNull().cast("long")).alias(f"nul_{c}"),
+                F.count_distinct(F.col(c)).alias(f"ndv_{c}"),
+            )
+        ],
+        F.min("event_id").cast("string").alias("min_event_id"),
+        F.max("event_id").cast("string").alias("max_event_id"),
+        F.min("user_id").cast("string").alias("min_user_id"),
+        F.max("user_id").cast("string").alias("max_user_id"),
+        F.min("event_type").alias("min_event_type"),
+        F.max("event_type").alias("max_event_type"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        F.format_string("%.6f", F.min("value")).alias("min_value"),
+        F.format_string("%.6f", F.max("value")).alias("max_value"),
+    )
+    cols = ("event_id", "user_id", "event_type", "ts", "value")
+    stack = ", ".join(
+        f"'{c}', nul_{c}, ndv_{c}, min_{c}, max_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col_name, n_nulls, ndv, min_v, max_v)",
+        "n AS n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "ndv", "min_v", "max_v")
+
+
+@register(
+    "mad_robust_outliers",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS q
+      FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(q, 0.5) AS med FROM v GROUP BY event_type
+    ),
+    dev AS (
+      SELECT v.event_type, v.q, abs(v.q - med.med) AS d
+      FROM v JOIN med ON v.event_type = med.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(ANY_VALUE(med.med), 6) AS med,
+           round(ANY_VALUE(mad.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN dev.d > 3 * 1.4826 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev
+    JOIN med ON dev.event_type = med.event_type
+    JOIN mad ON dev.event_type = mad.event_type
+    GROUP BY dev.event_type
+    """,
+)
+def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier counts via median absolute deviation — the
+    heavy-tail-safe twin of events_value_outliers' 3-sigma rule (one huge
+    value shifts a mean, not a median).  Values quantized to integer
+    thousandths so both engines interpolate medians from identical exact
+    inputs ((a+b)/2 is exact in doubles for ints < 2^52); the 3x1.4826
+    consistency-scaled threshold is written with identical operand order
+    in both engines, so the IEEE results match bit for bit.  Scale shape:
+    two grouped exact percentiles over a quantized column plus broadcast
+    joins back on the tiny per-type frame — at 100 TB swap `percentile`
+    for `approx_percentile` with the same plan."""
+    ev = _read(spark, sf_dir, "events")
+    v = ev.where(F.col("value").isNotNull()).select(
+        "event_type", F.round(F.col("value") * 1000).cast("long").alias("q")
+    )
+    med = v.groupBy("event_type").agg(F.expr("percentile(q, 0.5)").alias("med"))
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("q") - F.col("med")).alias("d"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(d, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                (F.col("d") > F.lit(3) * F.lit(1.4826) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
