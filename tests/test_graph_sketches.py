@@ -227,3 +227,29 @@ def test_bfs_min_dist_on_cycle(spark):
     edges = _sym(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)])
     got = {r["node"]: r["dist"] for r in bfs_distances(edges, max_depth=4).collect()}
     assert got == {1: 0, 2: 1, 5: 1, 3: 2, 4: 2}
+
+
+def test_personalized_pagerank_mass_and_proximity(spark):
+    from wolf_quake_spark.analysis.graph import personalized_pagerank
+
+    # path 1-2-3-4 plus hub 1-10, symmetric; source = min node = 1
+    und = [(1, 2), (2, 3), (3, 4), (1, 10)]
+    edges = _sym(spark, und)
+    got = {r["node"]: r["ppr"] for r in personalized_pagerank(edges, iterations=3).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # walk mass conserved
+    # exact pure-Python mirror of the recurrence
+    adj: dict[int, list[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    pr = {n: 1.0 if n == 1 else 0.0 for n in adj}
+    for _ in range(3):
+        nxt = {n: (0.15 if n == 1 else 0.0) for n in adj}
+        for u, vs in adj.items():
+            for v in vs:
+                nxt[v] += 0.85 * pr[u] / len(vs)
+        pr = nxt
+    # (low-round PPR oscillates with walk parity on path graphs, so no
+    # ordering heuristics — the exact mirror pins every value)
+    for n, want in pr.items():
+        assert abs(got[n] - want) < 1e-9, (n, got[n], want)

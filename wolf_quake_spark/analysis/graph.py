@@ -411,3 +411,100 @@ def bfs_distances_sql(max_depth: int = 4) -> str:
     )
     SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM walk GROUP BY node
     """
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = DAMPING,
+    round_to: int = 9,
+) -> DataFrame:
+    """Personalized PageRank: random-walk-with-restart proximity to a
+    single source node (teleport mass concentrated on the source instead
+    of spread 1/n) — the graph-retrieval twin of :func:`bfs_distances`'
+    hop counts, weighting *how connected* a node is to the source, not
+    just how far.  Source = min node id, derived as a one-row broadcast
+    frame (no driver collect).
+
+    ppr_0(v) = [v = s];  ppr_{t+1}(v) = (1-d)·[v = s] + d·Σ ppr_t(u)/deg(u)
+
+    Same per-round join+aggregate plan (and the same loop-invariant
+    persisted weighted-edge relation) as :func:`pagerank`; fixed
+    iteration count keeps the oracle an unrolled CTE chain.  Returns
+    (node, ppr) rounded to ``round_to``, teleport-only nodes included.
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ew = edges.join(deg, "src").persist(StorageLevel.DISK_ONLY)
+    nodes = deg.select(F.col("src").alias("node"), "out_deg").persist(
+        StorageLevel.DISK_ONLY
+    )
+    s_frame = nodes.agg(F.min("node").alias("s"))
+
+    ranks = nodes.crossJoin(F.broadcast(s_frame)).select(
+        "node",
+        F.when(F.col("node") == F.col("s"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("pr"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            ew.join(ranks, ew["src"] == ranks["node"])
+            .select("dst", (F.col("pr") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s_c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(s_frame))
+            .select(
+                "node",
+                (
+                    F.when(F.col("node") == F.col("s"), F.lit(1.0) - damping).otherwise(F.lit(0.0))
+                    + F.lit(damping) * F.coalesce(F.col("s_c"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    out = ranks.select("node", F.round("pr", round_to).alias("ppr"))
+    out._wqs_persisted = [ew, nodes]
+    return out
+
+
+def personalized_pagerank_sql(
+    iterations: int = 3, damping: float = DAMPING
+) -> str:
+    """Unrolled-CTE DuckDB mirror of :func:`personalized_pagerank` over
+    :func:`brand_copurchase_edges` from the pre-registered
+    ``lineitem``/``part`` views — identical arithmetic and operand order
+    so round-9 values hash-match."""
+    d = repr(damping)
+    parts = [
+        """
+    e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      JOIN part pa ON a.l_partkey = pa.p_partkey
+      JOIN part pb ON b.l_partkey = pb.p_partkey
+      WHERE a.l_partkey <> b.l_partkey AND pa.p_brand = pb.p_brand
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
+    sv AS (SELECT MIN(src) AS s FROM deg),
+    pr0 AS (SELECT deg.src AS node,
+                   CASE WHEN deg.src = sv.s THEN 1.0 ELSE 0.0 END AS pr
+            FROM deg CROSS JOIN sv)
+    """
+    ]
+    for t in range(iterations):
+        parts.append(
+            f"""
+    c{t} AS (SELECT e.dst, SUM(p.pr / deg.out_deg) AS s_c
+             FROM e JOIN pr{t} p ON e.src = p.node JOIN deg ON e.src = deg.src
+             GROUP BY e.dst),
+    pr{t + 1} AS (SELECT deg.src AS node,
+                       (CASE WHEN deg.src = sv.s THEN 1.0 - {d} ELSE 0.0 END
+                        + {d} * COALESCE(c{t}.s_c, 0.0)) AS pr
+                FROM deg LEFT JOIN c{t} ON deg.src = c{t}.dst CROSS JOIN sv)
+    """
+        )
+    body = ",".join(parts)
+    return f"""
+    WITH {body}
+    SELECT node, round(pr, 9) AS ppr FROM pr{iterations}
+    """

@@ -7449,3 +7449,23 @@ def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+from wolf_quake_spark.analysis.graph import (
+    personalized_pagerank as _ppr,
+    personalized_pagerank_sql as _ppr_sql,
+)
+
+
+@register("ppr_copurchase_proximity", _ppr_sql(iterations=3))
+def q_ppr_copurchase_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk-with-restart proximity to the same source node as
+    bfs_copurchase_hops, over the same same-brand co-purchase graph —
+    PPR weights how CONNECTED a part is to the source (multiplicity of
+    short walks), where BFS only records how far.  3 unrolled rounds,
+    per-round join+aggregate with the persisted weighted-edge relation;
+    round-9 values hash-match the unrolled-CTE oracle."""
+    edges = brand_copurchase_edges(
+        _read(spark, sf_dir, "lineitem"), _read(spark, sf_dir, "part")
+    )
+    return _ppr(edges, iterations=3)
