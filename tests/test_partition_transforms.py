@@ -113,3 +113,25 @@ def test_manifest_on_disk_layout(spark, events, tmp_path):
     dirs = [d for d in os.listdir(out) if d.startswith("day=")]
     assert len(dirs) == 10  # 10 distinct days in the fixture
     assert os.path.exists(os.path.join(out, "_partition_manifest.json"))
+
+
+def test_pruned_read_spec_order_not_alphabetical(spark, events, tmp_path):
+    # regression: manifest JSON round-trips through sort_keys=True, so
+    # values-dict order is alphabetical; directory nesting is SPEC order.
+    # Spec (day, cb) reverses alphabetically — paths must still resolve.
+    out = str(tmp_path / "tbl_order")
+    write_hidden_partitioned(
+        events,
+        out,
+        [
+            PartitionSpec("day", "ts", days("ts")),
+            PartitionSpec("cb", "user_id", bucket(4, "user_id")),
+        ],
+    )
+    lo, hi = "2026-08-03 00:00:00", "2026-08-04 23:59:59"
+    got, report = pruned_read(spark, out, "ts", lo, hi)
+    want = events.where(F.col("ts").between(lo, hi))
+    assert report["partitions_read"] < report["partitions_total"]
+    assert {r["event_id"] for r in got.collect()} == {
+        r["event_id"] for r in want.collect()
+    }

@@ -206,7 +206,7 @@ def bloom_point_lookup(
     }
     if not keep:
         return spark.read.parquet(table_dir).limit(0), report
-    paths = [_part_dir(table_dir, p["values"]) for p in keep]
+    paths = [_part_dir(table_dir, p["values"], part_cols) for p in keep]
     raw = spark.read.option("basePath", table_dir).parquet(*paths)
     dtype = raw.schema[col].dataType
     return raw.where(F.col(col) == F.lit(value).cast(dtype)), report

@@ -176,10 +176,13 @@ def write_hidden_partitioned(
     return manifest
 
 
-def _part_dir(out_dir: str, values: dict) -> str:
+def _part_dir(out_dir: str, values: dict, part_cols: list[str]) -> str:
+    # segment order MUST be spec order — the manifest JSON round-trips
+    # through sort_keys=True, so values.items() order is alphabetical,
+    # not the directory nesting order partitionBy wrote
     segs = [
-        f"{k}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
-        for k, v in values.items()
+        f"{k}={'__HIVE_DEFAULT_PARTITION__' if values[k] is None else values[k]}"
+        for k in part_cols
     ]
     return os.path.join(out_dir, *segs)
 
@@ -229,7 +232,8 @@ def pruned_read(
     if not keep:
         empty = spark.read.parquet(out_dir).limit(0)
         return empty, report
-    paths = [_part_dir(out_dir, p["values"]) for p in keep]
+    part_cols = [p["name"] for p in manifest["spec"]]
+    paths = [_part_dir(out_dir, p["values"], part_cols) for p in keep]
     raw = spark.read.option("basePath", out_dir).parquet(*paths)
     dtype = raw.schema[source_col].dataType
     df = raw.where(
