@@ -53,3 +53,44 @@ def test_cli_compact(spark, tmp_path, capsys):
     assert out["files_before"] == 8 and out["files_after"] == 1
     assert out["rows"] == 500
     assert spark.read.parquet(root).count() == 500
+
+
+def test_cli_table_write_index_read(spark, tmp_path, capsys):
+    tbl = str(tmp_path / "tbl")
+    main([
+        "table-write", "--input", f"{SF}/events.parquet", "--out", tbl,
+        "--by", "day:ts,bucket4:user_id",
+    ])
+    wrote = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert wrote["rows"] == 1000 and wrote["partitions"] > 10
+    assert [s["name"] for s in wrote["spec"]] == ["ts_day", "user_id_b4"]
+
+    main(["table-index", "--table", tbl, "--col", "user_id"])
+    idx = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert idx["partitions"] == wrote["partitions"] and idx["k"] == 5
+
+    # point lookup: pruned, exact rows
+    main(["table-read", "--table", tbl, "--eq", "user_id", "42", "--limit", "1000"])
+    out = capsys.readouterr().out.strip().splitlines()
+    report = json.loads(out[0])
+    rows = [json.loads(l) for l in out[1:]]
+    assert report["partitions_read"] < report["partitions_total"]
+    assert report["rows_matched"] == len(rows)
+    assert all(r["user_id"] == 42 for r in rows)
+
+    # range read prunes and matches a plain filter count
+    lo, hi = "2024-01-03 00:00:00", "2024-01-04 23:59:59"
+    main(["table-read", "--table", tbl, "--range", "ts", lo, hi, "--limit", "0"])
+    report2 = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    want = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .where(f"ts BETWEEN '{lo}' AND '{hi}'")
+        .count()
+    )
+    assert report2["rows_matched"] == want
+    assert report2["partitions_read"] < report2["partitions_total"]
+
+
+def test_cli_table_read_requires_exactly_one_mode(spark, tmp_path):
+    with pytest.raises(SystemExit):
+        main(["table-read", "--table", str(tmp_path)])

@@ -107,6 +107,85 @@ def _cmd_compact(args: argparse.Namespace) -> None:
     )
 
 
+def _parse_partition_spec(spec: str):
+    """day:ts,hour:ts,bucket16:conv_id,trunc10:value,truncstr3:event_type
+    → PartitionSpec list (derived names ``<col>_<kind>``)."""
+    from wolf_quake_spark.plans import partition_transforms as pt
+
+    out = []
+    for item in spec.split(","):
+        kind, col = item.split(":", 1)
+        if kind == "day":
+            out.append(pt.PartitionSpec(f"{col}_day", col, pt.days(col)))
+        elif kind == "hour":
+            out.append(pt.PartitionSpec(f"{col}_hour", col, pt.hours(col)))
+        elif kind == "month":
+            out.append(pt.PartitionSpec(f"{col}_month", col, pt.months(col)))
+        elif kind == "year":
+            out.append(pt.PartitionSpec(f"{col}_year", col, pt.years(col)))
+        elif kind.startswith("truncstr"):
+            w = int(kind[len("truncstr"):])
+            out.append(pt.PartitionSpec(f"{col}_t{w}", col, pt.truncate_str(w, col)))
+        elif kind.startswith("trunc"):
+            w = int(kind[len("trunc"):])
+            out.append(pt.PartitionSpec(f"{col}_t{w}", col, pt.truncate(w, col)))
+        elif kind.startswith("bucket"):
+            n = int(kind[len("bucket"):])
+            out.append(pt.PartitionSpec(f"{col}_b{n}", col, pt.bucket(n, col)))
+        else:
+            raise SystemExit(f"unknown transform {kind!r} in --by")
+    return out
+
+
+def _cmd_table_write(args: argparse.Namespace) -> None:
+    from wolf_quake_spark.plans.partition_transforms import write_hidden_partitioned
+
+    spark = build_session("wqs-table-write", master=args.master)
+    df = spark.read.parquet(args.input)
+    manifest = write_hidden_partitioned(df, args.out, _parse_partition_spec(args.by))
+    print(
+        json.dumps(
+            {
+                "partitions": len(manifest["partitions"]),
+                "rows": sum(p["n_rows"] for p in manifest["partitions"]),
+                "spec": manifest["spec"],
+            }
+        )
+    )
+
+
+def _cmd_table_index(args: argparse.Namespace) -> None:
+    from wolf_quake_spark.plans.bloom_index import build_bloom_index
+
+    spark = build_session("wqs-table-index", master=args.master)
+    sc = build_bloom_index(
+        spark, args.table, args.col, bits_per_row=args.bits_per_row, k=args.k
+    )
+    print(
+        json.dumps(
+            {"col": sc["col"], "m_bits": sc["m"], "k": sc["k"],
+             "partitions": len(sc["partitions"])}
+        )
+    )
+
+
+def _cmd_table_read(args: argparse.Namespace) -> None:
+    from wolf_quake_spark.plans.bloom_index import bloom_point_lookup
+    from wolf_quake_spark.plans.partition_transforms import pruned_read
+
+    spark = build_session("wqs-table-read", master=args.master)
+    if args.eq is not None:
+        col, value = args.eq
+        df, report = bloom_point_lookup(spark, args.table, col, value)
+    else:
+        col, lo, hi = args.range
+        df, report = pruned_read(spark, args.table, col, lo, hi)
+    report["rows_matched"] = df.count()
+    print(json.dumps(report))
+    for r in df.limit(args.limit).collect():
+        print(json.dumps(r.asDict(), default=str))
+
+
 TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -219,7 +298,40 @@ def main(argv: list[str] | None = None) -> None:
     e.add_argument("--query", required=True, help="registry query name")
     e.set_defaults(fn=_cmd_explain)
 
+    tw = sub.add_parser(
+        "table-write",
+        help="write a hidden-partitioned table (Iceberg-style transforms + stats manifest)",
+    )
+    tw.add_argument("--input", required=True, help="input parquet dir")
+    tw.add_argument("--out", required=True)
+    tw.add_argument(
+        "--by", required=True,
+        help="comma list of transform:col — day|hour|month|year:ts, bucketN:key, truncN:int_col, truncstrN:str_col",
+    )
+    tw.set_defaults(fn=_cmd_table_write)
+
+    ti = sub.add_parser(
+        "table-index", help="build the per-partition Bloom point-lookup sidecar"
+    )
+    ti.add_argument("--table", required=True)
+    ti.add_argument("--col", required=True)
+    ti.add_argument("--bits-per-row", type=int, default=10)
+    ti.add_argument("--k", type=int, default=5)
+    ti.set_defaults(fn=_cmd_table_index)
+
+    tr = sub.add_parser(
+        "table-read",
+        help="pruned scan: --range col lo hi (manifest min/max) or --eq col value (Bloom)",
+    )
+    tr.add_argument("--table", required=True)
+    tr.add_argument("--range", nargs=3, metavar=("COL", "LO", "HI"))
+    tr.add_argument("--eq", nargs=2, metavar=("COL", "VALUE"))
+    tr.add_argument("--limit", type=int, default=10)
+    tr.set_defaults(fn=_cmd_table_read)
+
     args = p.parse_args(argv)
+    if getattr(args, "fn", None) is _cmd_table_read and bool(args.range) == bool(args.eq):
+        p.error("table-read needs exactly one of --range / --eq")
     args.fn(args)
 
 
