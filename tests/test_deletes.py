@@ -83,3 +83,38 @@ def test_key_cols_pinned(spark, tbl):
             out,
             ["conv_id", "turn_idx"],
         )
+
+
+def test_compaction_crash_windows_recover(spark, tbl, tmp_path):
+    import json
+
+    from wolf_quake_spark.plans.deletes import read_mor as _read_mor
+
+    out, mk = tbl
+    append_equality_deletes(mk([("c1", 0, "")]).select("conv_id"), out, ["conv_id"])
+    before = _rows(read_mor(spark, out))
+
+    # window A: staged orphan, crash BEFORE the journal commit point —
+    # recovery discards it and nothing else changes
+    data_dir = os.path.join(out, "data")
+    spark.createDataFrame([("zzz", 9, "ghost")], "conv_id string, turn_idx int, text string") \
+        .write.parquet(os.path.join(data_dir, "_compacting_seq=40"))
+    assert _rows(read_mor(spark, out)) == before
+    assert not any(d.startswith("_compacting") for d in os.listdir(data_dir))
+
+    # window B/C: verified rewrite staged + journal written, crash before
+    # rename/cleanup — any subsequent read rolls the swap FORWARD exactly
+    # once (no double-counted survivors, seq log bumped, deletes retired)
+    surv = read_mor(spark, out)
+    surv.write.parquet(os.path.join(data_dir, "_compacting_seq=50"))
+    old_dirs = [d for d in os.listdir(data_dir) if d.startswith("seq=")]
+    with open(os.path.join(out, "_compact_journal.json"), "w") as fh:
+        json.dump({"new_seq": 50, "old_dirs": old_dirs}, fh)
+    got = _rows(read_mor(spark, out))
+    assert got == before  # rolled forward, not duplicated
+    assert not os.path.exists(os.path.join(out, "_compact_journal.json"))
+    assert not os.path.isdir(os.path.join(out, "deletes"))
+    assert sorted(d for d in os.listdir(data_dir) if d.startswith("seq=")) == ["seq=50"]
+    # seq counter moved past the recovered rewrite: next append can't collide
+    append_data(mk([("c9", 0, "post")]), out)
+    assert _rows(read_mor(spark, out)) == before | {("c9", 0, "post")}

@@ -112,3 +112,17 @@ def test_zipf_tiebreak_on_term(spark):
     )
     out = zipf_rank_frequency(docs, fit_n=3, top_k=3).orderBy("rank").collect()
     assert [r.term for r in out] == ["a", "b", "c"]
+
+
+def test_vocab_growth_zero_token_prefix_kept_in_curve(spark):
+    # regression: the first half of the corpus (by doc_id) is empty text —
+    # early checkpoints have 0 tokens/vocab and MUST still appear in the
+    # curve (zero-filled), per the documented contract; the fit uses only
+    # the nonzero points.
+    texts = ["", "", "", "", ""] + [f"w{i} common" for i in range(5)]
+    out = vocab_growth_heaps(_docs(spark, texts)).orderBy("ckpt").collect()
+    assert len(out) == 10
+    assert [r.n_tokens for r in out[:5]] == [0] * 5
+    assert [r.vocab for r in out[:5]] == [0] * 5
+    assert out[-1].vocab == 6  # w0..w4 + "common"
+    assert all(r.beta == out[0].beta for r in out)

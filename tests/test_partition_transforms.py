@@ -135,3 +135,20 @@ def test_pruned_read_spec_order_not_alphabetical(spark, events, tmp_path):
     assert {r["event_id"] for r in got.collect()} == {
         r["event_id"] for r in want.collect()
     }
+
+
+def test_pruned_read_string_stats_stay_lexical(spark, tmp_path):
+    # regression: all-digits STRING column. Lexical stats of {"12","30","9"}
+    # are min="12", max="9"; a parse-as-number heuristic would compare
+    # 12.0 > 5.0 and wrongly prune the partition even though "30" is
+    # lexically inside ["2","5"] and the residual filter would match it.
+    df = spark.createDataFrame(
+        [("12", 1), ("30", 2), ("9", 3)], "code string, v long"
+    )
+    out = str(tmp_path / "strstats")
+    write_hidden_partitioned(
+        df, out, [PartitionSpec("vb", "code", bucket(1, "code"))]
+    )
+    got, report = pruned_read(spark, out, "code", "2", "5")
+    assert report["partitions_read"] == 1  # NOT pruned
+    assert sorted(r["code"] for r in got.collect()) == ["30"]

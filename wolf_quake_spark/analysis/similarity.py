@@ -544,9 +544,14 @@ def kmeans_assign(
         a = assign(cents).persist(StorageLevel.DISK_ONLY)
         sig_row = a.agg(
             # decimal(38) sum: full-range xxhash64 values overflow a BIGINT
-            # sum under ANSI mode; decimal stays exact to ~10^19 rows
+            # sum under ANSI mode; decimal stays exact to ~10^19 rows.
+            # The signature must be ORDER-INSENSITIVE AND EXACT: a float
+            # cost sum (cos-metric dist is a double) can differ between
+            # bit-identical assignment rounds just from partial-agg combine
+            # order, silently defeating the early exit — so the probe is
+            # the exact hash sum plus the exact row count, nothing float.
             F.sum(F.xxhash64("vec_id", "cent_id").cast("decimal(38,0)")).alias("s"),
-            F.sum("dist").alias("c"),
+            F.count("*").alias("c"),
         ).collect()[0]
         sig = (sig_row["s"], sig_row["c"])
         if sig == prev_sig:

@@ -39,20 +39,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-_HEX = "0123456789abcdef"
-
-
-def _nib(h: Column, i: int) -> Column:
-    """Value of hex digit ``i`` (0-based) of hex string ``h``."""
-    return F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1
-
-
-def _fold(h: Column, start: int, n: int) -> Column:
-    """Fold ``n`` hex nibbles of ``h`` from ``start`` into a BIGINT."""
-    acc = _nib(h, start).cast("long")
-    for i in range(start + 1, start + n):
-        acc = acc * 16 + _nib(h, i)
-    return acc
+# canonical portable fold lives in portable_hash (one definition repo-wide)
+from wolf_quake_spark.portable_hash import HEX as _HEX  # noqa: F401
+from wolf_quake_spark.portable_hash import fold as _fold
+from wolf_quake_spark.portable_hash import nib as _nib  # noqa: F401
 
 
 def hll_distinct(

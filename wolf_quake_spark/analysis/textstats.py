@@ -850,7 +850,7 @@ def vocab_growth_heaps(
     )
     tj = (
         dt.join(F.broadcast(ck), dt["rnk"] <= ck["n_docs"])
-        .groupBy("ckpt", "n_docs")
+        .groupBy("ckpt")
         .agg(F.sum("nt").alias("n_tokens"))
     )
     vj = (
@@ -858,10 +858,19 @@ def vocab_growth_heaps(
         .groupBy("ckpt")
         .agg(F.count("*").alias("vocab"))
     )
-    # both sides are ≤ n_checkpoints rows — never let stats-blind planning
-    # sort-merge a 10-row join
-    curve = tj.join(F.broadcast(vj), "ckpt").select(
-        "ckpt", "n_docs", "n_tokens", "vocab"
+    # anchor on ck (always exactly J rows) and LEFT-join the aggregates —
+    # a checkpoint whose doc prefix has zero tokens must stay in the curve
+    # (zero-filled), per the contract above; all sides are ≤ n_checkpoints
+    # rows, so broadcast — never sort-merge a 10-row join
+    curve = (
+        ck.join(F.broadcast(tj), "ckpt", "left")
+        .join(F.broadcast(vj), "ckpt", "left")
+        .select(
+            "ckpt",
+            "n_docs",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("vocab"), F.lit(0)).alias("vocab"),
+        )
     )
     pts = curve.filter((F.col("n_tokens") > 0) & (F.col("vocab") > 0)).select(
         F.log(F.col("n_tokens").cast("double")).alias("x"),
@@ -918,16 +927,20 @@ def vocab_growth_heaps_sql(table: str = "documents", n_checkpoints: int = 10) ->
       FROM UNNEST(range(1, {n_checkpoints} + 1)) AS u(j), nrow
     ),
     tj AS (
-      SELECT ckpt, n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
-      FROM dt JOIN ck ON dt.rnk <= ck.n_docs GROUP BY ckpt, n_docs
+      SELECT ckpt, CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM dt JOIN ck ON dt.rnk <= ck.n_docs GROUP BY ckpt
     ),
     vj AS (
       SELECT ckpt, CAST(COUNT(*) AS BIGINT) AS vocab
       FROM fr JOIN ck ON fr.fr <= ck.n_docs GROUP BY ckpt
     ),
     curve AS (
-      SELECT tj.ckpt, tj.n_docs, tj.n_tokens, vj.vocab
-      FROM tj JOIN vj ON tj.ckpt = vj.ckpt
+      -- anchor on ck so zero-token checkpoints stay in the curve
+      SELECT ck.ckpt, ck.n_docs,
+             COALESCE(tj.n_tokens, 0) AS n_tokens,
+             COALESCE(vj.vocab, 0) AS vocab
+      FROM ck LEFT JOIN tj ON ck.ckpt = tj.ckpt
+              LEFT JOIN vj ON ck.ckpt = vj.ckpt
     ),
     pts AS (
       SELECT ln(CAST(n_tokens AS DOUBLE)) AS x, ln(CAST(vocab AS DOUBLE)) AS y

@@ -90,14 +90,10 @@ def bloom_words_frame(
 
 def bloom_words_sql(m: int, k: int, col: str, part_sql: str, table: str) -> str:
     """DuckDB mirror of ``bloom_words_frame`` (same portable hash)."""
-    from wolf_quake_spark.plans.partition_transforms import _HEX
+    from wolf_quake_spark.portable_hash import fold_sql
 
     def fold(seed: int) -> str:
-        h = f"md5('bf{seed}|' || CAST({col} AS VARCHAR))"
-        nib = lambda i: f"(strpos('{_HEX}', substr({h}, {i + 1}, 1)) - 1)"  # noqa: E731
-        acc = nib(0)
-        for i in range(1, 8):
-            acc = f"({acc} * 16 + {nib(i)})"
+        acc = fold_sql(f"md5('bf{seed}|' || CAST({col} AS VARCHAR))", 0, 8)
         return f"({acc} % {m})"
 
     hashes = ", ".join(f"({fold(i)})" for i in range(k))

@@ -56,6 +56,7 @@ def _dump(table_dir: str, state: dict) -> None:
 
 def append_data(df: DataFrame, table_dir: str) -> int:
     """Append a data file set at the next sequence number."""
+    _recover(table_dir)
     state = _load(table_dir)
     seq = state["last_seq"] + 1
     df.write.mode("errorifexists").parquet(
@@ -71,6 +72,7 @@ def append_equality_deletes(
 ) -> int:
     """Commit an equality-delete file: kills every matching data row with
     a lower sequence number.  Key columns are pinned on first use."""
+    _recover(table_dir)
     state = _load(table_dir)
     if state["key_cols"] is None:
         state["key_cols"] = key_cols
@@ -88,7 +90,10 @@ def append_equality_deletes(
 def read_mor(spark: SparkSession, table_dir: str) -> DataFrame:
     """Merge-on-read scan: data minus sequence-applicable equality
     deletes.  The delete relation is max-seq-per-key then broadcast, so
-    the data side never shuffles."""
+    the data side never shuffles.  Rolls any interrupted compaction
+    forward first (single-writer assumption) so survivors are never seen
+    twice."""
+    _recover(table_dir)
     data_dir = os.path.join(table_dir, "data")
     data = spark.read.option("basePath", data_dir).parquet(data_dir)
     del_dir = os.path.join(table_dir, "deletes")
@@ -107,28 +112,77 @@ def read_mor(spark: SparkSession, table_dir: str) -> DataFrame:
     ).drop("_del_seq", "seq")
 
 
+JOURNAL = "_compact_journal.json"
+
+
+def _recover(table_dir: str) -> None:
+    """Finish or discard an interrupted compaction (single-writer).
+
+    Crash windows (the journal is the commit point, written only after the
+    rewrite is row-count-verified):
+
+    * no journal + an ``_compacting_seq=`` orphan → the crash predates the
+      commit point: remove the orphan, nothing else changed.
+    * journal present → roll FORWARD: rename the staged dir into place if
+      that hadn't happened yet (underscore prefix keeps it invisible to
+      readers until this moment), then retire the journal's old data dirs
+      and the delete dir, bump the seq log, drop the journal.  Every step
+      is idempotent, so recovery itself may crash and rerun.
+    """
+    data_dir = os.path.join(table_dir, "data")
+    jpath = os.path.join(table_dir, JOURNAL)
+    if not os.path.exists(jpath):
+        if os.path.isdir(data_dir):
+            for d in os.listdir(data_dir):
+                if d.startswith("_compacting_seq="):
+                    shutil.rmtree(os.path.join(data_dir, d))
+        return
+    with open(jpath) as fh:
+        j = json.load(fh)
+    staged = os.path.join(data_dir, f"_compacting_seq={j['new_seq']}")
+    final = os.path.join(data_dir, f"seq={j['new_seq']}")
+    if os.path.isdir(staged) and not os.path.isdir(final):
+        os.rename(staged, final)
+    for d in j["old_dirs"]:
+        p = os.path.join(data_dir, d)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    del_dir = os.path.join(table_dir, "deletes")
+    if os.path.isdir(del_dir):
+        shutil.rmtree(del_dir)
+    state = _load(table_dir)
+    if state["last_seq"] < j["new_seq"]:
+        state["last_seq"] = j["new_seq"]
+        _dump(table_dir, state)
+    os.remove(jpath)
+
+
 def compact_deletes(spark: SparkSession, table_dir: str) -> dict:
     """Materialize the MoR view as one new data append, then retire the
-    old data files and all delete files.  The rewrite is verified by row
-    count before anything is removed (same crash-ordering discipline as
-    plans/compact.py: new files land first, originals go last)."""
+    old data files and all delete files.
+
+    Crash-safe via a journaled swap (plans/compact.py discipline): the
+    rewrite lands in an underscore-staged dir Spark readers ignore, is
+    row-count-verified, then a journal commits the swap; ``_recover``
+    (run here and by ``read_mor``) rolls an interrupted swap forward so
+    readers can never see survivors twice and the seq counter can never
+    collide with a half-finished rewrite."""
+    _recover(table_dir)
     survivors = read_mor(spark, table_dir)
     n_before = survivors.count()
     state = _load(table_dir)
     seq = state["last_seq"] + 1
-    out = os.path.join(table_dir, "data", f"seq={seq}")
-    survivors.write.mode("errorifexists").parquet(out)
-    n_after = spark.read.parquet(out).count()
-    if n_after != n_before:
-        shutil.rmtree(out)
-        raise RuntimeError(f"compaction row mismatch {n_before} != {n_after}")
     data_dir = os.path.join(table_dir, "data")
-    for d in os.listdir(data_dir):
-        if d.startswith("seq=") and d != f"seq={seq}":
-            shutil.rmtree(os.path.join(data_dir, d))
-    del_dir = os.path.join(table_dir, "deletes")
-    if os.path.isdir(del_dir):
-        shutil.rmtree(del_dir)
-    state["last_seq"] = seq
-    _dump(table_dir, state)
+    staged = os.path.join(data_dir, f"_compacting_seq={seq}")
+    survivors.write.mode("overwrite").parquet(staged)
+    n_after = spark.read.parquet(staged).count()
+    if n_after != n_before:
+        shutil.rmtree(staged)
+        raise RuntimeError(f"compaction row mismatch {n_before} != {n_after}")
+    old_dirs = [
+        d for d in os.listdir(data_dir) if d.startswith("seq=")
+    ]
+    with open(os.path.join(table_dir, JOURNAL), "w") as fh:
+        json.dump({"new_seq": seq, "old_dirs": old_dirs}, fh)
+    _recover(table_dir)  # roll the committed swap forward
     return {"rows": n_after, "data_seq": seq}

@@ -44,18 +44,12 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_HEX = "0123456789abcdef"
-
-
-def _nib(h: Column, i: int) -> Column:
-    return F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1
-
-
-def _fold(h: Column, start: int, n: int) -> Column:
-    acc = _nib(h, start).cast("long")
-    for i in range(start + 1, start + n):
-        acc = acc * 16 + _nib(h, i)
-    return acc
+# canonical portable fold lives in portable_hash (one definition repo-wide);
+# the old private names stay importable for existing call sites
+from wolf_quake_spark.portable_hash import HEX as _HEX  # noqa: F401
+from wolf_quake_spark.portable_hash import fold as _fold
+from wolf_quake_spark.portable_hash import fold_sql as _fold_sql
+from wolf_quake_spark.portable_hash import nib as _nib  # noqa: F401
 
 
 def bucket(n: int, col: str) -> Column:
@@ -96,11 +90,7 @@ def hours(col: str) -> Column:
 
 # DuckDB mirrors (for oracle-paired transform-value queries)
 def bucket_sql(n: int, col: str) -> str:
-    h = f"md5('bkt' || CAST({col} AS VARCHAR))"
-    nib = lambda i: f"(strpos('{_HEX}', substr({h}, {i + 1}, 1)) - 1)"  # noqa: E731
-    fold = nib(0)
-    for i in range(1, 8):
-        fold = f"({fold} * 16 + {nib(i)})"
+    fold = _fold_sql(f"md5('bkt' || CAST({col} AS VARCHAR))", 0, 8)
     return (
         f"CASE WHEN {col} IS NULL THEN NULL "
         f"ELSE CAST({fold} % {n} AS INTEGER) END"
@@ -157,8 +147,16 @@ def write_hidden_partitioned(
         aggs.append(F.min(p.source).cast("string").alias(f"min_{p.source}"))
         aggs.append(F.max(p.source).cast("string").alias(f"max_{p.source}"))
     stats = derived.groupBy(*part_cols).agg(*aggs).collect()
+    numeric = {
+        p.source: df.schema[p.source].dataType.typeName()
+        in ("byte", "short", "integer", "long", "float", "double", "decimal")
+        for p in spec
+    }
     manifest = {
-        "spec": [{"name": p.name, "source": p.source} for p in spec],
+        "spec": [
+            {"name": p.name, "source": p.source, "numeric": numeric[p.source]}
+            for p in spec
+        ],
         "partitions": [
             {
                 "values": {c: (None if r[c] is None else str(r[c])) for c in part_cols},
@@ -203,19 +201,24 @@ def pruned_read(
     The directory selection is manifest-driven (driver-side metadata only,
     like Iceberg scan planning); the data read is basePath-anchored so the
     partition columns stay available.  Stats are stored as canonical
-    strings in the JSON manifest; pruning compares them numerically when
-    both sides parse as numbers, lexically otherwise (ISO timestamps and
-    dates order correctly as strings).
+    strings in the JSON manifest, compared by the SOURCE COLUMN'S TYPE
+    recorded at write time: numeric columns numerically, everything else
+    lexically (ISO timestamps/dates order correctly as strings, and
+    string-column stats are lexical min/max, so a numeric-looking string
+    value like an all-digits id must be compared lexically — a
+    parseability heuristic would prune partitions the residual filter
+    would have matched).
     """
-
-    def key(v: str):
-        try:
-            return (0, float(v), "")
-        except (TypeError, ValueError):
-            return (1, 0.0, v)
-
     with open(os.path.join(out_dir, MANIFEST)) as fh:
         manifest = json.load(fh)
+    spec_row = next(s for s in manifest["spec"] if s["source"] == source_col)
+    # older manifests (pre-"numeric") fall back to lexical — never unsound,
+    # only potentially under-pruning for numeric columns
+    is_num = bool(spec_row.get("numeric", False))
+
+    def key(v: str):
+        return float(v) if is_num else v
+
     klo, khi = key(lo), key(hi)
     keep = []
     for part in manifest["partitions"]:
