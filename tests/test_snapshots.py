@@ -1,0 +1,142 @@
+"""Snapshot table (plans/snapshots.py): copy-on-write MERGE rewrites only
+affected files, time travel, snapshot expiry + orphan GC, and the
+write-audit-publish staging flow."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wolf_quake_spark.plans.snapshots import (
+    append,
+    audit,
+    create_table,
+    drop_staged,
+    expire_snapshots,
+    gc_orphans,
+    merge_cow,
+    publish,
+    read_snapshot,
+    stage_append,
+)
+
+SCHEMA = "conv_id string, turn_idx int, text string"
+
+
+def _rows(df):
+    return {tuple(r) for r in df.select("conv_id", "turn_idx", "text").collect()}
+
+
+def _data_files(table_dir):
+    return sorted(
+        f for f in os.listdir(os.path.join(table_dir, "data")) if f.endswith(".parquet")
+    )
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    """Two single-file commits so the file→key mapping is deterministic:
+    file A holds c1/c2 (snapshot 1), file B holds c3/c4 (snapshot 2)."""
+    out = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, SCHEMA).coalesce(1)  # noqa: E731
+    create_table(mk([("c1", 0, "a"), ("c2", 0, "b")]), out, ["conv_id", "turn_idx"])
+    append(mk([("c3", 0, "c"), ("c4", 0, "d")]), out)
+    return out, mk
+
+
+def test_create_append_read(spark, tbl):
+    out, _ = tbl
+    assert _rows(read_snapshot(spark, out)) == {
+        ("c1", 0, "a"),
+        ("c2", 0, "b"),
+        ("c3", 0, "c"),
+        ("c4", 0, "d"),
+    }
+    # snapshot 1 predates the append
+    assert _rows(read_snapshot(spark, out, 1)) == {("c1", 0, "a"), ("c2", 0, "b")}
+
+
+def test_merge_upserts_and_rewrites_only_affected_files(spark, tbl):
+    out, mk = tbl
+    # c3 exists (update), c9 doesn't (insert) — both keys live in file B
+    res = merge_cow(spark, out, mk([("c3", 0, "c-v2"), ("c9", 0, "new")]))
+    assert res["rewritten"] == 1  # file B only
+    assert res["kept"] == 1  # file A carried by reference
+    assert _rows(read_snapshot(spark, out)) == {
+        ("c1", 0, "a"),
+        ("c2", 0, "b"),
+        ("c3", 0, "c-v2"),
+        ("c4", 0, "d"),
+        ("c9", 0, "new"),
+    }
+    # time travel: the pre-merge snapshot still reads the old value
+    assert ("c3", 0, "c") in _rows(read_snapshot(spark, out, 2))
+
+
+def test_merge_with_no_matches_is_pure_insert(spark, tbl):
+    out, mk = tbl
+    res = merge_cow(spark, out, mk([("c8", 1, "x")]))
+    assert res["rewritten"] == 0
+    assert ("c8", 1, "x") in _rows(read_snapshot(spark, out))
+
+
+def test_expire_then_gc_reclaims_unshared_files_only(spark, tbl):
+    out, mk = tbl
+    merge_cow(spark, out, mk([("c3", 0, "c-v2")]))  # snapshot 3 rewrites file B
+    before = set(_data_files(out))
+    expired = expire_snapshots(out, keep_last=1)
+    assert expired == [1, 2]
+    removed = gc_orphans(out)
+    # old file B (referenced only by snapshots 1-2) is gone; file A is
+    # shared with the current snapshot and must survive
+    assert len(removed) == 1
+    assert set(_data_files(out)) == before - set(removed)
+    assert _rows(read_snapshot(spark, out)) == {
+        ("c1", 0, "a"),
+        ("c2", 0, "b"),
+        ("c3", 0, "c-v2"),
+        ("c4", 0, "d"),
+    }
+    with pytest.raises(KeyError):
+        read_snapshot(spark, out, 1)
+
+
+def test_wap_staged_invisible_until_publish(spark, tbl):
+    out, mk = tbl
+    live_before = _rows(read_snapshot(spark, out))
+    sid = stage_append(mk([("c5", 0, "e")]), out)
+    assert _rows(read_snapshot(spark, out)) == live_before  # still invisible
+    assert ("c5", 0, "e") in _rows(read_snapshot(spark, out, sid))  # by id: visible
+
+    rep = audit(
+        spark,
+        out,
+        sid,
+        [lambda df: df.count() == 5, lambda df: df.where(F.col("text").isNull()).count() == 0],
+    )
+    assert rep["passed"]
+    publish(out, sid)
+    assert ("c5", 0, "e") in _rows(read_snapshot(spark, out))
+    with pytest.raises(ValueError):
+        publish(out, sid)  # double-publish guard
+
+
+def test_wap_failed_audit_drops_and_gc_reclaims(spark, tbl):
+    out, mk = tbl
+    live_before = _rows(read_snapshot(spark, out))
+    files_before = set(_data_files(out))
+    sid = stage_append(mk([("c6", 0, None)]), out)
+
+    def no_null_text(df):
+        return df.where(F.col("text").isNull()).count() == 0
+
+    rep = audit(spark, out, sid, [no_null_text])
+    assert not rep["passed"]
+    assert rep["results"]["no_null_text"] is False
+    drop_staged(out, sid)
+    removed = gc_orphans(out)
+    assert len(removed) == 1  # the staged file, nothing else
+    assert set(_data_files(out)) == files_before
+    assert _rows(read_snapshot(spark, out)) == live_before

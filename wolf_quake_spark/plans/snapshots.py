@@ -1,0 +1,311 @@
+"""Iceberg-style snapshot table: copy-on-write MERGE, snapshot expiry,
+orphan-file GC, and write-audit-publish staging.
+
+This completes the emulated table-format story (``plans/deletes.py`` covers
+the merge-on-READ path; this module is the copy-on-WRITE dual plus the
+maintenance jobs Iceberg ships as procedures).  Same emulation convention
+as the rest of ``plans/``: the container has no Iceberg runtime jars, so
+data lives as immutable parquet files under ``data/`` and the snapshot log
+is a JSON file — while the SEMANTICS follow the Iceberg spec:
+
+* A **snapshot** is an immutable list of data-file names plus a parent
+  pointer (spec §Snapshots).  Readers resolve the current snapshot (or any
+  retained historical one — time travel) and read exactly its files;
+  writers never mutate a data file in place.
+* **Copy-on-write MERGE** (upsert): only the data files that actually
+  contain a matching key are rewritten; every untouched file is carried
+  into the child snapshot by reference.  At 10^12 turns, merging 10^5
+  late-arriving conversation fixups rewrites a handful of files, not the
+  table.  File-level pruning is a LEFT SEMI join of the scan against the
+  (broadcast) source keys aggregated to DISTINCT file names — the driver
+  collects file NAMES only (metadata-scale, bounded by the file count,
+  never row data).
+* **Snapshot expiry** (spec: ``expire_snapshots``): drop old snapshot
+  entries from the log, keeping the last N.  Pure metadata — no data file
+  is touched; files shared with retained snapshots stay referenced.
+* **Orphan-file GC** (spec: ``remove_orphan_files``): delete data files no
+  retained snapshot references.  The referenced set is a union over the
+  retained snapshots' file lists (driver-side metadata), so GC cost is
+  proportional to file count, not table bytes.
+* **Write-audit-publish** (Iceberg WAP pattern): ``stage_append`` commits
+  a snapshot flagged ``staged`` that default reads ignore; ``audit`` runs
+  caller checks against that snapshot in isolation; ``publish`` flips the
+  current pointer only after the audit passed.  A failed audit leaves the
+  staged files for GC and the live table untouched.
+
+Crash discipline: every metadata write is tmp + ``os.replace`` (atomic on
+POSIX), and data files are moved into ``data/`` BEFORE the snapshot that
+references them commits — a crash between the two leaves orphan files
+(reclaimed by GC), never a snapshot pointing at missing files.
+
+Reference parity: beyond-reference surface (wolf_quake reads one immutable
+log file, ``reference/src/main.rs``); driven by the north rule's "Iceberg
+tables ... resumable ... lineage" framing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+SNAP_LOG = "_snapshots.json"
+
+
+def _log_path(table_dir: str) -> str:
+    return os.path.join(table_dir, SNAP_LOG)
+
+
+def _load(table_dir: str) -> dict:
+    try:
+        with open(_log_path(table_dir)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {"current_id": None, "last_id": 0, "key_cols": None, "snapshots": []}
+
+
+def _dump(table_dir: str, state: dict) -> None:
+    os.makedirs(table_dir, exist_ok=True)
+    tmp = _log_path(table_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh, indent=1, sort_keys=True)
+    os.replace(tmp, _log_path(table_dir))
+
+
+def _snap(state: dict, snapshot_id: int) -> dict:
+    for s in state["snapshots"]:
+        if s["id"] == snapshot_id:
+            return s
+    raise KeyError(f"unknown or expired snapshot id {snapshot_id}")
+
+
+def _land_files(df: DataFrame, table_dir: str, snapshot_id: int) -> list[str]:
+    """Write ``df`` to a staging dir, then move its part files into
+    ``data/`` under unique deterministic names.  Files land before the
+    snapshot that references them commits (crash ⇒ orphans, never a
+    dangling snapshot)."""
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    staging = os.path.join(table_dir, f"_staging_{snapshot_id}")
+    df.write.mode("overwrite").parquet(staging)
+    names = []
+    parts = sorted(
+        f for f in os.listdir(staging) if f.endswith(".parquet") and not f.startswith(".")
+    )
+    for i, part in enumerate(parts):
+        name = f"snap{snapshot_id:06d}-{i:05d}.parquet"
+        os.replace(os.path.join(staging, part), os.path.join(data_dir, name))
+        names.append(name)
+    shutil.rmtree(staging)
+    return names
+
+
+def _commit(
+    table_dir: str,
+    state: dict,
+    files: list[str],
+    operation: str,
+    *,
+    staged: bool = False,
+    parent: int | None = None,
+    summary: dict | None = None,
+) -> int:
+    sid = state["last_id"] + 1
+    state["last_id"] = sid
+    state["snapshots"].append(
+        {
+            "id": sid,
+            "parent": parent if parent is not None else state["current_id"],
+            "ts": time.time(),
+            "operation": operation,
+            "staged": staged,
+            "files": sorted(files),
+            "summary": summary or {},
+        }
+    )
+    if not staged:
+        state["current_id"] = sid
+    _dump(table_dir, state)
+    return sid
+
+
+def create_table(df: DataFrame, table_dir: str, key_cols: list[str]) -> int:
+    """Initialize the table with snapshot 1.  ``key_cols`` is the MERGE
+    identity, pinned for the table's lifetime."""
+    if os.path.exists(_log_path(table_dir)):
+        raise FileExistsError(f"table already exists at {table_dir}")
+    state = _load(table_dir)
+    state["key_cols"] = key_cols
+    files = _land_files(df, table_dir, state["last_id"] + 1)
+    return _commit(table_dir, state, files, "create", summary={"added": len(files)})
+
+
+def append(df: DataFrame, table_dir: str) -> int:
+    """Fast append: child snapshot = parent files + the new files.  No
+    existing file is read or rewritten (Iceberg append semantics)."""
+    state = _load(table_dir)
+    cur = _snap(state, state["current_id"])
+    new = _land_files(df, table_dir, state["last_id"] + 1)
+    return _commit(
+        table_dir, state, cur["files"] + new, "append", summary={"added": len(new)}
+    )
+
+
+def _read_files(spark: SparkSession, table_dir: str, files: list[str]) -> DataFrame:
+    data_dir = os.path.join(table_dir, "data")
+    return spark.read.parquet(*[os.path.join(data_dir, f) for f in files])
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read the current snapshot, or time-travel to a retained historical
+    (or staged) one by id.  Staged snapshots are invisible to the default
+    read — that's the WAP isolation."""
+    state = _load(table_dir)
+    sid = state["current_id"] if snapshot_id is None else snapshot_id
+    if sid is None:
+        raise ValueError("table has no committed snapshot")
+    return _read_files(spark, table_dir, _snap(state, sid)["files"])
+
+
+def merge_cow(spark: SparkSession, table_dir: str, source: DataFrame) -> dict:
+    """Copy-on-write MERGE (upsert by the table's pinned key columns):
+    ``WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
+
+    Plan shape (the 100 TB argument):
+
+    1. file-level pruning — scan ∪ files, LEFT SEMI vs the broadcast
+       source keys, aggregate to DISTINCT ``input_file_name``; only file
+       NAMES reach the driver.
+    2. rewrite ONLY the affected files: their rows LEFT ANTI the source
+       keys (survivors), union the full source (updates + inserts).
+    3. child snapshot = (parent files − affected) ∪ rewritten files.
+
+    Untouched files are carried by reference — a merge touching 0.01% of
+    keys rewrites ~0.01% of the table.  Old files stay for time travel
+    until expiry + GC reclaim them.
+    """
+    state = _load(table_dir)
+    keys = state["key_cols"]
+    cur = _snap(state, state["current_id"])
+    src_keys = source.select(*keys).distinct()
+
+    data_dir = os.path.join(table_dir, "data")
+    scan = _read_files(spark, table_dir, cur["files"]).withColumn(
+        "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    affected = sorted(
+        r["_file"]
+        for r in scan.join(broadcast(src_keys), on=keys, how="left_semi")
+        .select("_file")
+        .distinct()
+        .collect()  # file NAMES only — metadata-scale, never row data
+    )
+
+    if affected:
+        survivors = (
+            spark.read.parquet(*[os.path.join(data_dir, f) for f in affected])
+            .join(broadcast(src_keys), on=keys, how="left_anti")
+        )
+        rewritten = survivors.unionByName(source.select(*survivors.columns))
+    else:
+        rewritten = source
+    new_files = _land_files(rewritten, table_dir, state["last_id"] + 1)
+    kept = [f for f in cur["files"] if f not in set(affected)]
+    summary = {"rewritten": len(affected), "added": len(new_files), "kept": len(kept)}
+    sid = _commit(table_dir, state, kept + new_files, "merge", summary=summary)
+    return {"snapshot_id": sid, **summary}
+
+
+def expire_snapshots(table_dir: str, keep_last: int) -> list[int]:
+    """Retire all but the newest ``keep_last`` snapshots from the log
+    (the current and any staged snapshot are always retained).  Pure
+    metadata; data files shared with retained snapshots remain referenced
+    and GC will not touch them.  Returns the expired ids."""
+    state = _load(table_dir)
+    ordered = sorted(state["snapshots"], key=lambda s: s["id"])
+    keep_ids = {s["id"] for s in ordered[-keep_last:]} if keep_last > 0 else set()
+    if state["current_id"] is not None:
+        keep_ids.add(state["current_id"])
+    keep_ids |= {s["id"] for s in ordered if s["staged"]}
+    expired = [s["id"] for s in ordered if s["id"] not in keep_ids]
+    state["snapshots"] = [s for s in ordered if s["id"] in keep_ids]
+    _dump(table_dir, state)
+    return expired
+
+
+def gc_orphans(table_dir: str) -> list[str]:
+    """Delete data files no retained snapshot (live or staged) references
+    — expired-snapshot leftovers and crash orphans.  Driver-side metadata
+    diff + local deletes; cost ∝ file count."""
+    state = _load(table_dir)
+    referenced: set[str] = set()
+    for s in state["snapshots"]:
+        referenced.update(s["files"])
+    data_dir = os.path.join(table_dir, "data")
+    removed = []
+    if os.path.isdir(data_dir):
+        for f in sorted(os.listdir(data_dir)):
+            if f.endswith(".parquet") and f not in referenced:
+                os.remove(os.path.join(data_dir, f))
+                removed.append(f)
+    return removed
+
+
+def stage_append(df: DataFrame, table_dir: str) -> int:
+    """WAP step 1 — WRITE: commit the append as a STAGED snapshot.  Its
+    files are fully landed and readable via ``read_snapshot(sid)``, but
+    the current pointer does not move; default readers see nothing."""
+    state = _load(table_dir)
+    cur = _snap(state, state["current_id"])
+    new = _land_files(df, table_dir, state["last_id"] + 1)
+    return _commit(
+        table_dir,
+        state,
+        cur["files"] + new,
+        "append",
+        staged=True,
+        summary={"added": len(new)},
+    )
+
+
+def audit(
+    spark: SparkSession, table_dir: str, snapshot_id: int, checks: list
+) -> dict:
+    """WAP step 2 — AUDIT: run caller checks against the staged snapshot.
+    Each check is ``fn(DataFrame) -> bool`` (named by ``fn.__name__``).
+    Returns ``{"passed": bool, "results": {name: bool}}``; never mutates
+    the table."""
+    df = read_snapshot(spark, table_dir, snapshot_id)
+    results = {c.__name__: bool(c(df)) for c in checks}
+    return {"passed": all(results.values()), "results": results}
+
+
+def publish(table_dir: str, snapshot_id: int) -> None:
+    """WAP step 3 — PUBLISH: atomically flip the current pointer to the
+    audited snapshot.  Refuses to publish a snapshot that isn't staged
+    (double-publish guard)."""
+    state = _load(table_dir)
+    snap = _snap(state, snapshot_id)
+    if not snap["staged"]:
+        raise ValueError(f"snapshot {snapshot_id} is not staged")
+    snap["staged"] = False
+    state["current_id"] = snapshot_id
+    _dump(table_dir, state)
+
+
+def drop_staged(table_dir: str, snapshot_id: int) -> None:
+    """Abandon a staged snapshot after a failed audit: remove its log
+    entry; its unshared files become orphans for :func:`gc_orphans`."""
+    state = _load(table_dir)
+    snap = _snap(state, snapshot_id)
+    if not snap["staged"]:
+        raise ValueError(f"snapshot {snapshot_id} is not staged")
+    state["snapshots"] = [s for s in state["snapshots"] if s["id"] != snapshot_id]
+    _dump(table_dir, state)
