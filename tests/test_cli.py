@@ -94,3 +94,43 @@ def test_cli_table_write_index_read(spark, tmp_path, capsys):
 def test_cli_table_read_requires_exactly_one_mode(spark, tmp_path):
     with pytest.raises(SystemExit):
         main(["table-read", "--table", str(tmp_path)])
+
+
+def test_cli_snapshot_lifecycle(spark, tmp_path, capsys):
+    import json
+
+    from wolf_quake_spark.cli import main
+
+    base = str(tmp_path / "base")
+    upd = str(tmp_path / "upd")
+    tbl = str(tmp_path / "snaptbl")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.limit(20).coalesce(1).write.parquet(base)
+    spark.read.parquet(base).limit(3).coalesce(1).write.parquet(upd)
+
+    main(["snapshot", "create", "--table", tbl, "--input", base, "--keys", "doc_id"])
+    sid1 = json.loads(capsys.readouterr().out)["snapshot_id"]
+    main(["snapshot", "merge", "--table", tbl, "--input", upd])
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["rewritten"] == 1  # single-file table: the one file rewrote
+    main(["snapshot", "read", "--table", tbl, "--limit", "0"])
+    assert json.loads(capsys.readouterr().out.splitlines()[0])["rows"] == 20
+    # time travel to the pre-merge snapshot still works
+    main(["snapshot", "read", "--table", tbl, "--snapshot-id", str(sid1), "--limit", "0"])
+    assert json.loads(capsys.readouterr().out.splitlines()[0])["rows"] == 20
+    # WAP: stage is invisible until publish
+    main(["snapshot", "stage", "--table", tbl, "--input", upd])
+    staged = json.loads(capsys.readouterr().out)["staged_snapshot_id"]
+    main(["snapshot", "read", "--table", tbl, "--limit", "0"])
+    assert json.loads(capsys.readouterr().out.splitlines()[0])["rows"] == 20
+    main(["snapshot", "publish", "--table", tbl, "--snapshot-id", str(staged)])
+    capsys.readouterr()
+    main(["snapshot", "read", "--table", tbl, "--limit", "0"])
+    assert json.loads(capsys.readouterr().out.splitlines()[0])["rows"] == 23
+    # expire + gc reclaim the rewritten original file
+    main(["snapshot", "expire", "--table", tbl, "--keep-last", "1"])
+    assert json.loads(capsys.readouterr().out)["expired"]
+    main(["snapshot", "gc", "--table", tbl])
+    assert len(json.loads(capsys.readouterr().out)["removed"]) >= 1
+    main(["snapshot", "read", "--table", tbl, "--limit", "0"])
+    assert json.loads(capsys.readouterr().out.splitlines()[0])["rows"] == 23

@@ -186,6 +186,49 @@ def _cmd_table_read(args: argparse.Namespace) -> None:
         print(json.dumps(r.asDict(), default=str))
 
 
+def _cmd_snapshot(args: argparse.Namespace) -> None:
+    from wolf_quake_spark.plans import snapshots as sn
+
+    act = args.action
+    if act in ("create", "append", "merge", "stage") and not args.input:
+        raise SystemExit(f"snapshot {act} needs --input")
+    if act == "publish" and args.snapshot_id is None:
+        raise SystemExit("snapshot publish needs --snapshot-id")
+    # metadata-only actions never need a JVM
+    if act == "expire":
+        print(json.dumps({"expired": sn.expire_snapshots(args.table, args.keep_last)}))
+        return
+    if act == "gc":
+        print(json.dumps({"removed": sn.gc_orphans(args.table)}))
+        return
+    if act == "publish":
+        sn.publish(args.table, args.snapshot_id)
+        print(json.dumps({"published": args.snapshot_id}))
+        return
+
+    spark = build_session("wqs-snapshot", master=args.master)
+    if act == "create":
+        if not args.keys:
+            raise SystemExit("snapshot create needs --keys")
+        sid = sn.create_table(
+            spark.read.parquet(args.input), args.table, args.keys.split(",")
+        )
+        print(json.dumps({"snapshot_id": sid}))
+    elif act == "append":
+        sid = sn.append(spark.read.parquet(args.input), args.table)
+        print(json.dumps({"snapshot_id": sid}))
+    elif act == "stage":
+        sid = sn.stage_append(spark.read.parquet(args.input), args.table)
+        print(json.dumps({"staged_snapshot_id": sid}))
+    elif act == "merge":
+        print(json.dumps(sn.merge_cow(spark, args.table, spark.read.parquet(args.input))))
+    elif act == "read":
+        df = sn.read_snapshot(spark, args.table, args.snapshot_id)
+        print(json.dumps({"rows": df.count()}))
+        for r in df.limit(args.limit).collect():
+            print(json.dumps(r.asDict(), default=str))
+
+
 TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -328,6 +371,23 @@ def main(argv: list[str] | None = None) -> None:
     tr.add_argument("--eq", nargs=2, metavar=("COL", "VALUE"))
     tr.add_argument("--limit", type=int, default=10)
     tr.set_defaults(fn=_cmd_table_read)
+
+    sp = sub.add_parser(
+        "snapshot",
+        help="snapshot table ops: create/append/merge (copy-on-write upsert)/"
+        "read (time travel)/stage+publish (write-audit-publish)/expire/gc",
+    )
+    sp.add_argument(
+        "action",
+        choices=["create", "append", "merge", "read", "stage", "publish", "expire", "gc"],
+    )
+    sp.add_argument("--table", required=True, help="snapshot table dir")
+    sp.add_argument("--input", default=None, help="parquet dir (create/append/merge/stage)")
+    sp.add_argument("--keys", default=None, help="comma list of merge key cols (create)")
+    sp.add_argument("--snapshot-id", type=int, default=None, help="read/publish target")
+    sp.add_argument("--keep-last", type=int, default=3, help="expire retention")
+    sp.add_argument("--limit", type=int, default=10)
+    sp.set_defaults(fn=_cmd_snapshot)
 
     args = p.parse_args(argv)
     if getattr(args, "fn", None) is _cmd_table_read and bool(args.range) == bool(args.eq):
