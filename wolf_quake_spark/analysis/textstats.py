@@ -891,11 +891,20 @@ def vocab_growth_heaps(
         "sy",
         "m",
     )
+    # + 0.0 normalizes IEEE negative zero: on a vocabulary-saturated corpus
+    # the true beta is exactly 0 and sum-order jitter rounds to ±0.0, which
+    # "%.10g"-style value hashing renders as "0" vs "-0" (a real cross-engine
+    # flake caught at sf0.01); adding +0.0 is exact for every other value
     fit = fit.select(
-        F.round(F.col("_beta"), 6).alias("beta"),
-        F.round(
-            F.exp(F.col("sy") / F.col("m") - F.col("_beta") * F.col("sx") / F.col("m")),
-            6,
+        (F.round(F.col("_beta"), 6) + 0.0).alias("beta"),
+        (
+            F.round(
+                F.exp(
+                    F.col("sy") / F.col("m") - F.col("_beta") * F.col("sx") / F.col("m")
+                ),
+                6,
+            )
+            + 0.0
         ).alias("heaps_k"),
     )
     out = curve.crossJoin(F.broadcast(fit)).select(
@@ -952,9 +961,10 @@ def vocab_growth_heaps_sql(table: str = "documents", n_checkpoints: int = 10) ->
       FROM pts
     ),
     fit AS (
-      SELECT round((sxy - sx * sy / m) / (sxx - sx * sx / m), 6) AS beta,
+      -- + 0.0 normalizes negative zero (see the Spark side)
+      SELECT round((sxy - sx * sy / m) / (sxx - sx * sx / m), 6) + 0.0 AS beta,
              round(exp(sy / m - ((sxy - sx * sy / m) / (sxx - sx * sx / m))
-                               * sx / m), 6) AS heaps_k
+                               * sx / m), 6) + 0.0 AS heaps_k
       FROM agg
     )
     SELECT ckpt, n_docs, n_tokens, vocab, beta, heaps_k
