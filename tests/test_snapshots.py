@@ -64,6 +64,9 @@ def test_merge_upserts_and_rewrites_only_affected_files(spark, tbl):
     res = merge_cow(spark, out, mk([("c3", 0, "c-v2"), ("c9", 0, "new")]))
     assert res["rewritten"] == 1  # file B only
     assert res["kept"] == 1  # file A carried by reference
+    # file A ([c1,c2]) is disjoint from the source bounds [c3,c9] on
+    # conv_id, so footer stats pruned it before any scan
+    assert res["stats_pruned"] == 1
     assert _rows(read_snapshot(spark, out)) == {
         ("c1", 0, "a"),
         ("c2", 0, "b"),

@@ -64,9 +64,17 @@ def _log_path(table_dir: str) -> str:
 def _load(table_dir: str) -> dict:
     try:
         with open(_log_path(table_dir)) as fh:
-            return json.load(fh)
+            state = json.load(fh)
+        state.setdefault("file_stats", {})
+        return state
     except FileNotFoundError:
-        return {"current_id": None, "last_id": 0, "key_cols": None, "snapshots": []}
+        return {
+            "current_id": None,
+            "last_id": 0,
+            "key_cols": None,
+            "snapshots": [],
+            "file_stats": {},
+        }
 
 
 def _dump(table_dir: str, state: dict) -> None:
@@ -84,11 +92,42 @@ def _snap(state: dict, snapshot_id: int) -> dict:
     raise KeyError(f"unknown or expired snapshot id {snapshot_id}")
 
 
-def _land_files(df: DataFrame, table_dir: str, snapshot_id: int) -> list[str]:
+def _footer_stats(path: str, cols: list[str]) -> dict:
+    """Per-file min/max of ``cols`` from the parquet footer (row-group
+    statistics — no data pages read).  This is the Iceberg manifest entry:
+    column bounds recorded once at write time, consulted by every merge.
+    Non-primitive / stats-less columns are simply omitted (⇒ never pruned
+    on, which is always sound)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    idx = {meta.schema.column(i).path: i for i in range(meta.num_columns)}
+    out: dict[str, list] = {}
+    for col in cols:
+        if col not in idx:
+            continue
+        lo = hi = None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None and isinstance(lo, (int, float, str, bool)):
+            out[col] = [lo, hi]
+    return out
+
+
+def _land_files(
+    df: DataFrame, table_dir: str, snapshot_id: int, state: dict | None = None
+) -> list[str]:
     """Write ``df`` to a staging dir, then move its part files into
     ``data/`` under unique deterministic names.  Files land before the
     snapshot that references them commits (crash ⇒ orphans, never a
-    dangling snapshot)."""
+    dangling snapshot).  When ``state`` carries key columns, each landed
+    file's footer min/max for them is recorded in ``file_stats`` — the
+    merge-time pruning index."""
     data_dir = os.path.join(table_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
     staging = os.path.join(table_dir, f"_staging_{snapshot_id}")
@@ -97,10 +136,16 @@ def _land_files(df: DataFrame, table_dir: str, snapshot_id: int) -> list[str]:
     parts = sorted(
         f for f in os.listdir(staging) if f.endswith(".parquet") and not f.startswith(".")
     )
+    key_cols = (state or {}).get("key_cols") or []
     for i, part in enumerate(parts):
         name = f"snap{snapshot_id:06d}-{i:05d}.parquet"
-        os.replace(os.path.join(staging, part), os.path.join(data_dir, name))
+        dest = os.path.join(data_dir, name)
+        os.replace(os.path.join(staging, part), dest)
         names.append(name)
+        if key_cols and state is not None:
+            stats = _footer_stats(dest, key_cols)
+            if stats:
+                state["file_stats"][name] = stats
     shutil.rmtree(staging)
     return names
 
@@ -141,7 +186,7 @@ def create_table(df: DataFrame, table_dir: str, key_cols: list[str]) -> int:
         raise FileExistsError(f"table already exists at {table_dir}")
     state = _load(table_dir)
     state["key_cols"] = key_cols
-    files = _land_files(df, table_dir, state["last_id"] + 1)
+    files = _land_files(df, table_dir, state["last_id"] + 1, state)
     return _commit(table_dir, state, files, "create", summary={"added": len(files)})
 
 
@@ -150,7 +195,7 @@ def append(df: DataFrame, table_dir: str) -> int:
     existing file is read or rewritten (Iceberg append semantics)."""
     state = _load(table_dir)
     cur = _snap(state, state["current_id"])
-    new = _land_files(df, table_dir, state["last_id"] + 1)
+    new = _land_files(df, table_dir, state["last_id"] + 1, state)
     return _commit(
         table_dir, state, cur["files"] + new, "append", summary={"added": len(new)}
     )
@@ -180,33 +225,67 @@ def merge_cow(spark: SparkSession, table_dir: str, source: DataFrame) -> dict:
 
     Plan shape (the 100 TB argument):
 
-    1. file-level pruning — scan ∪ files, LEFT SEMI vs the broadcast
-       source keys, aggregate to DISTINCT ``input_file_name``; only file
-       NAMES reach the driver.
-    2. rewrite ONLY the affected files: their rows LEFT ANTI the source
+    1. stats pruning — candidate files are those whose RECORDED key-column
+       min/max bounds (parquet footer stats captured once at write time,
+       the Iceberg manifest-entry analog) intersect the source keys'
+       bounds.  Driver-side metadata only; files without stats are always
+       candidates (sound).
+    2. exact file-level pruning — scan the CANDIDATE files only, LEFT SEMI
+       vs the broadcast source keys, aggregate to DISTINCT
+       ``input_file_name``; only file NAMES reach the driver.
+    3. rewrite ONLY the affected files: their rows LEFT ANTI the source
        keys (survivors), union the full source (updates + inserts).
-    3. child snapshot = (parent files − affected) ∪ rewritten files.
+    4. child snapshot = (parent files − affected) ∪ rewritten files.
 
     Untouched files are carried by reference — a merge touching 0.01% of
-    keys rewrites ~0.01% of the table.  Old files stay for time travel
-    until expiry + GC reclaim them.
+    keys rewrites ~0.01% of the table, and when the table is key-clustered
+    (the layout its own writer produces) step 2 scans ~0.01% of it too.
+    Old files stay for time travel until expiry + GC reclaim them.
     """
     state = _load(table_dir)
     keys = state["key_cols"]
     cur = _snap(state, state["current_id"])
     src_keys = source.select(*keys).distinct()
 
+    # step 1: key-column bounds of the source (one tiny agg) vs per-file
+    # footer stats — a file is prunable iff SOME key column's ranges are
+    # disjoint (no source tuple can then match any row in the file)
+    bounds = src_keys.agg(
+        *[F.min(k).alias(f"_lo_{k}") for k in keys],
+        *[F.max(k).alias(f"_hi_{k}") for k in keys],
+    ).collect()[0]
+
+    def _candidate(fname: str) -> bool:
+        stats = state["file_stats"].get(fname)
+        if not stats:
+            return True
+        for k in keys:
+            if k not in stats:
+                continue
+            lo, hi = bounds[f"_lo_{k}"], bounds[f"_hi_{k}"]
+            if lo is None or hi is None:
+                continue
+            flo, fhi = stats[k]
+            if fhi < lo or flo > hi:
+                return False
+        return True
+
+    candidates = [f for f in cur["files"] if _candidate(f)]
+
     data_dir = os.path.join(table_dir, "data")
-    scan = _read_files(spark, table_dir, cur["files"]).withColumn(
-        "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
-    )
-    affected = sorted(
-        r["_file"]
-        for r in scan.join(broadcast(src_keys), on=keys, how="left_semi")
-        .select("_file")
-        .distinct()
-        .collect()  # file NAMES only — metadata-scale, never row data
-    )
+    if candidates:
+        scan = _read_files(spark, table_dir, candidates).withColumn(
+            "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        affected = sorted(
+            r["_file"]
+            for r in scan.join(broadcast(src_keys), on=keys, how="left_semi")
+            .select("_file")
+            .distinct()
+            .collect()  # file NAMES only — metadata-scale, never row data
+        )
+    else:
+        affected = []
 
     if affected:
         survivors = (
@@ -216,9 +295,14 @@ def merge_cow(spark: SparkSession, table_dir: str, source: DataFrame) -> dict:
         rewritten = survivors.unionByName(source.select(*survivors.columns))
     else:
         rewritten = source
-    new_files = _land_files(rewritten, table_dir, state["last_id"] + 1)
+    new_files = _land_files(rewritten, table_dir, state["last_id"] + 1, state)
     kept = [f for f in cur["files"] if f not in set(affected)]
-    summary = {"rewritten": len(affected), "added": len(new_files), "kept": len(kept)}
+    summary = {
+        "rewritten": len(affected),
+        "added": len(new_files),
+        "kept": len(kept),
+        "stats_pruned": len(cur["files"]) - len(candidates),
+    }
     sid = _commit(table_dir, state, kept + new_files, "merge", summary=summary)
     return {"snapshot_id": sid, **summary}
 
@@ -255,6 +339,10 @@ def gc_orphans(table_dir: str) -> list[str]:
             if f.endswith(".parquet") and f not in referenced:
                 os.remove(os.path.join(data_dir, f))
                 removed.append(f)
+    if removed:
+        for f in removed:
+            state["file_stats"].pop(f, None)
+        _dump(table_dir, state)
     return removed
 
 
@@ -264,7 +352,7 @@ def stage_append(df: DataFrame, table_dir: str) -> int:
     the current pointer does not move; default readers see nothing."""
     state = _load(table_dir)
     cur = _snap(state, state["current_id"])
-    new = _land_files(df, table_dir, state["last_id"] + 1)
+    new = _land_files(df, table_dir, state["last_id"] + 1, state)
     return _commit(
         table_dir,
         state,
