@@ -66,6 +66,7 @@ def _load(table_dir: str) -> dict:
         with open(_log_path(table_dir)) as fh:
             state = json.load(fh)
         state.setdefault("file_stats", {})
+        state.setdefault("stream_epochs", {})
         return state
     except FileNotFoundError:
         return {
@@ -74,6 +75,7 @@ def _load(table_dir: str) -> dict:
             "key_cols": None,
             "snapshots": [],
             "file_stats": {},
+            "stream_epochs": {},
         }
 
 
@@ -159,7 +161,18 @@ def _commit(
     staged: bool = False,
     parent: int | None = None,
     summary: dict | None = None,
+    stream_epoch: tuple[str, int] | None = None,
 ) -> int:
+    if stream_epoch is not None:
+        # the exactly-once ledger for streaming sinks: the epoch watermark
+        # commits in the SAME atomic metadata write as the snapshot, so a
+        # replayed foreachBatch epoch (crash between sink write and the
+        # streaming checkpoint commit) is detected and skipped.  Monotone
+        # max ⇒ robust to snapshot expiry dropping old summaries.
+        name, epoch = stream_epoch
+        state["stream_epochs"][name] = max(
+            epoch, state["stream_epochs"].get(name, -1)
+        )
     sid = state["last_id"] + 1
     state["last_id"] = sid
     state["snapshots"].append(
@@ -179,7 +192,12 @@ def _commit(
     return sid
 
 
-def create_table(df: DataFrame, table_dir: str, key_cols: list[str]) -> int:
+def create_table(
+    df: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    stream_epoch: tuple[str, int] | None = None,
+) -> int:
     """Initialize the table with snapshot 1.  ``key_cols`` is the MERGE
     identity, pinned for the table's lifetime."""
     if os.path.exists(_log_path(table_dir)):
@@ -187,17 +205,31 @@ def create_table(df: DataFrame, table_dir: str, key_cols: list[str]) -> int:
     state = _load(table_dir)
     state["key_cols"] = key_cols
     files = _land_files(df, table_dir, state["last_id"] + 1, state)
-    return _commit(table_dir, state, files, "create", summary={"added": len(files)})
+    return _commit(
+        table_dir,
+        state,
+        files,
+        "create",
+        summary={"added": len(files)},
+        stream_epoch=stream_epoch,
+    )
 
 
-def append(df: DataFrame, table_dir: str) -> int:
+def append(
+    df: DataFrame, table_dir: str, stream_epoch: tuple[str, int] | None = None
+) -> int:
     """Fast append: child snapshot = parent files + the new files.  No
     existing file is read or rewritten (Iceberg append semantics)."""
     state = _load(table_dir)
     cur = _snap(state, state["current_id"])
     new = _land_files(df, table_dir, state["last_id"] + 1, state)
     return _commit(
-        table_dir, state, cur["files"] + new, "append", summary={"added": len(new)}
+        table_dir,
+        state,
+        cur["files"] + new,
+        "append",
+        summary={"added": len(new)},
+        stream_epoch=stream_epoch,
     )
 
 
@@ -219,7 +251,12 @@ def read_snapshot(
     return _read_files(spark, table_dir, _snap(state, sid)["files"])
 
 
-def merge_cow(spark: SparkSession, table_dir: str, source: DataFrame) -> dict:
+def merge_cow(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    stream_epoch: tuple[str, int] | None = None,
+) -> dict:
     """Copy-on-write MERGE (upsert by the table's pinned key columns):
     ``WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
 
@@ -303,7 +340,14 @@ def merge_cow(spark: SparkSession, table_dir: str, source: DataFrame) -> dict:
         "kept": len(kept),
         "stats_pruned": len(cur["files"]) - len(candidates),
     }
-    sid = _commit(table_dir, state, kept + new_files, "merge", summary=summary)
+    sid = _commit(
+        table_dir,
+        state,
+        kept + new_files,
+        "merge",
+        summary=summary,
+        stream_epoch=stream_epoch,
+    )
     return {"snapshot_id": sid, **summary}
 
 
