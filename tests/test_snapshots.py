@@ -143,3 +143,33 @@ def test_wap_failed_audit_drops_and_gc_reclaims(spark, tbl):
     assert len(removed) == 1  # the staged file, nothing else
     assert set(_data_files(out)) == files_before
     assert _rows(read_snapshot(spark, out)) == live_before
+
+
+def test_changelog_scan_between_snapshots(spark, tbl):
+    from wolf_quake_spark.plans.snapshots import snapshot_changes
+
+    out, mk = tbl
+    merge_cow(spark, out, mk([("c3", 0, "c-v2"), ("c9", 0, "new")]))  # snap 3
+    got = {
+        (r["_change_type"], r["conv_id"], r["turn_idx"], r["text"])
+        for r in snapshot_changes(spark, out, 2, 3).collect()
+    }
+    # survivor c4 was rewritten unchanged into the new file — it cancels
+    assert got == {
+        ("update_before", "c3", 0, "c"),
+        ("update_after", "c3", 0, "c-v2"),
+        ("insert", "c9", 0, "new"),
+    }
+    # append-only delta is pure inserts; same-snapshot delta is empty;
+    # reversed direction flips to deletes
+    ins = {
+        (r["_change_type"], r["conv_id"])
+        for r in snapshot_changes(spark, out, 1, 2).collect()
+    }
+    assert ins == {("insert", "c3"), ("insert", "c4")}
+    assert snapshot_changes(spark, out, 3, 3).count() == 0
+    rev = {
+        (r["_change_type"], r["conv_id"])
+        for r in snapshot_changes(spark, out, 2, 1).collect()
+    }
+    assert rev == {("delete", "c3"), ("delete", "c4")}

@@ -194,6 +194,8 @@ def _cmd_snapshot(args: argparse.Namespace) -> None:
         raise SystemExit(f"snapshot {act} needs --input")
     if act == "publish" and args.snapshot_id is None:
         raise SystemExit("snapshot publish needs --snapshot-id")
+    if act == "changes" and (args.from_id is None or args.to_id is None):
+        raise SystemExit("snapshot changes needs --from-id and --to-id")
     # metadata-only actions never need a JVM
     if act == "expire":
         print(json.dumps({"expired": sn.expire_snapshots(args.table, args.keep_last)}))
@@ -224,6 +226,11 @@ def _cmd_snapshot(args: argparse.Namespace) -> None:
         print(json.dumps(sn.merge_cow(spark, args.table, spark.read.parquet(args.input))))
     elif act == "read":
         df = sn.read_snapshot(spark, args.table, args.snapshot_id)
+        print(json.dumps({"rows": df.count()}))
+        for r in df.limit(args.limit).collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif act == "changes":
+        df = sn.snapshot_changes(spark, args.table, args.from_id, args.to_id)
         print(json.dumps({"rows": df.count()}))
         for r in df.limit(args.limit).collect():
             print(json.dumps(r.asDict(), default=str))
@@ -379,12 +386,17 @@ def main(argv: list[str] | None = None) -> None:
     )
     sp.add_argument(
         "action",
-        choices=["create", "append", "merge", "read", "stage", "publish", "expire", "gc"],
+        choices=[
+            "create", "append", "merge", "read", "changes",
+            "stage", "publish", "expire", "gc",
+        ],
     )
     sp.add_argument("--table", required=True, help="snapshot table dir")
     sp.add_argument("--input", default=None, help="parquet dir (create/append/merge/stage)")
     sp.add_argument("--keys", default=None, help="comma list of merge key cols (create)")
     sp.add_argument("--snapshot-id", type=int, default=None, help="read/publish target")
+    sp.add_argument("--from-id", type=int, default=None, help="changes: older snapshot")
+    sp.add_argument("--to-id", type=int, default=None, help="changes: newer snapshot")
     sp.add_argument("--keep-last", type=int, default=3, help="expire retention")
     sp.add_argument("--limit", type=int, default=10)
     sp.set_defaults(fn=_cmd_snapshot)

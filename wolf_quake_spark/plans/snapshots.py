@@ -441,3 +441,60 @@ def drop_staged(table_dir: str, snapshot_id: int) -> None:
         raise ValueError(f"snapshot {snapshot_id} is not staged")
     state["snapshots"] = [s for s in state["snapshots"] if s["id"] != snapshot_id]
     _dump(table_dir, state)
+
+
+def snapshot_changes(
+    spark: SparkSession, table_dir: str, from_id: int, to_id: int
+) -> DataFrame:
+    """Changelog scan (Iceberg CDC): the row-level difference between two
+    retained snapshots, labeled ``_change_type`` ∈ {insert, delete,
+    update_before, update_after}.
+
+    Cost tracks the CHANGED FILES only, never the table: files common to
+    both snapshots carry identical rows by construction (data files are
+    immutable), so only the symmetric difference of the file lists is
+    read.  Rows a merge rewrote unchanged into a new file (survivors of a
+    COW rewrite) appear on both sides and cancel via ``exceptAll`` —
+    pure-rewrite maintenance (compaction-style) produces an EMPTY
+    changelog, the Iceberg semantics.  With the table's key columns, a
+    key present on both sides is labeled an update pair; key-only
+    presence is an insert/delete.
+    """
+    state = _load(table_dir)
+    keys = state["key_cols"]
+    f_from = set(_snap(state, from_id)["files"])
+    f_to = set(_snap(state, to_id)["files"])
+    removed, added = sorted(f_from - f_to), sorted(f_to - f_from)
+
+    base = read_snapshot(spark, table_dir, to_id).limit(0)
+    cols = base.columns
+    empty = base.select(F.lit("").alias("_change_type"), *cols).limit(0)
+    if not removed and not added:
+        return empty
+
+    before = (
+        _read_files(spark, table_dir, removed).select(*cols)
+        if removed
+        else base.select(*cols)
+    )
+    after = (
+        _read_files(spark, table_dir, added).select(*cols)
+        if added
+        else base.select(*cols)
+    )
+    # full-row bag difference: unchanged survivor copies cancel
+    ins = after.exceptAll(before)
+    dels = before.exceptAll(after)
+    upd_keys = ins.select(*keys).intersect(dels.select(*keys))
+    label = (
+        lambda df, both, alone: df.join(broadcast(upd_keys), keys, "left_semi")
+        .select(F.lit(both).alias("_change_type"), *cols)
+        .unionByName(
+            df.join(broadcast(upd_keys), keys, "left_anti").select(
+                F.lit(alone).alias("_change_type"), *cols
+            )
+        )
+    )
+    return label(ins, "update_after", "insert").unionByName(
+        label(dels, "update_before", "delete")
+    )
