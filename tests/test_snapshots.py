@@ -173,3 +173,25 @@ def test_changelog_scan_between_snapshots(spark, tbl):
         for r in snapshot_changes(spark, out, 2, 1).collect()
     }
     assert rev == {("delete", "c3"), ("delete", "c4")}
+
+
+def test_rewrite_small_files_is_row_and_cdc_invariant(spark, tbl):
+    from wolf_quake_spark.plans.snapshots import (
+        rewrite_small_files,
+        snapshot_changes,
+    )
+
+    out, mk = tbl
+    append(mk([("c5", 0, "e")]), out)  # third small file (snap 3)
+    before = _rows(read_snapshot(spark, out))
+    rep = rewrite_small_files(spark, out)  # all three files are tiny
+    assert rep["rewritten"] == 3
+    assert rep["added"] == 1  # bin-packed into one file
+    assert _rows(read_snapshot(spark, out)) == before
+    # a pure rewrite produces an EMPTY changelog — every copy cancels
+    assert snapshot_changes(spark, out, 3, rep["snapshot_id"]).count() == 0
+    # time travel to the pre-rewrite snapshot still reads the old files
+    assert _rows(read_snapshot(spark, out, 3)) == before
+    # idempotence: one consolidated file left below target → no-op
+    rep2 = rewrite_small_files(spark, out)
+    assert rep2["rewritten"] == 0

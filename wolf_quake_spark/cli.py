@@ -234,6 +234,14 @@ def _cmd_snapshot(args: argparse.Namespace) -> None:
         print(json.dumps({"rows": df.count()}))
         for r in df.limit(args.limit).collect():
             print(json.dumps(r.asDict(), default=str))
+    elif act == "rewrite":
+        print(
+            json.dumps(
+                sn.rewrite_small_files(
+                    spark, args.table, target_bytes=args.target_mb * 1024 * 1024
+                )
+            )
+        )
 
 
 TABLES = (
@@ -388,7 +396,7 @@ def main(argv: list[str] | None = None) -> None:
         "action",
         choices=[
             "create", "append", "merge", "read", "changes",
-            "stage", "publish", "expire", "gc",
+            "rewrite", "stage", "publish", "expire", "gc",
         ],
     )
     sp.add_argument("--table", required=True, help="snapshot table dir")
@@ -398,6 +406,7 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--from-id", type=int, default=None, help="changes: older snapshot")
     sp.add_argument("--to-id", type=int, default=None, help="changes: newer snapshot")
     sp.add_argument("--keep-last", type=int, default=3, help="expire retention")
+    sp.add_argument("--target-mb", type=int, default=128, help="rewrite bin size")
     sp.add_argument("--limit", type=int, default=10)
     sp.set_defaults(fn=_cmd_snapshot)
 

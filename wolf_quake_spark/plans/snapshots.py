@@ -498,3 +498,40 @@ def snapshot_changes(
     return label(ins, "update_after", "insert").unionByName(
         label(dels, "update_before", "delete")
     )
+
+
+def rewrite_small_files(
+    spark: SparkSession,
+    table_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_input_files: int = 2,
+) -> dict:
+    """Bin-pack small data files into ~``target_bytes`` files (Iceberg's
+    ``rewrite_data_files`` maintenance procedure) — the answer to the
+    small-file problem a per-epoch streaming append accumulates.
+
+    Files already at/above ``target_bytes`` are carried by reference; the
+    small ones are read once and rewritten into ``ceil(total/target)``
+    consolidated files under a new "rewrite" snapshot.  The operation is
+    row-preserving by construction, and :func:`snapshot_changes` between
+    the parent and the rewrite snapshot is EMPTY (rewritten copies cancel)
+    — pytest-pinned.  Old files stay for time travel until expiry + GC.
+    Cost tracks the small files' bytes, never the table.
+    """
+    import math
+
+    state = _load(table_dir)
+    cur = _snap(state, state["current_id"])
+    data_dir = os.path.join(table_dir, "data")
+    sizes = {f: os.path.getsize(os.path.join(data_dir, f)) for f in cur["files"]}
+    small = sorted(f for f, sz in sizes.items() if sz < target_bytes)
+    if len(small) < min_input_files:
+        return {"snapshot_id": state["current_id"], "rewritten": 0, "added": 0}
+    total = sum(sizes[f] for f in small)
+    n_out = max(1, math.ceil(total / target_bytes))
+    packed = _read_files(spark, table_dir, small).coalesce(n_out)
+    new_files = _land_files(packed, table_dir, state["last_id"] + 1, state)
+    kept = [f for f in cur["files"] if f not in set(small)]
+    summary = {"rewritten": len(small), "added": len(new_files), "kept": len(kept)}
+    sid = _commit(table_dir, state, kept + new_files, "rewrite", summary=summary)
+    return {"snapshot_id": sid, **summary}
