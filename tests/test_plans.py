@@ -443,3 +443,19 @@ def test_q20_semi_chain_plan(spark):
     assert p.count("LeftSemi, BuildRight") >= 2
     assert "CartesianProduct" not in p
     assert "GreaterThan(s_acctbal,0.0)" in p
+
+
+def test_reservoir_per_group_topk_pushdown(spark):
+    """The keyed reservoir's rank<=k filter must plan as WindowGroupLimit
+    (Partial before the shuffle + Final after), so mega-groups keep a
+    k-row heap per task instead of fully sorting."""
+    from wolf_quake_spark.queries import queries
+
+    plan = (
+        queries()["reservoir_sample_per_lang"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert "Partial" in plan and "Final" in plan

@@ -455,3 +455,62 @@ def temperature_weights_sql(
            round(pow(p, {alpha!r}) / z * n_total, 4) AS expected_epoch_docs
     FROM shared CROSS JOIN norm
     """
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "rsv",
+) -> DataFrame:
+    """Deterministic uniform k-without-replacement sample PER GROUP — the
+    distributed reservoir: every row gets a priority from the portable
+    keyed hash of its id (group-independent, so within each group the k
+    smallest priorities are a uniform k-subset: one global random
+    permutation restricted to the group), and a rank window keeps the
+    top k.  Re-running on the same corpus reproduces the exact sample —
+    the property a training-data pipeline needs for auditable subsets.
+
+    Scale shape: one shuffle on the group key; the ``row_number <= k``
+    filter is pushed into the sort as a per-group top-k by Spark's
+    WindowGroupLimit (plan-asserted in tests), so mega-groups never
+    fully sort — each task keeps a k-row heap, the same boundedness as
+    TakeOrderedAndProject.  Returns (group, id, sample_rank 1..k).
+    """
+    from wolf_quake_spark.portable_hash import fold
+
+    pr = fold(
+        F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 0, 12
+    )
+    w = Window.partitionBy(group_col).orderBy("_pr", id_col)
+    return (
+        df.select(group_col, id_col)
+        .withColumn("_pr", pr)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select(group_col, id_col, "sample_rank")
+    )
+
+
+def reservoir_per_group_sql(
+    table: str, group_col: str, id_col: str, k: int, seed: str = "rsv"
+) -> str:
+    """DuckDB mirror of :func:`reservoir_per_group` (same fold, same
+    tiebreak)."""
+    from wolf_quake_spark.portable_hash import fold_sql
+
+    pr = fold_sql(f"md5('{seed}' || CAST({id_col} AS VARCHAR))", 0, 12)
+    return f"""
+    WITH pr AS (
+      SELECT {group_col}, {id_col}, {pr} AS _pr FROM {table}
+    ),
+    r AS (
+      SELECT {group_col}, {id_col},
+             ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                ORDER BY _pr, {id_col}) AS rk
+      FROM pr
+    )
+    SELECT {group_col}, {id_col}, CAST(rk AS INTEGER) AS sample_rank
+    FROM r WHERE rk <= {k}
+    """

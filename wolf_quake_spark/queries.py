@@ -7469,3 +7469,21 @@ def q_ppr_copurchase_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "lineitem"), _read(spark, sf_dir, "part")
     )
     return _ppr(edges, iterations=3)
+
+
+from wolf_quake_spark.analysis.sampling import (
+    reservoir_per_group as _reservoir,
+    reservoir_per_group_sql as _reservoir_sql,
+)
+
+
+@register(
+    "reservoir_sample_per_lang",
+    _reservoir_sql("documents", "lang", "doc_id", 5),
+)
+def q_reservoir_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform 5-per-language document sample — the
+    distributed keyed reservoir (portable-hash priority + per-group
+    top-k via WindowGroupLimit, so mega-groups never fully sort).
+    Auditable training-subset selection; re-runs reproduce the sample."""
+    return _reservoir(_read(spark, sf_dir, "documents"), "lang", "doc_id", 5)
