@@ -195,3 +195,26 @@ def test_rewrite_small_files_is_row_and_cdc_invariant(spark, tbl):
     # idempotence: one consolidated file left below target → no-op
     rep2 = rewrite_small_files(spark, out)
     assert rep2["rewritten"] == 0
+
+
+def test_tags_pin_retention_and_read(spark, tbl):
+    from wolf_quake_spark.plans.snapshots import create_tag, drop_tag, read_tag
+
+    out, mk = tbl
+    create_tag(out, "release-1")  # tags snapshot 2 (current)
+    merge_cow(spark, out, mk([("c3", 0, "c-v2")]))  # snapshot 3
+    expired = expire_snapshots(out, keep_last=1)
+    assert expired == [1]  # snapshot 2 survives: tagged
+    gc_orphans(out)
+    assert _rows(read_tag(spark, out, "release-1")) == {
+        ("c1", 0, "a"),
+        ("c2", 0, "b"),
+        ("c3", 0, "c"),
+        ("c4", 0, "d"),
+    }
+    with pytest.raises(ValueError):
+        create_tag(out, "release-1")  # duplicate tag
+    assert drop_tag(out, "release-1") == 2
+    assert expire_snapshots(out, keep_last=1) == [2]  # expirable again
+    with pytest.raises(KeyError):
+        read_tag(spark, out, "release-1")

@@ -194,6 +194,16 @@ def _cmd_snapshot(args: argparse.Namespace) -> None:
         raise SystemExit(f"snapshot {act} needs --input")
     if act == "publish" and args.snapshot_id is None:
         raise SystemExit("snapshot publish needs --snapshot-id")
+    if act in ("tag", "untag") and not args.name:
+        raise SystemExit(f"snapshot {act} needs --name")
+    if act == "tag":
+        sid = sn.create_tag(args.table, args.name, args.snapshot_id)
+        print(json.dumps({"tag": args.name, "snapshot_id": sid}))
+        return
+    if act == "untag":
+        sid = sn.drop_tag(args.table, args.name)
+        print(json.dumps({"untagged": args.name, "snapshot_id": sid}))
+        return
     if act == "changes" and (args.from_id is None or args.to_id is None):
         raise SystemExit("snapshot changes needs --from-id and --to-id")
     # metadata-only actions never need a JVM
@@ -225,7 +235,10 @@ def _cmd_snapshot(args: argparse.Namespace) -> None:
     elif act == "merge":
         print(json.dumps(sn.merge_cow(spark, args.table, spark.read.parquet(args.input))))
     elif act == "read":
-        df = sn.read_snapshot(spark, args.table, args.snapshot_id)
+        if args.name:
+            df = sn.read_tag(spark, args.table, args.name)
+        else:
+            df = sn.read_snapshot(spark, args.table, args.snapshot_id)
         print(json.dumps({"rows": df.count()}))
         for r in df.limit(args.limit).collect():
             print(json.dumps(r.asDict(), default=str))
@@ -395,8 +408,8 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument(
         "action",
         choices=[
-            "create", "append", "merge", "read", "changes",
-            "rewrite", "stage", "publish", "expire", "gc",
+            "create", "append", "merge", "read", "changes", "rewrite",
+            "stage", "publish", "expire", "gc", "tag", "untag",
         ],
     )
     sp.add_argument("--table", required=True, help="snapshot table dir")
@@ -407,6 +420,7 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--to-id", type=int, default=None, help="changes: newer snapshot")
     sp.add_argument("--keep-last", type=int, default=3, help="expire retention")
     sp.add_argument("--target-mb", type=int, default=128, help="rewrite bin size")
+    sp.add_argument("--name", default=None, help="tag name (tag/untag/read)")
     sp.add_argument("--limit", type=int, default=10)
     sp.set_defaults(fn=_cmd_snapshot)
 

@@ -362,6 +362,7 @@ def expire_snapshots(table_dir: str, keep_last: int) -> list[int]:
     if state["current_id"] is not None:
         keep_ids.add(state["current_id"])
     keep_ids |= {s["id"] for s in ordered if s["staged"]}
+    keep_ids |= set(state.setdefault("tags", {}).values())  # tags pin retention
     expired = [s["id"] for s in ordered if s["id"] not in keep_ids]
     state["snapshots"] = [s for s in ordered if s["id"] in keep_ids]
     _dump(table_dir, state)
@@ -535,3 +536,37 @@ def rewrite_small_files(
     summary = {"rewritten": len(small), "added": len(new_files), "kept": len(kept)}
     sid = _commit(table_dir, state, kept + new_files, "rewrite", summary=summary)
     return {"snapshot_id": sid, **summary}
+
+
+def create_tag(table_dir: str, name: str, snapshot_id: int | None = None) -> int:
+    """Name a snapshot (Iceberg tag): an immutable ref for audited reads
+    ("the corpus release we trained on") that also anchors retention —
+    :func:`expire_snapshots` never drops a tagged snapshot, so its files
+    survive GC for as long as the tag exists."""
+    state = _load(table_dir)
+    sid = state["current_id"] if snapshot_id is None else snapshot_id
+    _snap(state, sid)  # must exist and be retained
+    if name in state.setdefault("tags", {}):
+        raise ValueError(f"tag {name!r} already exists")
+    state["tags"][name] = sid
+    _dump(table_dir, state)
+    return sid
+
+
+def drop_tag(table_dir: str, name: str) -> int:
+    """Remove a tag; its snapshot becomes expirable again."""
+    state = _load(table_dir)
+    sid = state.setdefault("tags", {}).pop(name, None)
+    if sid is None:
+        raise KeyError(f"unknown tag {name!r}")
+    _dump(table_dir, state)
+    return sid
+
+
+def read_tag(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
+    """Time-travel read by tag name."""
+    state = _load(table_dir)
+    tags = state.setdefault("tags", {})
+    if name not in tags:
+        raise KeyError(f"unknown tag {name!r}")
+    return _read_files(spark, table_dir, _snap(state, tags[name])["files"])
