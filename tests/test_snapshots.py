@@ -120,6 +120,7 @@ def test_wap_staged_invisible_until_publish(spark, tbl):
         [lambda df: df.count() == 5, lambda df: df.where(F.col("text").isNull()).count() == 0],
     )
     assert rep["passed"]
+    assert len(rep["results"]) == 2
     publish(out, sid)
     assert ("c5", 0, "e") in _rows(read_snapshot(spark, out))
     with pytest.raises(ValueError):
@@ -135,9 +136,12 @@ def test_wap_failed_audit_drops_and_gc_reclaims(spark, tbl):
     def no_null_text(df):
         return df.where(F.col("text").isNull()).count() == 0
 
-    rep = audit(spark, out, sid, [no_null_text])
+    # two checks, the FIRST failing: index-prefixed names keep both
+    # results visible (same-named lambdas must not collapse to one key)
+    rep = audit(spark, out, sid, [no_null_text, lambda df: df.count() > 0])
     assert not rep["passed"]
-    assert rep["results"]["no_null_text"] is False
+    assert rep["results"]["0:no_null_text"] is False
+    assert rep["results"]["1:<lambda>"] is True
     drop_staged(out, sid)
     removed = gc_orphans(out)
     assert len(removed) == 1  # the staged file, nothing else
@@ -218,3 +222,13 @@ def test_tags_pin_retention_and_read(spark, tbl):
     assert expire_snapshots(out, keep_last=1) == [2]  # expirable again
     with pytest.raises(KeyError):
         read_tag(spark, out, "release-1")
+
+
+def test_gc_cleans_crashed_staging_dirs(spark, tbl):
+    out, _ = tbl
+    os.makedirs(os.path.join(out, "_staging_99", "sub"), exist_ok=True)
+    removed = gc_orphans(out)
+    assert "_staging_99/" in removed
+    assert not os.path.exists(os.path.join(out, "_staging_99"))
+    # live data untouched
+    assert len(_rows(read_snapshot(spark, out))) == 4

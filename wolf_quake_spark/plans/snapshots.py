@@ -371,8 +371,10 @@ def expire_snapshots(table_dir: str, keep_last: int) -> list[int]:
 
 def gc_orphans(table_dir: str) -> list[str]:
     """Delete data files no retained snapshot (live or staged) references
-    — expired-snapshot leftovers and crash orphans.  Driver-side metadata
-    diff + local deletes; cost ∝ file count."""
+    — expired-snapshot leftovers and crash orphans — plus any
+    ``_staging_*`` directory a crashed writer left mid-``_land_files``
+    (its snapshot never committed, so nothing references the contents).
+    Driver-side metadata diff + local deletes; cost ∝ file count."""
     state = _load(table_dir)
     referenced: set[str] = set()
     for s in state["snapshots"]:
@@ -384,6 +386,10 @@ def gc_orphans(table_dir: str) -> list[str]:
             if f.endswith(".parquet") and f not in referenced:
                 os.remove(os.path.join(data_dir, f))
                 removed.append(f)
+    for d in sorted(os.listdir(table_dir)):
+        if d.startswith("_staging_"):
+            shutil.rmtree(os.path.join(table_dir, d))
+            removed.append(d + "/")
     if removed:
         for f in removed:
             state["file_stats"].pop(f, None)
@@ -416,7 +422,9 @@ def audit(
     Returns ``{"passed": bool, "results": {name: bool}}``; never mutates
     the table."""
     df = read_snapshot(spark, table_dir, snapshot_id)
-    results = {c.__name__: bool(c(df)) for c in checks}
+    # index-prefixed names: two anonymous lambdas must NOT collapse into
+    # one dict key (a failing first check would be masked by the second)
+    results = {f"{i}:{c.__name__}": bool(c(df)) for i, c in enumerate(checks)}
     return {"passed": all(results.values()), "results": results}
 
 
