@@ -232,3 +232,28 @@ def test_gc_cleans_crashed_staging_dirs(spark, tbl):
     assert not os.path.exists(os.path.join(out, "_staging_99"))
     # live data untouched
     assert len(_rows(read_snapshot(spark, out))) == 4
+
+
+def test_commit_lock_conflict_and_force_unlock(spark, tbl):
+    from wolf_quake_spark.plans.snapshots import (
+        COMMIT_LOCK,
+        CommitConflict,
+        force_unlock,
+    )
+
+    out, mk = tbl
+    # simulate a concurrent (or crashed) writer holding the lock
+    with open(os.path.join(out, COMMIT_LOCK), "w") as fh:
+        fh.write("99999")
+    with pytest.raises(CommitConflict):
+        append(mk([("c7", 0, "x")]), out)
+    assert _rows(read_snapshot(spark, out)) == {  # readers never lock
+        ("c1", 0, "a"),
+        ("c2", 0, "b"),
+        ("c3", 0, "c"),
+        ("c4", 0, "d"),
+    }
+    assert force_unlock(out) is True
+    append(mk([("c7", 0, "x")]), out)  # lock released → commit succeeds
+    assert ("c7", 0, "x") in _rows(read_snapshot(spark, out))
+    assert not os.path.exists(os.path.join(out, COMMIT_LOCK))

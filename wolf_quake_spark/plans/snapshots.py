@@ -55,10 +55,62 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 SNAP_LOG = "_snapshots.json"
+COMMIT_LOCK = "_commit.lock"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer holds the table's commit lock."""
 
 
 def _log_path(table_dir: str) -> str:
     return os.path.join(table_dir, SNAP_LOG)
+
+
+def _locked(fn):
+    """Mutual exclusion for WRITERS (Iceberg: commits are serialized;
+    readers never lock — metadata reads are atomic via os.replace).  The
+    lock file is created O_EXCL for the whole operation — coarse (a merge
+    holds it across its Spark jobs) but sufficient for the emulation's
+    single-catalog layout; a concurrent commit fails fast with
+    :class:`CommitConflict` instead of silently losing the other writer's
+    snapshot (the load→mutate→dump race).  A lock orphaned by a crash is
+    released explicitly with :func:`force_unlock` (the error says so)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        table_dir = kwargs.get("table_dir")
+        if table_dir is None:
+            # table_dir is the first str positional (df-first writers pass
+            # it second)
+            table_dir = next(a for a in args if isinstance(a, str))
+        os.makedirs(table_dir, exist_ok=True)
+        path = os.path.join(table_dir, COMMIT_LOCK)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflict(
+                f"concurrent commit: {path} is held; if its writer crashed, "
+                "run force_unlock(table_dir)"
+            ) from None
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return fn(*args, **kwargs)
+        finally:
+            os.unlink(path)
+
+    return wrapper
+
+
+def force_unlock(table_dir: str) -> bool:
+    """Release a commit lock orphaned by a crashed writer (operator
+    action, after confirming the writer is gone)."""
+    try:
+        os.unlink(os.path.join(table_dir, COMMIT_LOCK))
+        return True
+    except FileNotFoundError:
+        return False
 
 
 def _load(table_dir: str) -> dict:
@@ -192,6 +244,7 @@ def _commit(
     return sid
 
 
+@_locked
 def create_table(
     df: DataFrame,
     table_dir: str,
@@ -215,6 +268,7 @@ def create_table(
     )
 
 
+@_locked
 def append(
     df: DataFrame, table_dir: str, stream_epoch: tuple[str, int] | None = None
 ) -> int:
@@ -251,6 +305,7 @@ def read_snapshot(
     return _read_files(spark, table_dir, _snap(state, sid)["files"])
 
 
+@_locked
 def merge_cow(
     spark: SparkSession,
     table_dir: str,
@@ -351,6 +406,7 @@ def merge_cow(
     return {"snapshot_id": sid, **summary}
 
 
+@_locked
 def expire_snapshots(table_dir: str, keep_last: int) -> list[int]:
     """Retire all but the newest ``keep_last`` snapshots from the log
     (the current and any staged snapshot are always retained).  Pure
@@ -369,6 +425,7 @@ def expire_snapshots(table_dir: str, keep_last: int) -> list[int]:
     return expired
 
 
+@_locked
 def gc_orphans(table_dir: str) -> list[str]:
     """Delete data files no retained snapshot (live or staged) references
     — expired-snapshot leftovers and crash orphans — plus any
@@ -397,6 +454,7 @@ def gc_orphans(table_dir: str) -> list[str]:
     return removed
 
 
+@_locked
 def stage_append(df: DataFrame, table_dir: str) -> int:
     """WAP step 1 — WRITE: commit the append as a STAGED snapshot.  Its
     files are fully landed and readable via ``read_snapshot(sid)``, but
@@ -428,6 +486,7 @@ def audit(
     return {"passed": all(results.values()), "results": results}
 
 
+@_locked
 def publish(table_dir: str, snapshot_id: int) -> None:
     """WAP step 3 — PUBLISH: atomically flip the current pointer to the
     audited snapshot.  Refuses to publish a snapshot that isn't staged
@@ -441,6 +500,7 @@ def publish(table_dir: str, snapshot_id: int) -> None:
     _dump(table_dir, state)
 
 
+@_locked
 def drop_staged(table_dir: str, snapshot_id: int) -> None:
     """Abandon a staged snapshot after a failed audit: remove its log
     entry; its unshared files become orphans for :func:`gc_orphans`."""
@@ -509,6 +569,7 @@ def snapshot_changes(
     )
 
 
+@_locked
 def rewrite_small_files(
     spark: SparkSession,
     table_dir: str,
@@ -546,6 +607,7 @@ def rewrite_small_files(
     return {"snapshot_id": sid, **summary}
 
 
+@_locked
 def create_tag(table_dir: str, name: str, snapshot_id: int | None = None) -> int:
     """Name a snapshot (Iceberg tag): an immutable ref for audited reads
     ("the corpus release we trained on") that also anchors retention —
@@ -561,6 +623,7 @@ def create_tag(table_dir: str, name: str, snapshot_id: int | None = None) -> int
     return sid
 
 
+@_locked
 def drop_tag(table_dir: str, name: str) -> int:
     """Remove a tag; its snapshot becomes expirable again."""
     state = _load(table_dir)
