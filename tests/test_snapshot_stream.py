@@ -86,3 +86,28 @@ def test_merge_mode_upserts_per_epoch(spark, tmp_path):
 def test_bad_mode_rejected(spark, tmp_path):
     with pytest.raises(ValueError):
         make_snapshot_sink(spark, str(tmp_path / "t"), ["conv_id"], mode="upsert")
+
+
+def test_epoch_retries_through_held_lock(spark, tmp_path):
+    import os
+    import threading
+
+    from wolf_quake_spark.plans.snapshots import COMMIT_LOCK
+
+    tbl = str(tmp_path / "tbl")
+    process = make_snapshot_sink(spark, tbl, ["conv_id", "turn_idx"])
+    process(_mk(spark, [("c1", 0, "a")]), 0)
+
+    # a maintenance job briefly holds the writer lock; the epoch must
+    # wait it out instead of failing the streaming query
+    os.makedirs(tbl, exist_ok=True)
+    lock = os.path.join(tbl, COMMIT_LOCK)
+    with open(lock, "w") as fh:
+        fh.write("maint")
+    t = threading.Timer(0.5, os.unlink, args=[lock])
+    t.start()
+    try:
+        process(_mk(spark, [("c2", 0, "b")]), 1)
+    finally:
+        t.cancel()
+    assert _rows(read_snapshot(spark, tbl)) == {("c1", 0, "a"), ("c2", 0, "b")}

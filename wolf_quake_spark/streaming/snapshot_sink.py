@@ -29,6 +29,7 @@ batch, reference/src/main.rs:31-39); north-rule Iceberg framing.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -51,16 +52,26 @@ def make_snapshot_sink(
         raise ValueError(f"unknown sink mode {mode!r}")
 
     def process(df: DataFrame, epoch_id: int) -> None:
-        state = sn._load(table_dir)
-        if state["stream_epochs"].get(stream_name, -1) >= epoch_id:
-            return  # replayed epoch — its snapshot already committed
-        epoch = (stream_name, int(epoch_id))
-        if state["current_id"] is None and not state["snapshots"]:
-            sn.create_table(df, table_dir, key_cols, stream_epoch=epoch)
-        elif mode == "merge":
-            sn.merge_cow(spark, table_dir, df, stream_epoch=epoch)
-        else:
-            sn.append(df, table_dir, stream_epoch=epoch)
+        # bounded commit retry (the Iceberg discipline): a maintenance job
+        # (gc, rewrite, expire) briefly holding the table's writer lock
+        # must delay the epoch, not fail the whole streaming query
+        for attempt in range(6):
+            state = sn._load(table_dir)
+            if state["stream_epochs"].get(stream_name, -1) >= epoch_id:
+                return  # replayed epoch — its snapshot already committed
+            epoch = (stream_name, int(epoch_id))
+            try:
+                if state["current_id"] is None and not state["snapshots"]:
+                    sn.create_table(df, table_dir, key_cols, stream_epoch=epoch)
+                elif mode == "merge":
+                    sn.merge_cow(spark, table_dir, df, stream_epoch=epoch)
+                else:
+                    sn.append(df, table_dir, stream_epoch=epoch)
+                return
+            except sn.CommitConflict:
+                if attempt == 5:
+                    raise
+                time.sleep(0.2 * (attempt + 1))
 
     return process
 
