@@ -152,6 +152,41 @@ def run_stateful(spark, path: str) -> dict:
     }
 
 
+def run_snapshot_ingest(spark, path: str) -> dict:
+    """Exactly-once streaming ingest into the snapshot table (append
+    mode, availableNow) — what landing the same transcripts costs when
+    every micro-batch must commit atomically with its epoch ledger.
+    Best-of-2: the first drain pays stream-source + table-create costs."""
+    import shutil
+    import tempfile
+
+    from wolf_quake_spark.plans.snapshots import read_snapshot
+    from wolf_quake_spark.streaming.snapshot_sink import run_stream_to_snapshot
+
+    n = spark.read.parquet(path).count()
+    trials = []
+    rows = 0
+    for _ in range(2):
+        tbl = tempfile.mkdtemp(prefix="wqs_snap_bench_")
+        shutil.rmtree(tbl)
+        t0 = time.monotonic()
+        state = run_stream_to_snapshot(
+            spark, path, tbl, ["conv_id", "turn_idx"]
+        )
+        trials.append(time.monotonic() - t0)
+        rows = read_snapshot(spark, tbl).count()
+        assert rows == n, f"snapshot ingest lost rows: {rows} != {n}"
+        shutil.rmtree(tbl, ignore_errors=True)
+    secs = min(trials)
+    return {
+        "turns": n,
+        "secs": round(secs, 3),
+        "secs_trials": [round(t, 3) for t in trials],
+        "turns_per_sec": round(n / secs, 1),
+        "epochs": int(state["stream_epochs"]["transcripts"]) + 1,
+    }
+
+
 def main() -> None:
     from wolf_quake_spark.session import build_session
 
@@ -177,6 +212,10 @@ def main() -> None:
     stateful = None
     if os.environ.get("WQS_BENCH_STATEFUL", "1") != "0":
         stateful = run_stateful(spark, path)
+
+    snap_ingest = None
+    if os.environ.get("WQS_BENCH_SNAPSHOT", "1") != "0":
+        snap_ingest = run_snapshot_ingest(spark, path)
 
     import __spark_entry__ as entry_mod
 
@@ -213,7 +252,8 @@ def main() -> None:
     total = round(
         sum(qtimes.values())
         + sum(p["secs"] for p in pipeline.values())
-        + (stateful["secs"] if stateful is not None else 0.0),
+        + (stateful["secs"] if stateful is not None else 0.0)
+        + (snap_ingest["secs"] if snap_ingest is not None else 0.0),
         3,
     )
     out = {
@@ -229,6 +269,9 @@ def main() -> None:
     if stateful is not None:
         out["stateful"] = stateful
         out["queries"]["pipeline_stateful"] = stateful["secs"]
+    if snap_ingest is not None:
+        out["snapshot_ingest"] = snap_ingest
+        out["queries"]["pipeline_snapshot_ingest"] = snap_ingest["secs"]
     # full machine-readable sidecar: the driver's BENCH_r record truncates
     # the JSON tail, losing half the per-query table — persist the complete
     # dict so round-over-round diffs always have every query
