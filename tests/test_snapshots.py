@@ -257,3 +257,68 @@ def test_commit_lock_conflict_and_force_unlock(spark, tbl):
     append(mk([("c7", 0, "x")]), out)  # lock released → commit succeeds
     assert ("c7", 0, "x") in _rows(read_snapshot(spark, out))
     assert not os.path.exists(os.path.join(out, COMMIT_LOCK))
+
+
+def test_changes_since_consumes_each_commit_once(spark, tbl):
+    from wolf_quake_spark.plans.snapshots import changes_since
+
+    out, mk = tbl
+    # from the beginning: snapshot 1 surfaces as inserts, snapshot 2's
+    # append as inserts too
+    df, wm = changes_since(spark, out, None)
+    assert wm == 2
+    got = {(r["_change_type"], r["conv_id"]) for r in df.collect()}
+    assert got == {("insert", c) for c in ("c1", "c2", "c3", "c4")}
+    # nothing new → (None, watermark)
+    assert changes_since(spark, out, wm) == (None, 2)
+    # one merge later: exactly that commit's delta
+    merge_cow(spark, out, mk([("c3", 0, "c-v2")]))
+    df2, wm2 = changes_since(spark, out, wm)
+    assert wm2 == 3
+    got2 = {(r["_change_type"], r["conv_id"], r["text"]) for r in df2.collect()}
+    assert got2 == {
+        ("update_before", "c3", "c"),
+        ("update_after", "c3", "c-v2"),
+    }
+    with pytest.raises(KeyError):
+        changes_since(spark, out, 99)
+
+
+def test_sort_rewrite_reclusters_for_stats_pruning(spark, tmp_path):
+    from wolf_quake_spark.plans.snapshots import (
+        _load as _state,
+        rewrite_small_files,
+        snapshot_changes,
+    )
+
+    out = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, SCHEMA).coalesce(1)  # noqa: E731
+    # interleaved key ranges: file A holds c1/c3, file B holds c2/c4 —
+    # footer stats overlap, so nothing prunes
+    create_table(mk([("c1", 0, "a"), ("c3", 0, "c")]), out, ["conv_id", "turn_idx"])
+    append(mk([("c2", 0, "b"), ("c4", 0, "d")]), out)
+    # source bounds [c1,c2] straddle BOTH interleaved files' stats
+    res0 = merge_cow(spark, out, mk([("c1", 0, "a-v1"), ("c2", 0, "b-v1")]))
+    assert res0["stats_pruned"] == 0  # overlapping layout: no pruning
+
+    data = os.path.join(out, "data")
+    total = sum(os.path.getsize(os.path.join(data, f)) for f in _data_files(out))
+    rep = rewrite_small_files(
+        spark, out, target_bytes=(total + 1) // 2, strategy="sort"
+    )
+    assert rep["added"] == 2
+    # sort rewrite is still CDC-invariant
+    assert snapshot_changes(spark, out, 3, rep["snapshot_id"]).count() == 0
+    # output files now carry disjoint conv_id ranges
+    st = _state(out)
+    new = sorted(_snap_files(st, rep["snapshot_id"]))
+    ranges = [st["file_stats"][f]["conv_id"] for f in new]
+    ranges.sort()
+    assert ranges[0][1] < ranges[1][0]  # hi(file1) < lo(file2)
+    # and the re-clustered layout prunes the same-bounds merge
+    res1 = merge_cow(spark, out, mk([("c1", 0, "a-v2"), ("c2", 0, "b-v2")]))
+    assert res1["stats_pruned"] == 1
+
+
+def _snap_files(state, sid):
+    return next(s["files"] for s in state["snapshots"] if s["id"] == sid)

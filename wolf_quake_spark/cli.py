@@ -251,7 +251,10 @@ def _cmd_snapshot(args: argparse.Namespace) -> None:
         print(
             json.dumps(
                 sn.rewrite_small_files(
-                    spark, args.table, target_bytes=args.target_mb * 1024 * 1024
+                    spark,
+                    args.table,
+                    target_bytes=args.target_mb * 1024 * 1024,
+                    strategy=args.strategy,
                 )
             )
         )
@@ -420,6 +423,10 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--to-id", type=int, default=None, help="changes: newer snapshot")
     sp.add_argument("--keep-last", type=int, default=3, help="expire retention")
     sp.add_argument("--target-mb", type=int, default=128, help="rewrite bin size")
+    sp.add_argument(
+        "--strategy", choices=["binpack", "sort"], default="binpack",
+        help="rewrite: binpack (no shuffle) or sort (re-cluster by key)",
+    )
     sp.add_argument("--name", default=None, help="tag name (tag/untag/read)")
     sp.add_argument("--limit", type=int, default=10)
     sp.set_defaults(fn=_cmd_snapshot)

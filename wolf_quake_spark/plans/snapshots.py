@@ -575,6 +575,7 @@ def rewrite_small_files(
     table_dir: str,
     target_bytes: int = 128 * 1024 * 1024,
     min_input_files: int = 2,
+    strategy: str = "binpack",
 ) -> dict:
     """Bin-pack small data files into ~``target_bytes`` files (Iceberg's
     ``rewrite_data_files`` maintenance procedure) — the answer to the
@@ -587,6 +588,14 @@ def rewrite_small_files(
     the parent and the rewrite snapshot is EMPTY (rewritten copies cancel)
     — pytest-pinned.  Old files stay for time travel until expiry + GC.
     Cost tracks the small files' bytes, never the table.
+
+    ``strategy="binpack"`` (default) coalesces without moving rows between
+    partitions — cheapest, no shuffle.  ``strategy="sort"`` is Iceberg's
+    sort-order rewrite: range-partition + sort by the table's key columns,
+    so the output files carry DISJOINT key ranges and every future
+    :func:`merge_cow` prunes them from footer stats — clustering
+    maintenance that re-tightens the layout streaming appends scatter.
+    One shuffle of the small files' rows only.
     """
     import math
 
@@ -599,7 +608,14 @@ def rewrite_small_files(
         return {"snapshot_id": state["current_id"], "rewritten": 0, "added": 0}
     total = sum(sizes[f] for f in small)
     n_out = max(1, math.ceil(total / target_bytes))
-    packed = _read_files(spark, table_dir, small).coalesce(n_out)
+    loaded = _read_files(spark, table_dir, small)
+    if strategy == "sort":
+        keys = state["key_cols"]
+        packed = loaded.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
+    elif strategy == "binpack":
+        packed = loaded.coalesce(n_out)
+    else:
+        raise ValueError(f"unknown rewrite strategy {strategy!r}")
     new_files = _land_files(packed, table_dir, state["last_id"] + 1, state)
     kept = [f for f in cur["files"] if f not in set(small)]
     summary = {"rewritten": len(small), "added": len(new_files), "kept": len(kept)}
@@ -641,3 +657,42 @@ def read_tag(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
     if name not in tags:
         raise KeyError(f"unknown tag {name!r}")
     return _read_files(spark, table_dir, _snap(state, tags[name])["files"])
+
+
+def changes_since(
+    spark: SparkSession, table_dir: str, since_id: int | None = None
+):
+    """Incremental changelog consumption (the Iceberg incremental-scan
+    contract, same shape as ``checkpoint.read_changes``): all row-level
+    changes committed AFTER snapshot ``since_id``, as a union of
+    per-commit :func:`snapshot_changes` steps in id order.  Returns
+    ``(df, watermark)`` — pass the watermark back as the next call's
+    ``since_id`` to consume each commit exactly once; ``(None, since_id)``
+    when nothing new committed.  ``since_id=None`` starts from the
+    beginning (the first snapshot surfaces whole, as inserts).  Staged
+    (unpublished) snapshots are invisible.  Cost per step tracks that
+    commit's changed files, never the table."""
+    state = _load(table_dir)
+    live = sorted(
+        (s["id"] for s in state["snapshots"] if not s["staged"])
+    )
+    if since_id is not None and since_id not in live:
+        raise KeyError(f"unknown or expired snapshot id {since_id}")
+    newer = [i for i in live if since_id is None or i > since_id]
+    if not newer:
+        return None, since_id
+    parts = []
+    prev = since_id
+    for i in newer:
+        if prev is None:
+            base = read_snapshot(spark, table_dir, i)
+            parts.append(
+                base.select(F.lit("insert").alias("_change_type"), *base.columns)
+            )
+        else:
+            parts.append(snapshot_changes(spark, table_dir, prev, i))
+        prev = i
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df, newer[-1]
