@@ -322,3 +322,41 @@ def test_sort_rewrite_reclusters_for_stats_pruning(spark, tmp_path):
 
 def _snap_files(state, sid):
     return next(s["files"] for s in state["snapshots"] if s["id"] == sid)
+
+
+def test_schema_evolution_add_column(spark, tbl):
+    from wolf_quake_spark.plans.snapshots import merge_cow as _merge
+
+    out, mk = tbl
+    widened = spark.createDataFrame(
+        [("c5", 0, "e", "grenade")], SCHEMA + ", tool string"
+    ).coalesce(1)
+    append(widened, out)  # snapshot 3 adds a nullable column
+    cur = read_snapshot(spark, out)
+    assert "tool" in cur.columns
+    got = {(r["conv_id"], r["tool"]) for r in cur.collect()}
+    # old files read the new column as NULL
+    assert got == {("c1", None), ("c2", None), ("c3", None), ("c4", None), ("c5", "grenade")}
+    # time travel to snapshot 2 sees the schema OF ITS ERA (no tool column)
+    assert "tool" not in read_snapshot(spark, out, 2).columns
+    # a writer may OMIT an optional column (fills NULL on read)
+    append(mk([("c6", 0, "f")]), out)
+    assert ("c6", None) in {
+        (r["conv_id"], r["tool"]) for r in read_snapshot(spark, out).collect()
+    }
+    # merge with the narrow schema still writes the full current schema
+    _merge(spark, out, mk([("c5", 0, "e-v2")]))
+    got2 = {(r["conv_id"], r["text"], r["tool"]) for r in read_snapshot(spark, out).collect()}
+    assert ("c5", "e-v2", None) in got2  # update overwrote the whole row
+
+
+def test_schema_evolution_rejects_type_conflict_and_missing_key(spark, tbl):
+    out, _ = tbl
+    bad_type = spark.createDataFrame(
+        [("c9", "zero", "x")], "conv_id string, turn_idx string, text string"
+    )
+    with pytest.raises(ValueError, match="type conflict"):
+        append(bad_type, out)
+    no_key = spark.createDataFrame([("only-text",)], "text string")
+    with pytest.raises(ValueError, match="missing key column"):
+        append(no_key, out)

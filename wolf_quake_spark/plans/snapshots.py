@@ -235,6 +235,7 @@ def _commit(
             "operation": operation,
             "staged": staged,
             "files": sorted(files),
+            "schema": state.get("schema"),
             "summary": summary or {},
         }
     )
@@ -257,6 +258,7 @@ def create_table(
         raise FileExistsError(f"table already exists at {table_dir}")
     state = _load(table_dir)
     state["key_cols"] = key_cols
+    _evolve_schema(state, df)
     files = _land_files(df, table_dir, state["last_id"] + 1, state)
     return _commit(
         table_dir,
@@ -276,6 +278,7 @@ def append(
     existing file is read or rewritten (Iceberg append semantics)."""
     state = _load(table_dir)
     cur = _snap(state, state["current_id"])
+    _evolve_schema(state, df)
     new = _land_files(df, table_dir, state["last_id"] + 1, state)
     return _commit(
         table_dir,
@@ -287,22 +290,70 @@ def append(
     )
 
 
-def _read_files(spark: SparkSession, table_dir: str, files: list[str]) -> DataFrame:
+def _evolve_schema(state: dict, df: DataFrame) -> None:
+    """Track the table schema in METADATA (the Iceberg model: readers
+    never infer from file footers).  Allowed evolution on write: ADD new
+    columns (stored nullable; old files read them as NULL); writers may
+    omit existing optional columns (their files read as NULL).  Type
+    conflicts are rejected; the merge key columns must always be present.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    for k in state.get("key_cols") or []:
+        if k not in df.columns:
+            raise ValueError(f"write is missing key column {k!r}")
+    if state.get("schema") is None:
+        state["schema"] = df.schema.json()
+        return
+    cur = StructType.fromJson(json.loads(state["schema"]))
+    cur_by = {f.name: f for f in cur.fields}
+    added = []
+    for f in df.schema.fields:
+        have = cur_by.get(f.name)
+        if have is None:
+            added.append(StructField(f.name, f.dataType, True))
+        elif have.dataType != f.dataType:
+            raise ValueError(
+                f"type conflict on {f.name!r}: table has "
+                f"{have.dataType.simpleString()}, write has "
+                f"{f.dataType.simpleString()}"
+            )
+    if added:
+        state["schema"] = StructType(list(cur.fields) + added).json()
+
+
+def _read_files(
+    spark: SparkSession,
+    table_dir: str,
+    files: list[str],
+    schema_json: str | None = None,
+) -> DataFrame:
+    """Scan the named files.  With ``schema_json`` (a snapshot's recorded
+    schema) the scan is schema-ON-METADATA: files written before a column
+    was added fill it with NULL, and no footer merge pass is needed — at
+    10^6 files, ``mergeSchema`` would read every footer."""
     data_dir = os.path.join(table_dir, "data")
-    return spark.read.parquet(*[os.path.join(data_dir, f) for f in files])
+    reader = spark.read
+    if schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+    return reader.parquet(*[os.path.join(data_dir, f) for f in files])
 
 
 def read_snapshot(
     spark: SparkSession, table_dir: str, snapshot_id: int | None = None
 ) -> DataFrame:
     """Read the current snapshot, or time-travel to a retained historical
-    (or staged) one by id.  Staged snapshots are invisible to the default
-    read — that's the WAP isolation."""
+    (or staged) one by id — each with the schema RECORDED at its commit,
+    so time travel sees the columns of its era.  Staged snapshots are
+    invisible to the default read — that's the WAP isolation."""
     state = _load(table_dir)
     sid = state["current_id"] if snapshot_id is None else snapshot_id
     if sid is None:
         raise ValueError("table has no committed snapshot")
-    return _read_files(spark, table_dir, _snap(state, sid)["files"])
+    snap = _snap(state, sid)
+    return _read_files(spark, table_dir, snap["files"], snap.get("schema"))
 
 
 @_locked
@@ -337,6 +388,7 @@ def merge_cow(
     state = _load(table_dir)
     keys = state["key_cols"]
     cur = _snap(state, state["current_id"])
+    _evolve_schema(state, source)
     src_keys = source.select(*keys).distinct()
 
     # step 1: key-column bounds of the source (one tiny agg) vs per-file
@@ -366,7 +418,9 @@ def merge_cow(
 
     data_dir = os.path.join(table_dir, "data")
     if candidates:
-        scan = _read_files(spark, table_dir, candidates).withColumn(
+        scan = _read_files(
+            spark, table_dir, candidates, state["schema"]
+        ).withColumn(
             "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
         )
         affected = sorted(
@@ -380,11 +434,16 @@ def merge_cow(
         affected = []
 
     if affected:
-        survivors = (
-            spark.read.parquet(*[os.path.join(data_dir, f) for f in affected])
-            .join(broadcast(src_keys), on=keys, how="left_anti")
+        survivors = _read_files(spark, table_dir, affected, state["schema"]).join(
+            broadcast(src_keys), on=keys, how="left_anti"
         )
-        rewritten = survivors.unionByName(source.select(*survivors.columns))
+        # the source may omit optional columns the table schema has — fill
+        # them as NULL so the union writes the full current schema
+        src_full = source
+        for c in survivors.columns:
+            if c not in source.columns:
+                src_full = src_full.withColumn(c, F.lit(None))
+        rewritten = survivors.unionByName(src_full.select(*survivors.columns))
     else:
         rewritten = source
     new_files = _land_files(rewritten, table_dir, state["last_id"] + 1, state)
@@ -461,6 +520,7 @@ def stage_append(df: DataFrame, table_dir: str) -> int:
     the current pointer does not move; default readers see nothing."""
     state = _load(table_dir)
     cur = _snap(state, state["current_id"])
+    _evolve_schema(state, df)
     new = _land_files(df, table_dir, state["last_id"] + 1, state)
     return _commit(
         table_dir,
@@ -541,13 +601,14 @@ def snapshot_changes(
     if not removed and not added:
         return empty
 
+    to_schema = _snap(state, to_id).get("schema")
     before = (
-        _read_files(spark, table_dir, removed).select(*cols)
+        _read_files(spark, table_dir, removed, to_schema).select(*cols)
         if removed
         else base.select(*cols)
     )
     after = (
-        _read_files(spark, table_dir, added).select(*cols)
+        _read_files(spark, table_dir, added, to_schema).select(*cols)
         if added
         else base.select(*cols)
     )
@@ -608,7 +669,7 @@ def rewrite_small_files(
         return {"snapshot_id": state["current_id"], "rewritten": 0, "added": 0}
     total = sum(sizes[f] for f in small)
     n_out = max(1, math.ceil(total / target_bytes))
-    loaded = _read_files(spark, table_dir, small)
+    loaded = _read_files(spark, table_dir, small, state["schema"])
     if strategy == "sort":
         keys = state["key_cols"]
         packed = loaded.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
@@ -656,7 +717,8 @@ def read_tag(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
     tags = state.setdefault("tags", {})
     if name not in tags:
         raise KeyError(f"unknown tag {name!r}")
-    return _read_files(spark, table_dir, _snap(state, tags[name])["files"])
+    snap = _snap(state, tags[name])
+    return _read_files(spark, table_dir, snap["files"], snap.get("schema"))
 
 
 def changes_since(
