@@ -360,3 +360,49 @@ def test_schema_evolution_rejects_type_conflict_and_missing_key(spark, tbl):
     no_key = spark.createDataFrame([("only-text",)], "text string")
     with pytest.raises(ValueError, match="missing key column"):
         append(no_key, out)
+
+
+def test_pipeline_snapshot_sinks_match_parquet_mode(spark, tmp_path):
+    from wolf_quake_spark.datagen import synth_transcripts
+    from wolf_quake_spark.plans.pipeline import run_resumable
+    from wolf_quake_spark.plans.snapshots import _load as _state
+    from wolf_quake_spark.sources.catalog import SinkCatalog
+
+    src = str(tmp_path / "in")
+    synth_transcripts(spark, n_convs=8).repartition(4, "conv_id").write.parquet(src)
+
+    m_pq = run_resumable(spark, src, str(tmp_path / "pq"), files_per_batch=2)
+    m_sn = run_resumable(
+        spark, src, str(tmp_path / "sn"), files_per_batch=2, table_format="snapshot"
+    )
+    assert m_sn.totals() == m_pq.totals()  # identical per-sink counts
+
+    # sink content matches too (kills sink, full row set)
+    cat_pq = SinkCatalog(spark, str(tmp_path / "pq"))
+    cat_sn = SinkCatalog(spark, str(tmp_path / "sn"), table_format="snapshot")
+    rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert rows(cat_sn.read("kills")) == rows(cat_pq.read("kills"))
+
+    # one snapshot per batch per sink, each batch in the ledger
+    st = _state(str(tmp_path / "sn") + "/kills")
+    assert len(st["snapshots"]) == len(m_sn.completed)
+    assert set(st["batches"]) == m_sn.completed
+
+    # resume: a second run skips everything (manifest) and appends nothing
+    m_again = run_resumable(
+        spark, src, str(tmp_path / "sn"), files_per_batch=2, table_format="snapshot"
+    )
+    assert m_again.totals() == m_pq.totals()
+    assert len(_state(str(tmp_path / "sn") + "/kills")["snapshots"]) == len(
+        m_sn.completed
+    )
+
+    # crash-window replay: write_batch_counted on an already-committed batch
+    # appends nothing and still reports the committed count
+    bid = sorted(m_sn.completed)[0]
+    df = cat_sn.read_batch("kills", bid)
+    n = cat_sn.write_batch_counted(df, "kills", bid)
+    assert n == cat_sn.read_batch("kills", bid).count()
+    assert len(_state(str(tmp_path / "sn") + "/kills")["snapshots"]) == len(
+        m_sn.completed
+    )

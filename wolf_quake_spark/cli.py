@@ -55,6 +55,7 @@ def _cmd_run(args: argparse.Namespace) -> None:
         extractor=args.extractor,
         iceberg_catalog=args.iceberg_catalog,
         skew_chunk_turns=args.skew_chunk_turns,
+        table_format=args.table_format,
     )
     print(json.dumps({"batches": len(manifest.completed), "totals": manifest.totals()}))
 
@@ -314,6 +315,10 @@ def main(argv: list[str] | None = None) -> None:
     r.add_argument("--strict", action="store_true")
     r.add_argument("--extractor", choices=["udf", "sql"], default="udf")
     r.add_argument("--iceberg-catalog", default=None)
+    r.add_argument(
+        "--table-format", choices=["parquet", "snapshot"], default="parquet",
+        help="sink layout: batch-dir parquet or emulated snapshot tables",
+    )
     r.add_argument(
         "--skew-chunk-turns",
         type=int,

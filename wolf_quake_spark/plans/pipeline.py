@@ -112,14 +112,21 @@ def run_resumable(
     iceberg_catalog: str | None = None,
     verify: bool = False,
     skew_chunk_turns: int | None = None,
+    table_format: str = "parquet",
 ) -> Manifest:
     """Batch-resumable run over a parquet transcripts table.
 
     Precondition for cross-batch correctness: conversations do not span
     input-file-batch boundaries (conv-partitioned/bucketed layout — the
     standard Iceberg layout for this table; see plans/checkpoint.py).
+
+    ``table_format="snapshot"`` fans the sinks out into emulated snapshot
+    tables (batch-ledger idempotence instead of batch-dir overwrite) — the
+    north rule's per-event-type Iceberg sinks, emulated.
     """
-    catalog = SinkCatalog(spark, out_dir, iceberg_catalog=iceberg_catalog)
+    catalog = SinkCatalog(
+        spark, out_dir, iceberg_catalog=iceberg_catalog, table_format=table_format
+    )
     manifest = Manifest(out_dir)
 
     files = spark.read.parquet(input_path).inputFiles()

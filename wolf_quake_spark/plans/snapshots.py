@@ -119,6 +119,7 @@ def _load(table_dir: str) -> dict:
             state = json.load(fh)
         state.setdefault("file_stats", {})
         state.setdefault("stream_epochs", {})
+        state.setdefault("batches", {})
         return state
     except FileNotFoundError:
         return {
@@ -128,6 +129,7 @@ def _load(table_dir: str) -> dict:
             "snapshots": [],
             "file_stats": {},
             "stream_epochs": {},
+            "batches": {},
         }
 
 
@@ -214,7 +216,14 @@ def _commit(
     parent: int | None = None,
     summary: dict | None = None,
     stream_epoch: tuple[str, int] | None = None,
+    batch_key: str | None = None,
 ) -> int:
+    if batch_key is not None:
+        # batch-idempotence ledger for the resumable pipeline's sinks:
+        # committed in the same atomic metadata write as the snapshot, so
+        # a batch replayed after a crash between sink commit and manifest
+        # record is detected and skipped (same discipline as stream_epochs)
+        state["batches"][batch_key] = state["last_id"] + 1
     if stream_epoch is not None:
         # the exactly-once ledger for streaming sinks: the epoch watermark
         # commits in the SAME atomic metadata write as the snapshot, so a
@@ -251,6 +260,7 @@ def create_table(
     table_dir: str,
     key_cols: list[str],
     stream_epoch: tuple[str, int] | None = None,
+    batch_key: str | None = None,
 ) -> int:
     """Initialize the table with snapshot 1.  ``key_cols`` is the MERGE
     identity, pinned for the table's lifetime."""
@@ -267,12 +277,16 @@ def create_table(
         "create",
         summary={"added": len(files)},
         stream_epoch=stream_epoch,
+        batch_key=batch_key,
     )
 
 
 @_locked
 def append(
-    df: DataFrame, table_dir: str, stream_epoch: tuple[str, int] | None = None
+    df: DataFrame,
+    table_dir: str,
+    stream_epoch: tuple[str, int] | None = None,
+    batch_key: str | None = None,
 ) -> int:
     """Fast append: child snapshot = parent files + the new files.  No
     existing file is read or rewritten (Iceberg append semantics)."""
@@ -287,6 +301,7 @@ def append(
         "append",
         summary={"added": len(new)},
         stream_epoch=stream_epoch,
+        batch_key=batch_key,
     )
 
 
@@ -387,6 +402,8 @@ def merge_cow(
     """
     state = _load(table_dir)
     keys = state["key_cols"]
+    if not keys:
+        raise ValueError("merge_cow needs a table created with key columns")
     cur = _snap(state, state["current_id"])
     _evolve_schema(state, source)
     src_keys = source.select(*keys).distinct()

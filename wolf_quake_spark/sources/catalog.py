@@ -34,9 +34,19 @@ class SinkCatalog:
         spark: SparkSession,
         base_path: str,
         iceberg_catalog: str | None = None,
+        table_format: str = "parquet",
     ) -> None:
+        """``table_format="snapshot"`` lands every sink in an emulated
+        snapshot table (plans/snapshots.py): per-batch APPEND commits with
+        a batch-id ledger written atomically with each snapshot, so a
+        batch replayed after a crash between sink commit and manifest
+        record appends nothing twice — the Iceberg-sink semantics the
+        north rule describes, without the runtime jar."""
+        if table_format not in ("parquet", "snapshot"):
+            raise ValueError(f"unknown table_format {table_format!r}")
         self.spark = spark
         self.base_path = base_path
+        self.table_format = table_format
         self.iceberg_catalog = (
             iceberg_catalog
             if iceberg_catalog and _iceberg_available(spark, iceberg_catalog)
@@ -45,8 +55,30 @@ class SinkCatalog:
 
     # -- writes -------------------------------------------------------------
 
+    def _table_dir(self, sink: str) -> str:
+        return os.path.join(self.base_path, sink)
+
+    def _snapshot_committed(self, sink: str, batch_id: str) -> bool:
+        from wolf_quake_spark.plans import snapshots as sn
+
+        return batch_id in sn._load(self._table_dir(sink))["batches"]
+
+    def _snapshot_write(self, df: DataFrame, sink: str, batch_id: str) -> None:
+        from pyspark.sql import functions as F
+
+        from wolf_quake_spark.plans import snapshots as sn
+
+        tbl = self._table_dir(sink)
+        stamped = df.withColumn("batch_id", F.lit(batch_id))
+        state = sn._load(tbl)
+        if state["current_id"] is None and not state["snapshots"]:
+            sn.create_table(stamped, tbl, [], batch_key=batch_id)
+        else:
+            sn.append(stamped, tbl, batch_key=batch_id)
+
     def write_batch(self, df: DataFrame, sink: str, batch_id: str) -> None:
-        """Idempotent per-batch write: re-running a batch replaces its rows."""
+        """Idempotent per-batch write: re-running a batch replaces its rows
+        (parquet/Iceberg) or is skipped via the batch ledger (snapshot)."""
         if self.iceberg_catalog:
             from pyspark.sql import functions as F
 
@@ -55,6 +87,10 @@ class SinkCatalog:
                 .writeTo(f"{self.iceberg_catalog}.{sink}")
                 .overwritePartitions()
             )
+            return
+        if self.table_format == "snapshot":
+            if not self._snapshot_committed(sink, batch_id):
+                self._snapshot_write(df, sink, batch_id)
             return
         df.write.mode("overwrite").parquet(self._batch_path(sink, batch_id))
 
@@ -70,6 +106,12 @@ class SinkCatalog:
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
+        if self.table_format == "snapshot" and self._snapshot_committed(
+            sink, batch_id
+        ):
+            # replayed batch: nothing is written, so no observe action would
+            # run (obs.get would block) — count the committed rows instead
+            return self.read_batch(sink, batch_id).count()
         obs = Observation(f"{sink}:{batch_id}")
         self.write_batch(df.observe(obs, F.count(F.lit(1)).alias("rows")), sink, batch_id)
         return int(obs.get["rows"])
@@ -90,12 +132,39 @@ class SinkCatalog:
                 self.spark.read.table(f"{self.iceberg_catalog}.{sink}")
                 .where(f"batch_id = '{batch_id}'")
             )
+        if self._is_snapshot_sink(sink):
+            from pyspark.sql import functions as F
+
+            from wolf_quake_spark.plans import snapshots as sn
+
+            return (
+                sn.read_snapshot(self.spark, self._table_dir(sink))
+                .where(F.col("batch_id") == batch_id)
+                .drop("batch_id")
+            )
         return self.spark.read.parquet(self._batch_path(sink, batch_id))
 
     def read(self, sink: str) -> DataFrame:
         if self.iceberg_catalog:
             return self.spark.read.table(f"{self.iceberg_catalog}.{sink}")
+        if self._is_snapshot_sink(sink):
+            from wolf_quake_spark.plans import snapshots as sn
+
+            return sn.read_snapshot(self.spark, self._table_dir(sink)).drop(
+                "batch_id"
+            )
         return self.spark.read.parquet(os.path.join(self.base_path, sink, "*"))
+
+    def _is_snapshot_sink(self, sink: str) -> bool:
+        """Readers auto-detect the sink layout from the snapshot log's
+        presence, so a report/read over a snapshot-sink run resolves the
+        CURRENT snapshot (isolation) instead of glob-reading every data
+        file — a glob would also see orphaned/rewritten files."""
+        from wolf_quake_spark.plans.snapshots import SNAP_LOG
+
+        return self.table_format == "snapshot" or os.path.exists(
+            os.path.join(self._table_dir(sink), SNAP_LOG)
+        )
 
     def _batch_path(self, sink: str, batch_id: str) -> str:
         return os.path.join(self.base_path, sink, f"batch={batch_id}")
