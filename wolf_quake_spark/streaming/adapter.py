@@ -57,6 +57,7 @@ def run_streaming(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     timeout_secs: float | None = None,
+    table_format: str = "parquet",
 ) -> Manifest:
     """Drain the landing zone through the batch pipeline body.
 
@@ -73,7 +74,9 @@ def run_streaming(
             "run_streaming(available_now=False) requires timeout_secs; "
             "an unbounded continuous run would never return the Manifest"
         )
-    catalog = SinkCatalog(spark, out_dir, iceberg_catalog=iceberg_catalog)
+    catalog = SinkCatalog(
+        spark, out_dir, iceberg_catalog=iceberg_catalog, table_format=table_format
+    )
     manifest = Manifest(out_dir)
 
     def process(df: DataFrame, epoch_id: int) -> None:
