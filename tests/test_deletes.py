@@ -118,3 +118,25 @@ def test_compaction_crash_windows_recover(spark, tbl, tmp_path):
     # seq counter moved past the recovered rewrite: next append can't collide
     append_data(mk([("c9", 0, "post")]), out)
     assert _rows(read_mor(spark, out)) == before | {("c9", 0, "post")}
+
+
+def test_truncated_journal_recovers_instead_of_wedging(spark, tbl):
+    """Window D: a journal truncated mid-write (pre-atomic-write artifact
+    or fs corruption).  The swap can't have started (renames happen only
+    after the journal commit), so recovery must drop the journal and the
+    staged orphan and carry on — one bad file must not wedge every
+    subsequent read (the plans/compact.py lesson)."""
+    out, mk = tbl
+    before = _rows(read_mor(spark, out))
+    data_dir = os.path.join(out, "data")
+    spark.createDataFrame(
+        [("zzz", 9, "ghost")], "conv_id string, turn_idx int, text string"
+    ).write.parquet(os.path.join(data_dir, "_compacting_seq=60"))
+    with open(os.path.join(out, "_compact_journal.json"), "w") as fh:
+        fh.write('{"new_seq": 60, "old_d')  # truncated mid-write
+    assert _rows(read_mor(spark, out)) == before  # recovered, not raised
+    assert not os.path.exists(os.path.join(out, "_compact_journal.json"))
+    assert not any(d.startswith("_compacting") for d in os.listdir(data_dir))
+    # and the table is still fully usable afterwards
+    res = compact_deletes(spark, out)
+    assert res["rows"] == len(before)

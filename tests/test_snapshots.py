@@ -284,6 +284,46 @@ def test_changes_since_consumes_each_commit_once(spark, tbl):
         changes_since(spark, out, 99)
 
 
+def test_publish_rejects_stale_staged_snapshot(spark, tbl):
+    """A commit landing between stage and publish must fail the publish
+    (Iceberg commit validation): the staged file list was built on the old
+    base, so flipping to it would silently drop the intervening commit."""
+    from wolf_quake_spark.plans.snapshots import CommitConflict
+
+    out, mk = tbl
+    sid = stage_append(mk([("c5", 0, "e")]), out)
+    append(mk([("c6", 0, "f")]), out)  # intervening commit advances the table
+    with pytest.raises(CommitConflict):
+        publish(out, sid)
+    # the intervening commit's rows are still live, the stale stage isn't
+    live = _rows(read_snapshot(spark, out))
+    assert ("c6", 0, "f") in live and ("c5", 0, "e") not in live
+    # recovery path: re-stage on the new base, audit, publish
+    drop_staged(out, sid)
+    sid2 = stage_append(mk([("c5", 0, "e")]), out)
+    publish(out, sid2)
+    live = _rows(read_snapshot(spark, out))
+    assert ("c5", 0, "e") in live and ("c6", 0, "f") in live
+
+
+def test_changes_since_spans_schema_evolution(spark, tbl):
+    """A column ADDed mid-history must not break the per-commit union:
+    earlier steps read the new column as NULL (allowMissingColumns)."""
+    from wolf_quake_spark.plans.snapshots import changes_since
+
+    out, mk = tbl
+    wider = spark.createDataFrame(
+        [("c5", 0, "e", "en")], SCHEMA + ", lang string"
+    ).coalesce(1)
+    append(wider, out)  # snapshot 3 adds `lang`
+    df, wm = changes_since(spark, out, None)
+    assert wm == 3
+    got = {(r["_change_type"], r["conv_id"], r["lang"]) for r in df.collect()}
+    assert got == {("insert", c, None) for c in ("c1", "c2", "c3", "c4")} | {
+        ("insert", "c5", "en")
+    }
+
+
 def test_sort_rewrite_reclusters_for_stats_pruning(spark, tmp_path):
     from wolf_quake_spark.plans.snapshots import (
         _load as _state,

@@ -49,9 +49,14 @@ def _load(table_dir: str) -> dict:
 
 
 def _dump(table_dir: str, state: dict) -> None:
+    # tmp + os.replace (atomic on POSIX), same discipline as
+    # plans/snapshots._dump: a crash mid-write must never leave a
+    # truncated seq log that wedges every later _load
     os.makedirs(table_dir, exist_ok=True)
-    with open(os.path.join(table_dir, SEQ_LOG), "w") as fh:
+    path = os.path.join(table_dir, SEQ_LOG)
+    with open(path + ".tmp", "w") as fh:
         json.dump(state, fh, indent=1, sort_keys=True)
+    os.replace(path + ".tmp", path)
 
 
 def append_data(df: DataFrame, table_dir: str) -> int:
@@ -137,8 +142,23 @@ def _recover(table_dir: str) -> None:
                 if d.startswith("_compacting_seq="):
                     shutil.rmtree(os.path.join(data_dir, d))
         return
-    with open(jpath) as fh:
-        j = json.load(fh)
+    try:
+        with open(jpath) as fh:
+            j = json.load(fh)
+    except (json.JSONDecodeError, OSError):
+        # journals are written atomically (tmp + rename), so an
+        # unparseable one predates that discipline or is fs corruption —
+        # either way the swap never started (renames happen strictly
+        # after the journal commit), so drop it, reclaim the staged
+        # orphan, and let the compaction be redone (plans/compact.py
+        # learned this the hard way: one truncated journal wedged every
+        # subsequent call in recovery)
+        os.remove(jpath)
+        if os.path.isdir(data_dir):
+            for d in os.listdir(data_dir):
+                if d.startswith("_compacting_seq="):
+                    shutil.rmtree(os.path.join(data_dir, d))
+        return
     staged = os.path.join(data_dir, f"_compacting_seq={j['new_seq']}")
     final = os.path.join(data_dir, f"seq={j['new_seq']}")
     if os.path.isdir(staged) and not os.path.isdir(final):
@@ -182,7 +202,11 @@ def compact_deletes(spark: SparkSession, table_dir: str) -> dict:
     old_dirs = [
         d for d in os.listdir(data_dir) if d.startswith("seq=")
     ]
-    with open(os.path.join(table_dir, JOURNAL), "w") as fh:
+    jpath = os.path.join(table_dir, JOURNAL)
+    with open(jpath + ".tmp", "w") as fh:
         json.dump({"new_seq": seq, "old_dirs": old_dirs}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(jpath + ".tmp", jpath)  # atomic commit point
     _recover(table_dir)  # roll the committed swap forward
     return {"rows": n_after, "data_seq": seq}

@@ -567,11 +567,23 @@ def audit(
 def publish(table_dir: str, snapshot_id: int) -> None:
     """WAP step 3 — PUBLISH: atomically flip the current pointer to the
     audited snapshot.  Refuses to publish a snapshot that isn't staged
-    (double-publish guard)."""
+    (double-publish guard), and refuses when the table advanced past the
+    staged snapshot's parent (Iceberg's commit validation): the staged
+    file list was built as ``parent.files + new``, so flipping to it
+    after an intervening commit would silently drop that commit's files
+    from the live table — the lost-update the audit window invites.  On
+    :class:`CommitConflict`, re-run ``stage_append`` on the new base and
+    audit again."""
     state = _load(table_dir)
     snap = _snap(state, snapshot_id)
     if not snap["staged"]:
         raise ValueError(f"snapshot {snapshot_id} is not staged")
+    if snap["parent"] != state["current_id"]:
+        raise CommitConflict(
+            f"snapshot {snapshot_id} was staged on parent {snap['parent']} "
+            f"but the table advanced to {state['current_id']}; publishing "
+            "would drop the intervening commit — re-stage on the new base"
+        )
     snap["staged"] = False
     state["current_id"] = snapshot_id
     _dump(table_dir, state)
@@ -773,5 +785,7 @@ def changes_since(
         prev = i
     df = parts[0]
     for p in parts[1:]:
-        df = df.unionByName(p)
+        # schema may evolve mid-history (a commit ADDs a column): later
+        # steps carry the new column, earlier ones read it as NULL
+        df = df.unionByName(p, allowMissingColumns=True)
     return df, newer[-1]
