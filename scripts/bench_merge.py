@@ -62,7 +62,7 @@ def main() -> None:
         # update keys drawn from the first range hit one file (± boundary)
         df = mk_rows(spark.range(n_rows).repartitionByRange(n_files, "id"))
         sn.create_table(df, tbl, ["conv_id", "turn_idx"])
-        n_data_files = len(sn._load(tbl)["snapshots"][-1]["files"])
+        n_data_files = len(sn.snapshot_files(tbl, sn._load(tbl)["snapshots"][-1]["id"]))
 
         # update batch: 1000 keys from the FIRST id range (one file's worth)
         upd = mk_rows(spark.range(1000)).withColumn(

@@ -93,9 +93,11 @@ def test_expire_then_gc_reclaims_unshared_files_only(spark, tbl):
     assert expired == [1, 2]
     removed = gc_orphans(out)
     # old file B (referenced only by snapshots 1-2) is gone; file A is
-    # shared with the current snapshot and must survive
-    assert len(removed) == 1
-    assert set(_data_files(out)) == before - set(removed)
+    # shared with the current snapshot and must survive.  Snapshot 2's
+    # now-unreferenced fragment manifest is reclaimed alongside it.
+    removed_parquet = [f for f in removed if f.endswith(".parquet")]
+    assert len(removed_parquet) == 1
+    assert set(_data_files(out)) == before - set(removed_parquet)
     assert _rows(read_snapshot(spark, out)) == {
         ("c1", 0, "a"),
         ("c2", 0, "b"),
@@ -144,7 +146,8 @@ def test_wap_failed_audit_drops_and_gc_reclaims(spark, tbl):
     assert rep["results"]["1:<lambda>"] is True
     drop_staged(out, sid)
     removed = gc_orphans(out)
-    assert len(removed) == 1  # the staged file, nothing else
+    # the staged data file (plus its orphaned fragment manifest), nothing else
+    assert len([f for f in removed if f.endswith(".parquet")]) == 1
     assert set(_data_files(out)) == files_before
     assert _rows(read_snapshot(spark, out)) == live_before
 
@@ -351,7 +354,7 @@ def test_sort_rewrite_reclusters_for_stats_pruning(spark, tmp_path):
     assert snapshot_changes(spark, out, 3, rep["snapshot_id"]).count() == 0
     # output files now carry disjoint conv_id ranges
     st = _state(out)
-    new = sorted(_snap_files(st, rep["snapshot_id"]))
+    new = _snap_files(out, rep["snapshot_id"])
     ranges = [st["file_stats"][f]["conv_id"] for f in new]
     ranges.sort()
     assert ranges[0][1] < ranges[1][0]  # hi(file1) < lo(file2)
@@ -360,8 +363,10 @@ def test_sort_rewrite_reclusters_for_stats_pruning(spark, tmp_path):
     assert res1["stats_pruned"] == 1
 
 
-def _snap_files(state, sid):
-    return next(s["files"] for s in state["snapshots"] if s["id"] == sid)
+def _snap_files(table_dir, sid):
+    from wolf_quake_spark.plans.snapshots import snapshot_files
+
+    return snapshot_files(table_dir, sid)
 
 
 def test_schema_evolution_add_column(spark, tbl):
@@ -446,3 +451,92 @@ def test_pipeline_snapshot_sinks_match_parquet_mode(spark, tmp_path):
     assert len(_state(str(tmp_path / "sn") + "/kills")["snapshots"]) == len(
         m_sn.completed
     )
+
+
+def test_fragment_manifests_keep_commit_metadata_bounded(spark, tbl):
+    """The head log never inlines file lists: each commit writes one
+    fragment naming only its ADDED files, and a COW merge tombstones
+    rather than rewriting the inherited chain — per-commit metadata is
+    O(added + removed), not O(table files)."""
+    import json as _json
+
+    from wolf_quake_spark.plans.snapshots import _chain, _load as _state
+
+    out, mk = tbl
+    merge_cow(spark, out, mk([("c3", 0, "c-v2")]))  # rewrites file B
+    st = _state(out)
+    by_id = {s["id"]: s for s in st["snapshots"]}
+    # no snapshot entry inlines a file list or even the fragment chain —
+    # the head-log row holds one manifest-list name (O(1) per commit)
+    assert all(
+        "files" not in s and "manifests" not in s and "manifest_list" in s
+        for s in st["snapshots"]
+    )
+    chains = {i: _chain(out, s) for i, s in by_id.items()}
+    # append (snapshot 2) added exactly one fragment to the chain
+    assert len(chains[2][0]) == len(chains[1][0]) + 1
+    # each fragment names only its commit's added files (1 here)
+    with open(os.path.join(out, "metadata", chains[2][0][-1])) as fh:
+        assert len(_json.load(fh)["files"]) == 1
+    # the merge tombstoned old file B; since B's fragment became fully
+    # dead it was dropped from the chain and the tombstone list shrank
+    # back to empty (bounded by live fragments, not history)
+    assert chains[3][1] == []
+    assert len(chains[3][0]) == 2  # file A's fragment + merge's
+    # resolution still exact
+    assert _rows(read_snapshot(spark, out)) == {
+        ("c1", 0, "a"),
+        ("c2", 0, "b"),
+        ("c3", 0, "c-v2"),
+        ("c4", 0, "d"),
+    }
+
+
+def test_gc_reclaims_orphan_fragments(spark, tbl):
+    out, mk = tbl
+    merge_cow(spark, out, mk([("c3", 0, "c-v2")]))
+    expire_snapshots(out, keep_last=1)
+    removed = gc_orphans(out)
+    # snapshot 1/2's now-unreferenced fragments + manifest lists are
+    # reclaimed alongside the dead data file
+    assert any(r.startswith("metadata/manifest-") for r in removed)
+    assert any(r.startswith("metadata/snap-") for r in removed)
+    sn_mod = __import__("wolf_quake_spark.plans.snapshots", fromlist=["_load"])
+    live = set()
+    for s in sn_mod._load(out)["snapshots"]:
+        live.add(s["manifest_list"])
+        live.update(sn_mod._chain(out, s)[0])
+    on_disk = set(os.listdir(os.path.join(out, "metadata")))
+    assert on_disk == live
+    assert _rows(read_snapshot(spark, out)) == {
+        ("c1", 0, "a"),
+        ("c2", 0, "b"),
+        ("c3", 0, "c-v2"),
+        ("c4", 0, "d"),
+    }
+
+
+def test_legacy_inline_files_table_upgrades_on_first_commit(spark, tbl, tmp_path):
+    """A pre-fragment table (inline ``files`` lists) stays readable, and
+    its first new commit materializes a legacy fragment instead of
+    carrying inline lists forward."""
+    from wolf_quake_spark.plans.snapshots import _dump, _load as _state
+
+    out, mk = tbl
+    # rewrite the log into the OLD layout
+    st = _state(out)
+    for s in st["snapshots"]:
+        s["files"] = _snap_files(out, s["id"])
+        s.pop("manifests", None)
+        s.pop("removed", None)
+        s.pop("manifest_list", None)
+    _dump(out, st)
+    before = _rows(read_snapshot(spark, out))  # old layout still reads
+    append(mk([("c7", 0, "g")]), out)
+    st = _state(out)
+    new = next(s for s in st["snapshots"] if s["id"] == 3)
+    from wolf_quake_spark.plans.snapshots import _chain
+
+    assert "files" not in new
+    assert any("legacy" in m for m in _chain(out, new)[0])
+    assert _rows(read_snapshot(spark, out)) == before | {("c7", 0, "g")}

@@ -12,6 +12,26 @@ is a JSON file — while the SEMANTICS follow the Iceberg spec:
   pointer (spec §Snapshots).  Readers resolve the current snapshot (or any
   retained historical one — time travel) and read exactly its files;
   writers never mutate a data file in place.
+* **Manifest fragments + manifest lists** (spec §Manifests / §Manifest
+  Lists): a snapshot does NOT inline its file list in the head log.
+  Each commit writes ONE immutable fragment
+  (``metadata/manifest-<sid>.json``) naming only the files it ADDED,
+  and ONE manifest-list file (``metadata/snap-<sid>-list.json``)
+  naming the fragment chain it inherits plus a ``removed`` tombstone
+  list (files a COW merge or rewrite replaced); the head-log entry
+  holds only the list file's name.  Per-commit metadata cost is
+  therefore O(added + removed + chain length), never O(table files),
+  and the head log stays O(#snapshots) constant-size rows — at 10^6
+  data files and 10^4 streaming epochs an inline layout rewrites ~TBs
+  of JSON over the run; this one writes a few KB per epoch (exactly why
+  Iceberg splits snapshot → manifest list → manifests).  A fragment
+  whose every file is tombstoned is dropped from the chain at commit
+  time, which also keeps the tombstone list bounded by files still
+  present in live fragments (the emulation's analog of Iceberg's
+  manifest rewrite/compaction); ``rewrite_small_files`` collapses long
+  streaming-append chains the same way it collapses small data files.
+  Pre-fragment tables (inline ``files`` entries) stay readable; their
+  first new commit materializes a legacy fragment.
 * **Copy-on-write MERGE** (upsert): only the data files that actually
   contain a matching key are rewritten; every untouched file is carried
   into the child snapshot by reference.  At 10^12 turns, merging 10^5
@@ -34,9 +54,10 @@ is a JSON file — while the SEMANTICS follow the Iceberg spec:
   staged files for GC and the live table untouched.
 
 Crash discipline: every metadata write is tmp + ``os.replace`` (atomic on
-POSIX), and data files are moved into ``data/`` BEFORE the snapshot that
-references them commits — a crash between the two leaves orphan files
-(reclaimed by GC), never a snapshot pointing at missing files.
+POSIX); data files land in ``data/`` and the commit's manifest fragment
+lands in ``metadata/`` BEFORE the head log that references them commits —
+a crash between the steps leaves orphan data files / fragments (reclaimed
+by GC), never a snapshot pointing at missing files.
 
 Reference parity: beyond-reference surface (wolf_quake reads one immutable
 log file, ``reference/src/main.rs``); driven by the north rule's "Iceberg
@@ -120,6 +141,7 @@ def _load(table_dir: str) -> dict:
         state.setdefault("file_stats", {})
         state.setdefault("stream_epochs", {})
         state.setdefault("batches", {})
+        state.setdefault("schemas", [])
         return state
     except FileNotFoundError:
         return {
@@ -130,6 +152,7 @@ def _load(table_dir: str) -> dict:
             "file_stats": {},
             "stream_epochs": {},
             "batches": {},
+            "schemas": [],
         }
 
 
@@ -146,6 +169,95 @@ def _snap(state: dict, snapshot_id: int) -> dict:
         if s["id"] == snapshot_id:
             return s
     raise KeyError(f"unknown or expired snapshot id {snapshot_id}")
+
+
+META_DIR = "metadata"
+
+
+def _write_manifest(table_dir: str, name: str, files: list[str]) -> None:
+    """One immutable fragment: the file names a commit added.  Written
+    tmp + os.replace BEFORE the head log references it (crash ⇒ orphan
+    fragment, reclaimed by gc_orphans)."""
+    mdir = os.path.join(table_dir, META_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, name + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"files": sorted(files)}, fh)
+    os.replace(tmp, os.path.join(mdir, name))
+
+
+def _read_manifest(table_dir: str, name: str) -> list[str]:
+    with open(os.path.join(table_dir, META_DIR, name)) as fh:
+        return json.load(fh)["files"]
+
+
+def _chain(table_dir: str, snap: dict) -> tuple[list[str], list[str]] | None:
+    """A snapshot's (fragment manifests, tombstones) — via its manifest
+    LIST file (current layout: head-log entry is O(1), the Iceberg
+    snapshot → manifest-list → manifests indirection), or inline (an
+    intermediate layout).  ``None`` for pre-fragment inline-files entries.
+    """
+    if "manifest_list" in snap:
+        with open(os.path.join(table_dir, META_DIR, snap["manifest_list"])) as fh:
+            j = json.load(fh)
+        return j["manifests"], j["removed"]
+    if "manifests" in snap:
+        return snap["manifests"], snap["removed"]
+    return None
+
+
+def _files_of(table_dir: str, snap: dict) -> list[str]:
+    """Resolve a snapshot's data files: union of its fragment manifests
+    minus its tombstones.  Pre-fragment entries carry ``files`` inline."""
+    chain = _chain(table_dir, snap)
+    if chain is None:
+        return snap["files"]
+    manifests, removed = chain
+    dead = set(removed)
+    files: list[str] = []
+    for m in manifests:
+        files.extend(f for f in _read_manifest(table_dir, m) if f not in dead)
+    return sorted(files)
+
+
+def _schema_id(state: dict) -> int | None:
+    """Index of the table's current schema in the deduped ``schemas``
+    list, registering it on first sight."""
+    sj = state.get("schema")
+    if sj is None:
+        return None
+    if sj not in state["schemas"]:
+        state["schemas"].append(sj)
+    return state["schemas"].index(sj)
+
+
+def _schema_of(state: dict, snap: dict) -> str | None:
+    """The schema JSON recorded at a snapshot's commit: by id (current
+    layout) or inline (pre-schema-id entries)."""
+    if snap.get("schema") is not None:
+        return snap["schema"]
+    sid = snap.get("schema_id")
+    return state["schemas"][sid] if sid is not None else None
+
+
+def snapshot_files(table_dir: str, snapshot_id: int) -> list[str]:
+    """Public resolution of a snapshot's data-file names (metadata only)."""
+    state = _load(table_dir)
+    return _files_of(table_dir, _snap(state, snapshot_id))
+
+
+def _lineage(table_dir: str, base: dict) -> tuple[list[str], set[str]]:
+    """(fragment names, tombstone set) a child commit inherits from
+    ``base``.  A pre-fragment base is upgraded once: its resolved file
+    list is materialized as a legacy fragment."""
+    chain = _chain(table_dir, base)
+    if chain is not None:
+        manifests, removed = chain
+        return list(manifests), set(removed)
+    name = f"manifest-{base['id']:06d}-legacy.json"
+    if not os.path.exists(os.path.join(table_dir, META_DIR, name)):
+        _write_manifest(table_dir, name, base["files"])
+    return [name], set()
 
 
 def _footer_stats(path: str, cols: list[str]) -> dict:
@@ -209,15 +321,21 @@ def _land_files(
 def _commit(
     table_dir: str,
     state: dict,
-    files: list[str],
+    added: list[str],
     operation: str,
     *,
+    base: dict | None = None,
+    removed: list[str] | None = None,
     staged: bool = False,
     parent: int | None = None,
     summary: dict | None = None,
     stream_epoch: tuple[str, int] | None = None,
     batch_key: str | None = None,
 ) -> int:
+    """Commit a child snapshot: metadata cost is O(added + removed), never
+    O(table files).  ``base`` is the parent snapshot whose fragment chain
+    the child inherits (None for the creating commit); ``removed`` are the
+    base files this commit replaced (COW merge / rewrite)."""
     if batch_key is not None:
         # batch-idempotence ledger for the resumable pipeline's sinks:
         # committed in the same atomic metadata write as the snapshot, so
@@ -236,6 +354,37 @@ def _commit(
         )
     sid = state["last_id"] + 1
     state["last_id"] = sid
+    manifests, dead = (
+        _lineage(table_dir, base) if base is not None else ([], set())
+    )
+    dead |= set(removed or ())
+    if added:
+        frag = f"manifest-{sid:06d}.json"
+        _write_manifest(table_dir, frag, added)
+        manifests = manifests + [frag]
+    if dead:
+        # drop fully-tombstoned fragments and shrink the tombstone list to
+        # files still present in live fragments — keeps both bounded by
+        # the live chain, not by history (Iceberg's manifest rewrite)
+        live_manifests, live_files = [], set()
+        for m in manifests:
+            mf = _read_manifest(table_dir, m)
+            if all(f in dead for f in mf):
+                continue
+            live_manifests.append(m)
+            live_files.update(mf)
+        manifests = live_manifests
+        dead &= live_files
+    # manifest-list indirection: the head-log entry stays O(1) no matter
+    # how long the fragment chain grows (at 10^4 streaming epochs an
+    # inline chain would make the log O(#snapshots × #fragments))
+    list_name = f"snap-{sid:06d}-list.json"
+    mdir = os.path.join(table_dir, META_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, list_name + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"manifests": manifests, "removed": sorted(dead)}, fh)
+    os.replace(tmp, os.path.join(mdir, list_name))
     state["snapshots"].append(
         {
             "id": sid,
@@ -243,8 +392,11 @@ def _commit(
             "ts": time.time(),
             "operation": operation,
             "staged": staged,
-            "files": sorted(files),
-            "schema": state.get("schema"),
+            "manifest_list": list_name,
+            # schema-id dedup (Iceberg: snapshots reference schemas by id):
+            # evolution is rare, so the log stores each distinct schema
+            # JSON once instead of per snapshot entry
+            "schema_id": _schema_id(state),
             "summary": summary or {},
         }
     )
@@ -275,6 +427,7 @@ def create_table(
         state,
         files,
         "create",
+        base=None,
         summary={"added": len(files)},
         stream_epoch=stream_epoch,
         batch_key=batch_key,
@@ -297,8 +450,9 @@ def append(
     return _commit(
         table_dir,
         state,
-        cur["files"] + new,
+        new,
         "append",
+        base=cur,
         summary={"added": len(new)},
         stream_epoch=stream_epoch,
         batch_key=batch_key,
@@ -368,7 +522,9 @@ def read_snapshot(
     if sid is None:
         raise ValueError("table has no committed snapshot")
     snap = _snap(state, sid)
-    return _read_files(spark, table_dir, snap["files"], snap.get("schema"))
+    return _read_files(
+        spark, table_dir, _files_of(table_dir, snap), _schema_of(state, snap)
+    )
 
 
 @_locked
@@ -405,6 +561,7 @@ def merge_cow(
     if not keys:
         raise ValueError("merge_cow needs a table created with key columns")
     cur = _snap(state, state["current_id"])
+    cur_files = _files_of(table_dir, cur)
     _evolve_schema(state, source)
     src_keys = source.select(*keys).distinct()
 
@@ -431,7 +588,7 @@ def merge_cow(
                 return False
         return True
 
-    candidates = [f for f in cur["files"] if _candidate(f)]
+    candidates = [f for f in cur_files if _candidate(f)]
 
     data_dir = os.path.join(table_dir, "data")
     if candidates:
@@ -464,18 +621,19 @@ def merge_cow(
     else:
         rewritten = source
     new_files = _land_files(rewritten, table_dir, state["last_id"] + 1, state)
-    kept = [f for f in cur["files"] if f not in set(affected)]
     summary = {
         "rewritten": len(affected),
         "added": len(new_files),
-        "kept": len(kept),
-        "stats_pruned": len(cur["files"]) - len(candidates),
+        "kept": len(cur_files) - len(affected),
+        "stats_pruned": len(cur_files) - len(candidates),
     }
     sid = _commit(
         table_dir,
         state,
-        kept + new_files,
+        new_files,
         "merge",
+        base=cur,
+        removed=affected,
         summary=summary,
         stream_epoch=stream_epoch,
     )
@@ -510,8 +668,14 @@ def gc_orphans(table_dir: str) -> list[str]:
     Driver-side metadata diff + local deletes; cost ∝ file count."""
     state = _load(table_dir)
     referenced: set[str] = set()
+    live_meta: set[str] = set()
     for s in state["snapshots"]:
-        referenced.update(s["files"])
+        referenced.update(_files_of(table_dir, s))
+        chain = _chain(table_dir, s)
+        if chain is not None:
+            live_meta.update(chain[0])
+        if "manifest_list" in s:
+            live_meta.add(s["manifest_list"])
     data_dir = os.path.join(table_dir, "data")
     removed = []
     if os.path.isdir(data_dir):
@@ -519,6 +683,19 @@ def gc_orphans(table_dir: str) -> list[str]:
             if f.endswith(".parquet") and f not in referenced:
                 os.remove(os.path.join(data_dir, f))
                 removed.append(f)
+    # fragment manifests / manifest lists no retained snapshot references —
+    # expired-history leftovers and crash orphans (landed before their
+    # head-log commit)
+    mdir = os.path.join(table_dir, META_DIR)
+    if os.path.isdir(mdir):
+        for m in sorted(os.listdir(mdir)):
+            if (
+                (m.startswith("manifest-") or m.startswith("snap-"))
+                and m.endswith(".json")
+                and m not in live_meta
+            ):
+                os.remove(os.path.join(mdir, m))
+                removed.append(META_DIR + "/" + m)
     for d in sorted(os.listdir(table_dir)):
         if d.startswith("_staging_"):
             shutil.rmtree(os.path.join(table_dir, d))
@@ -542,8 +719,9 @@ def stage_append(df: DataFrame, table_dir: str) -> int:
     return _commit(
         table_dir,
         state,
-        cur["files"] + new,
+        new,
         "append",
+        base=cur,
         staged=True,
         summary={"added": len(new)},
     )
@@ -620,8 +798,8 @@ def snapshot_changes(
     """
     state = _load(table_dir)
     keys = state["key_cols"]
-    f_from = set(_snap(state, from_id)["files"])
-    f_to = set(_snap(state, to_id)["files"])
+    f_from = set(_files_of(table_dir, _snap(state, from_id)))
+    f_to = set(_files_of(table_dir, _snap(state, to_id)))
     removed, added = sorted(f_from - f_to), sorted(f_to - f_from)
 
     base = read_snapshot(spark, table_dir, to_id).limit(0)
@@ -630,7 +808,7 @@ def snapshot_changes(
     if not removed and not added:
         return empty
 
-    to_schema = _snap(state, to_id).get("schema")
+    to_schema = _schema_of(state, _snap(state, to_id))
     before = (
         _read_files(spark, table_dir, removed, to_schema).select(*cols)
         if removed
@@ -691,8 +869,9 @@ def rewrite_small_files(
 
     state = _load(table_dir)
     cur = _snap(state, state["current_id"])
+    cur_files = _files_of(table_dir, cur)
     data_dir = os.path.join(table_dir, "data")
-    sizes = {f: os.path.getsize(os.path.join(data_dir, f)) for f in cur["files"]}
+    sizes = {f: os.path.getsize(os.path.join(data_dir, f)) for f in cur_files}
     small = sorted(f for f, sz in sizes.items() if sz < target_bytes)
     if len(small) < min_input_files:
         return {"snapshot_id": state["current_id"], "rewritten": 0, "added": 0}
@@ -707,9 +886,15 @@ def rewrite_small_files(
     else:
         raise ValueError(f"unknown rewrite strategy {strategy!r}")
     new_files = _land_files(packed, table_dir, state["last_id"] + 1, state)
-    kept = [f for f in cur["files"] if f not in set(small)]
-    summary = {"rewritten": len(small), "added": len(new_files), "kept": len(kept)}
-    sid = _commit(table_dir, state, kept + new_files, "rewrite", summary=summary)
+    summary = {
+        "rewritten": len(small),
+        "added": len(new_files),
+        "kept": len(cur_files) - len(small),
+    }
+    sid = _commit(
+        table_dir, state, new_files, "rewrite", base=cur, removed=small,
+        summary=summary,
+    )
     return {"snapshot_id": sid, **summary}
 
 
@@ -747,7 +932,9 @@ def read_tag(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
     if name not in tags:
         raise KeyError(f"unknown tag {name!r}")
     snap = _snap(state, tags[name])
-    return _read_files(spark, table_dir, snap["files"], snap.get("schema"))
+    return _read_files(
+        spark, table_dir, _files_of(table_dir, snap), _schema_of(state, snap)
+    )
 
 
 def changes_since(
