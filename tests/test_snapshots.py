@@ -540,3 +540,27 @@ def test_legacy_inline_files_table_upgrades_on_first_commit(spark, tbl, tmp_path
     assert "files" not in new
     assert any("legacy" in m for m in _chain(out, new)[0])
     assert _rows(read_snapshot(spark, out)) == before | {("c7", 0, "g")}
+
+
+def test_changes_on_keyless_table_are_pure_inserts_deletes(spark, tmp_path):
+    """Pipeline sink tables are created with key_cols=[] — the changelog
+    must still work, labeling the bag difference insert/delete (no key
+    identity, so no update pairing)."""
+    from wolf_quake_spark.plans.snapshots import changes_since, snapshot_changes
+
+    out = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "a string, b int").coalesce(1)  # noqa: E731
+    create_table(mk([("x", 1)]), out, [])
+    append(mk([("y", 2)]), out)
+    got = {
+        (r["_change_type"], r["a"], r["b"])
+        for r in snapshot_changes(spark, out, 1, 2).collect()
+    }
+    assert got == {("insert", "y", 2)}
+    rev = {
+        (r["_change_type"], r["a"])
+        for r in snapshot_changes(spark, out, 2, 1).collect()
+    }
+    assert rev == {("delete", "y")}
+    df, wm = changes_since(spark, out, None)
+    assert wm == 2 and df.count() == 2

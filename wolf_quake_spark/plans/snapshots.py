@@ -822,6 +822,14 @@ def snapshot_changes(
     # full-row bag difference: unchanged survivor copies cancel
     ins = after.exceptAll(before)
     dels = before.exceptAll(after)
+    if not keys:
+        # keyless (append-only sink) table: no row identity to pair
+        # updates with — the delta is pure inserts/deletes
+        return ins.select(
+            F.lit("insert").alias("_change_type"), *cols
+        ).unionByName(
+            dels.select(F.lit("delete").alias("_change_type"), *cols)
+        )
     upd_keys = ins.select(*keys).intersect(dels.select(*keys))
     label = (
         lambda df, both, alone: df.join(broadcast(upd_keys), keys, "left_semi")
