@@ -888,6 +888,11 @@ def rewrite_small_files(
     loaded = _read_files(spark, table_dir, small, state["schema"])
     if strategy == "sort":
         keys = state["key_cols"]
+        if not keys:
+            raise ValueError(
+                "sort rewrite needs a table created with key columns "
+                "(keyless sink tables: use strategy='binpack')"
+            )
         packed = loaded.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
     elif strategy == "binpack":
         packed = loaded.coalesce(n_out)
