@@ -352,10 +352,13 @@ def test_sort_rewrite_reclusters_for_stats_pruning(spark, tmp_path):
     assert rep["added"] == 2
     # sort rewrite is still CDC-invariant
     assert snapshot_changes(spark, out, 3, rep["snapshot_id"]).count() == 0
-    # output files now carry disjoint conv_id ranges
-    st = _state(out)
+    # output files now carry disjoint conv_id ranges (entry stats ride
+    # the fragment manifests, resolved via the public accessor)
+    from wolf_quake_spark.plans.snapshots import file_column_stats
+
+    stats = file_column_stats(out, rep["snapshot_id"])
     new = _snap_files(out, rep["snapshot_id"])
-    ranges = [st["file_stats"][f]["conv_id"] for f in new]
+    ranges = [stats[f]["conv_id"] for f in new]
     ranges.sort()
     assert ranges[0][1] < ranges[1][0]  # hi(file1) < lo(file2)
     # and the re-clustered layout prunes the same-bounds merge
@@ -564,3 +567,20 @@ def test_changes_on_keyless_table_are_pure_inserts_deletes(spark, tmp_path):
     assert rev == {("delete", "y")}
     df, wm = changes_since(spark, out, None)
     assert wm == 2 and df.count() == 2
+
+
+def test_entry_stats_ride_fragments_not_head_log(spark, tbl):
+    """Per-file pruning bounds are Iceberg manifest-entry stats: embedded
+    in the immutable fragments, never accumulated in the per-commit-
+    rewritten head log (which would make every commit O(table files))."""
+    from wolf_quake_spark.plans.snapshots import (
+        _load as _state,
+        file_column_stats,
+    )
+
+    out, mk = tbl
+    merge_cow(spark, out, mk([("c3", 0, "c-v2")]))
+    assert _state(out)["file_stats"] == {}  # head log carries none
+    stats = file_column_stats(out, 3)
+    assert set(stats) == set(_snap_files(out, 3))
+    assert all("conv_id" in s and "turn_idx" in s for s in stats.values())

@@ -174,21 +174,32 @@ def _snap(state: dict, snapshot_id: int) -> dict:
 META_DIR = "metadata"
 
 
-def _write_manifest(table_dir: str, name: str, files: list[str]) -> None:
-    """One immutable fragment: the file names a commit added.  Written
-    tmp + os.replace BEFORE the head log references it (crash ⇒ orphan
-    fragment, reclaimed by gc_orphans)."""
+def _write_manifest(
+    table_dir: str, name: str, files: list[str], stats: dict | None = None
+) -> None:
+    """One immutable fragment: the file names a commit added, plus each
+    file's key-column min/max bounds (the Iceberg manifest-entry stats
+    the COW merge prunes on).  Written tmp + os.replace BEFORE the head
+    log references it (crash ⇒ orphan fragment, reclaimed by
+    gc_orphans)."""
     mdir = os.path.join(table_dir, META_DIR)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, name + ".tmp")
+    doc = {"files": sorted(files)}
+    if stats:
+        doc["stats"] = stats
     with open(tmp, "w") as fh:
-        json.dump({"files": sorted(files)}, fh)
+        json.dump(doc, fh)
     os.replace(tmp, os.path.join(mdir, name))
 
 
-def _read_manifest(table_dir: str, name: str) -> list[str]:
+def _read_manifest_entry(table_dir: str, name: str) -> dict:
     with open(os.path.join(table_dir, META_DIR, name)) as fh:
-        return json.load(fh)["files"]
+        return json.load(fh)
+
+
+def _read_manifest(table_dir: str, name: str) -> list[str]:
+    return _read_manifest_entry(table_dir, name)["files"]
 
 
 def _chain(table_dir: str, snap: dict) -> tuple[list[str], list[str]] | None:
@@ -246,6 +257,28 @@ def snapshot_files(table_dir: str, snapshot_id: int) -> list[str]:
     return _files_of(table_dir, _snap(state, snapshot_id))
 
 
+def _stats_of(table_dir: str, snap: dict, state: dict) -> dict:
+    """Per-file key-column bounds for a snapshot's files: the fragment
+    manifests' embedded entry stats (current layout), unioned with the
+    head log's legacy ``file_stats`` map (pre-manifest tables)."""
+    out = dict(state.get("file_stats", {}))
+    chain = _chain(table_dir, snap)
+    if chain is not None:
+        for m in chain[0]:
+            out.update(_read_manifest_entry(table_dir, m).get("stats", {}))
+    return out
+
+
+def file_column_stats(table_dir: str, snapshot_id: int) -> dict:
+    """Public per-file (column → [min, max]) bounds for a snapshot."""
+    state = _load(table_dir)
+    snap = _snap(state, snapshot_id)
+    files = set(_files_of(table_dir, snap))
+    return {
+        f: s for f, s in _stats_of(table_dir, snap, state).items() if f in files
+    }
+
+
 def _lineage(table_dir: str, base: dict) -> tuple[list[str], set[str]]:
     """(fragment names, tombstone set) a child commit inherits from
     ``base``.  A pre-fragment base is upgraded once: its resolved file
@@ -289,18 +322,21 @@ def _footer_stats(path: str, cols: list[str]) -> dict:
 
 def _land_files(
     df: DataFrame, table_dir: str, snapshot_id: int, state: dict | None = None
-) -> list[str]:
+) -> tuple[list[str], dict]:
     """Write ``df`` to a staging dir, then move its part files into
     ``data/`` under unique deterministic names.  Files land before the
     snapshot that references them commits (crash ⇒ orphans, never a
     dangling snapshot).  When ``state`` carries key columns, each landed
-    file's footer min/max for them is recorded in ``file_stats`` — the
-    merge-time pruning index."""
+    file's footer min/max for them is returned alongside the names —
+    ``_commit`` embeds them in the fragment manifest (the Iceberg
+    manifest-entry column bounds), so per-file pruning state rides the
+    immutable fragments, never the per-commit-rewritten head log."""
     data_dir = os.path.join(table_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
     staging = os.path.join(table_dir, f"_staging_{snapshot_id}")
     df.write.mode("overwrite").parquet(staging)
     names = []
+    stats_out: dict[str, dict] = {}
     parts = sorted(
         f for f in os.listdir(staging) if f.endswith(".parquet") and not f.startswith(".")
     )
@@ -310,12 +346,12 @@ def _land_files(
         dest = os.path.join(data_dir, name)
         os.replace(os.path.join(staging, part), dest)
         names.append(name)
-        if key_cols and state is not None:
+        if key_cols:
             stats = _footer_stats(dest, key_cols)
             if stats:
-                state["file_stats"][name] = stats
+                stats_out[name] = stats
     shutil.rmtree(staging)
-    return names
+    return names, stats_out
 
 
 def _commit(
@@ -326,6 +362,7 @@ def _commit(
     *,
     base: dict | None = None,
     removed: list[str] | None = None,
+    added_stats: dict | None = None,
     staged: bool = False,
     parent: int | None = None,
     summary: dict | None = None,
@@ -360,7 +397,7 @@ def _commit(
     dead |= set(removed or ())
     if added:
         frag = f"manifest-{sid:06d}.json"
-        _write_manifest(table_dir, frag, added)
+        _write_manifest(table_dir, frag, added, added_stats)
         manifests = manifests + [frag]
     if dead:
         # drop fully-tombstoned fragments and shrink the tombstone list to
@@ -421,13 +458,14 @@ def create_table(
     state = _load(table_dir)
     state["key_cols"] = key_cols
     _evolve_schema(state, df)
-    files = _land_files(df, table_dir, state["last_id"] + 1, state)
+    files, fstats = _land_files(df, table_dir, state["last_id"] + 1, state)
     return _commit(
         table_dir,
         state,
         files,
         "create",
         base=None,
+        added_stats=fstats,
         summary={"added": len(files)},
         stream_epoch=stream_epoch,
         batch_key=batch_key,
@@ -446,13 +484,14 @@ def append(
     state = _load(table_dir)
     cur = _snap(state, state["current_id"])
     _evolve_schema(state, df)
-    new = _land_files(df, table_dir, state["last_id"] + 1, state)
+    new, fstats = _land_files(df, table_dir, state["last_id"] + 1, state)
     return _commit(
         table_dir,
         state,
         new,
         "append",
         base=cur,
+        added_stats=fstats,
         summary={"added": len(new)},
         stream_epoch=stream_epoch,
         batch_key=batch_key,
@@ -573,8 +612,10 @@ def merge_cow(
         *[F.max(k).alias(f"_hi_{k}") for k in keys],
     ).collect()[0]
 
+    stats_map = _stats_of(table_dir, cur, state)
+
     def _candidate(fname: str) -> bool:
-        stats = state["file_stats"].get(fname)
+        stats = stats_map.get(fname)
         if not stats:
             return True
         for k in keys:
@@ -620,7 +661,7 @@ def merge_cow(
         rewritten = survivors.unionByName(src_full.select(*survivors.columns))
     else:
         rewritten = source
-    new_files = _land_files(rewritten, table_dir, state["last_id"] + 1, state)
+    new_files, fstats = _land_files(rewritten, table_dir, state["last_id"] + 1, state)
     summary = {
         "rewritten": len(affected),
         "added": len(new_files),
@@ -634,6 +675,7 @@ def merge_cow(
         "merge",
         base=cur,
         removed=affected,
+        added_stats=fstats,
         summary=summary,
         stream_epoch=stream_epoch,
     )
@@ -715,13 +757,14 @@ def stage_append(df: DataFrame, table_dir: str) -> int:
     state = _load(table_dir)
     cur = _snap(state, state["current_id"])
     _evolve_schema(state, df)
-    new = _land_files(df, table_dir, state["last_id"] + 1, state)
+    new, fstats = _land_files(df, table_dir, state["last_id"] + 1, state)
     return _commit(
         table_dir,
         state,
         new,
         "append",
         base=cur,
+        added_stats=fstats,
         staged=True,
         summary={"added": len(new)},
     )
@@ -898,7 +941,7 @@ def rewrite_small_files(
         packed = loaded.coalesce(n_out)
     else:
         raise ValueError(f"unknown rewrite strategy {strategy!r}")
-    new_files = _land_files(packed, table_dir, state["last_id"] + 1, state)
+    new_files, fstats = _land_files(packed, table_dir, state["last_id"] + 1, state)
     summary = {
         "rewritten": len(small),
         "added": len(new_files),
@@ -906,7 +949,7 @@ def rewrite_small_files(
     }
     sid = _commit(
         table_dir, state, new_files, "rewrite", base=cur, removed=small,
-        summary=summary,
+        added_stats=fstats, summary=summary,
     )
     return {"snapshot_id": sid, **summary}
 
