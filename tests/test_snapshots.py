@@ -584,3 +584,21 @@ def test_entry_stats_ride_fragments_not_head_log(spark, tbl):
     stats = file_column_stats(out, 3)
     assert set(stats) == set(_snap_files(out, 3))
     assert all("conv_id" in s and "turn_idx" in s for s in stats.values())
+
+
+def test_history_metadata_table(spark, tbl):
+    from wolf_quake_spark.plans.snapshots import create_tag, history
+
+    out, mk = tbl
+    merge_cow(spark, out, mk([("c3", 0, "c-v2")]))
+    create_tag(out, "release-1", 2)
+    sid = stage_append(mk([("c5", 0, "e")]), out)
+    rows = history(out)
+    assert [r["id"] for r in rows] == [1, 2, 3, sid]
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[1]["operation"] == "create" and by_id[1]["parent"] is None
+    assert by_id[2]["tags"] == ["release-1"]
+    assert by_id[3]["operation"] == "merge" and by_id[3]["is_current"]
+    assert by_id[sid]["staged"] and not by_id[sid]["is_current"]
+    assert by_id[3]["n_files"] == len(_snap_files(out, 3))
+    assert by_id[3]["summary"]["rewritten"] == 1

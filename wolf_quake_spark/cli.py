@@ -208,6 +208,10 @@ def _cmd_snapshot(args: argparse.Namespace) -> None:
     if act == "changes" and (args.from_id is None or args.to_id is None):
         raise SystemExit("snapshot changes needs --from-id and --to-id")
     # metadata-only actions never need a JVM
+    if act == "history":
+        for row in sn.history(args.table):
+            print(json.dumps(row))
+        return
     if act == "expire":
         print(json.dumps({"expired": sn.expire_snapshots(args.table, args.keep_last)}))
         return
@@ -417,7 +421,7 @@ def main(argv: list[str] | None = None) -> None:
         "action",
         choices=[
             "create", "append", "merge", "read", "changes", "rewrite",
-            "stage", "publish", "expire", "gc", "tag", "untag",
+            "stage", "publish", "expire", "gc", "tag", "untag", "history",
         ],
     )
     sp.add_argument("--table", required=True, help="snapshot table dir")

@@ -257,6 +257,35 @@ def snapshot_files(table_dir: str, snapshot_id: int) -> list[str]:
     return _files_of(table_dir, _snap(state, snapshot_id))
 
 
+def history(table_dir: str) -> list[dict]:
+    """Snapshot history (the Iceberg ``history`` / ``snapshots`` metadata
+    tables): one row per retained snapshot — id, parent, commit time,
+    operation, staged flag, current marker, file/manifest counts, the
+    commit summary, and any tags.  Driver-side metadata only."""
+    state = _load(table_dir)
+    tags_by_sid: dict[int, list[str]] = {}
+    for name, sid in state.get("tags", {}).items():
+        tags_by_sid.setdefault(sid, []).append(name)
+    out = []
+    for s in sorted(state["snapshots"], key=lambda s: s["id"]):
+        chain = _chain(table_dir, s)
+        out.append(
+            {
+                "id": s["id"],
+                "parent": s["parent"],
+                "ts": s["ts"],
+                "operation": s["operation"],
+                "staged": s["staged"],
+                "is_current": s["id"] == state["current_id"],
+                "n_files": len(_files_of(table_dir, s)),
+                "n_manifests": len(chain[0]) if chain is not None else 1,
+                "summary": s.get("summary", {}),
+                "tags": sorted(tags_by_sid.get(s["id"], [])),
+            }
+        )
+    return out
+
+
 def _stats_of(table_dir: str, snap: dict, state: dict) -> dict:
     """Per-file key-column bounds for a snapshot's files: the fragment
     manifests' embedded entry stats (current layout), unioned with the
