@@ -602,3 +602,26 @@ def test_history_metadata_table(spark, tbl):
     assert by_id[sid]["staged"] and not by_id[sid]["is_current"]
     assert by_id[3]["n_files"] == len(_snap_files(out, 3))
     assert by_id[3]["summary"]["rewritten"] == 1
+
+
+def test_scan_where_prunes_files_by_entry_stats(spark, tbl):
+    """Read-side scan planning over the manifest-entry bounds: a range
+    read on the key column skips files whose recorded [min, max] is
+    disjoint, and the residual filter keeps the result exact."""
+    from wolf_quake_spark.plans.snapshots import scan_where
+
+    out, mk = tbl
+    # file A holds c1/c2, file B holds c3/c4 — disjoint conv_id ranges
+    df, rep = scan_where(spark, out, "conv_id", "c1", "c2")
+    assert rep == {"files_total": 2, "files_read": 1, "files_pruned": 1}
+    assert _rows(df) == {("c1", 0, "a"), ("c2", 0, "b")}
+    # point lookup form
+    df2, rep2 = scan_where(spark, out, "conv_id", "c4")
+    assert rep2["files_read"] == 1
+    assert _rows(df2) == {("c4", 0, "d")}
+    # no-intersection range: zero files read, empty typed frame
+    df3, rep3 = scan_where(spark, out, "conv_id", "z1", "z9")
+    assert rep3["files_read"] == 0 and df3.count() == 0
+    # time travel: scan an older snapshot
+    df4, rep4 = scan_where(spark, out, "conv_id", "c1", "c2", snapshot_id=1)
+    assert rep4["files_total"] == 1 and _rows(df4) == {("c1", 0, "a"), ("c2", 0, "b")}

@@ -240,6 +240,15 @@ def _cmd_snapshot(args: argparse.Namespace) -> None:
     elif act == "merge":
         print(json.dumps(sn.merge_cow(spark, args.table, spark.read.parquet(args.input))))
     elif act == "read":
+        if args.where_col:
+            df, rep = sn.scan_where(
+                spark, args.table, args.where_col, args.lo,
+                args.hi, args.snapshot_id,
+            )
+            print(json.dumps({"rows": df.count(), **rep}))
+            for r in df.limit(args.limit).collect():
+                print(json.dumps(r.asDict(), default=str))
+            return
         if args.name:
             df = sn.read_tag(spark, args.table, args.name)
         else:
@@ -425,6 +434,9 @@ def main(argv: list[str] | None = None) -> None:
         ],
     )
     sp.add_argument("--table", required=True, help="snapshot table dir")
+    sp.add_argument("--where-col", default=None, help="read: prune files by this column's entry stats")
+    sp.add_argument("--lo", default=None, help="read --where-col: range low (or point value)")
+    sp.add_argument("--hi", default=None, help="read --where-col: range high (omit for point lookup)")
     sp.add_argument("--input", default=None, help="parquet dir (create/append/merge/stage)")
     sp.add_argument("--keys", default=None, help="comma list of merge key cols (create)")
     sp.add_argument("--snapshot-id", type=int, default=None, help="read/publish target")
