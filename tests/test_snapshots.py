@@ -625,3 +625,50 @@ def test_scan_where_prunes_files_by_entry_stats(spark, tbl):
     # time travel: scan an older snapshot
     df4, rep4 = scan_where(spark, out, "conv_id", "c1", "c2", snapshot_id=1)
     assert rep4["files_total"] == 1 and _rows(df4) == {("c1", 0, "a"), ("c2", 0, "b")}
+
+
+def test_branch_write_isolate_fast_forward(spark, tbl):
+    """Writable branch refs: commits on a branch base on and advance its
+    head while main stays put; fast_forward publishes iff main is an
+    ancestor of the head (else CommitConflict — main advanced)."""
+    from wolf_quake_spark.plans.snapshots import (
+        CommitConflict,
+        create_branch,
+        drop_branch,
+        fast_forward,
+        history,
+        read_branch,
+    )
+
+    out, mk = tbl
+    main_before = _rows(read_snapshot(spark, out))
+    create_branch(out, "audit")
+    s1 = append(mk([("c5", 0, "e")]), out, branch="audit")
+    s2 = append(mk([("c6", 0, "f")]), out, branch="audit")  # multi-commit line
+    # branch sees its commits; main is untouched
+    assert _rows(read_branch(spark, out, "audit")) == main_before | {
+        ("c5", 0, "e"),
+        ("c6", 0, "f"),
+    }
+    assert _rows(read_snapshot(spark, out)) == main_before
+    # parent chain: s2 -> s1 -> main's current
+    hist = {r["id"]: r for r in history(out)}
+    assert hist[s2]["parent"] == s1 and hist[s1]["parent"] == 2
+    assert hist[s2]["branches"] == ["audit"]
+    # branch heads pin retention
+    assert s2 not in expire_snapshots(out, keep_last=1)
+    # publish: fast-forward flips main to the audited head
+    assert fast_forward(out, "audit") == s2
+    assert _rows(read_snapshot(spark, out)) == main_before | {
+        ("c5", 0, "e"),
+        ("c6", 0, "f"),
+    }
+    drop_branch(out, "audit")
+
+    # divergence: main advances after the fork → fast-forward must refuse
+    create_branch(out, "stale")  # forks from the new current
+    append(mk([("c7", 0, "g")]), out)  # main advances independently
+    with pytest.raises(CommitConflict):
+        fast_forward(out, "stale")
+    # main kept its independent commit
+    assert ("c7", 0, "g") in _rows(read_snapshot(spark, out))

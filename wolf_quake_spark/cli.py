@@ -205,6 +205,19 @@ def _cmd_snapshot(args: argparse.Namespace) -> None:
         sid = sn.drop_tag(args.table, args.name)
         print(json.dumps({"untagged": args.name, "snapshot_id": sid}))
         return
+    if act in ("branch", "unbranch", "ff"):
+        if not args.name:
+            raise SystemExit(f"snapshot {act} needs --name")
+        if act == "branch":
+            sid = sn.create_branch(args.table, args.name, args.snapshot_id)
+            print(json.dumps({"branch": args.name, "snapshot_id": sid}))
+        elif act == "unbranch":
+            sid = sn.drop_branch(args.table, args.name)
+            print(json.dumps({"unbranched": args.name, "snapshot_id": sid}))
+        else:
+            sid = sn.fast_forward(args.table, args.name)
+            print(json.dumps({"fast_forwarded": args.name, "current_id": sid}))
+        return
     if act == "changes" and (args.from_id is None or args.to_id is None):
         raise SystemExit("snapshot changes needs --from-id and --to-id")
     # metadata-only actions never need a JVM
@@ -232,7 +245,9 @@ def _cmd_snapshot(args: argparse.Namespace) -> None:
         )
         print(json.dumps({"snapshot_id": sid}))
     elif act == "append":
-        sid = sn.append(spark.read.parquet(args.input), args.table)
+        sid = sn.append(
+            spark.read.parquet(args.input), args.table, branch=args.branch
+        )
         print(json.dumps({"snapshot_id": sid}))
     elif act == "stage":
         sid = sn.stage_append(spark.read.parquet(args.input), args.table)
@@ -249,7 +264,9 @@ def _cmd_snapshot(args: argparse.Namespace) -> None:
             for r in df.limit(args.limit).collect():
                 print(json.dumps(r.asDict(), default=str))
             return
-        if args.name:
+        if args.branch:
+            df = sn.read_branch(spark, args.table, args.branch)
+        elif args.name:
             df = sn.read_tag(spark, args.table, args.name)
         else:
             df = sn.read_snapshot(spark, args.table, args.snapshot_id)
@@ -431,9 +448,11 @@ def main(argv: list[str] | None = None) -> None:
         choices=[
             "create", "append", "merge", "read", "changes", "rewrite",
             "stage", "publish", "expire", "gc", "tag", "untag", "history",
+            "branch", "unbranch", "ff",
         ],
     )
     sp.add_argument("--table", required=True, help="snapshot table dir")
+    sp.add_argument("--branch", default=None, help="append/read: target a named writable branch ref")
     sp.add_argument("--where-col", default=None, help="read: prune files by this column's entry stats")
     sp.add_argument("--lo", default=None, help="read --where-col: range low (or point value)")
     sp.add_argument("--hi", default=None, help="read --where-col: range high (omit for point lookup)")

@@ -266,6 +266,9 @@ def history(table_dir: str) -> list[dict]:
     tags_by_sid: dict[int, list[str]] = {}
     for name, sid in state.get("tags", {}).items():
         tags_by_sid.setdefault(sid, []).append(name)
+    branches_by_sid: dict[int, list[str]] = {}
+    for name, ref in state.get("branches", {}).items():
+        branches_by_sid.setdefault(ref["head"], []).append(name)
     out = []
     for s in sorted(state["snapshots"], key=lambda s: s["id"]):
         chain = _chain(table_dir, s)
@@ -281,6 +284,7 @@ def history(table_dir: str) -> list[dict]:
                 "n_manifests": len(chain[0]) if chain is not None else 1,
                 "summary": s.get("summary", {}),
                 "tags": sorted(tags_by_sid.get(s["id"], [])),
+                "branches": sorted(branches_by_sid.get(s["id"], [])),
             }
         )
     return out
@@ -447,11 +451,14 @@ def _commit(
     summary: dict | None = None,
     stream_epoch: tuple[str, int] | None = None,
     batch_key: str | None = None,
+    branch: str | None = None,
 ) -> int:
     """Commit a child snapshot: metadata cost is O(added + removed), never
     O(table files).  ``base`` is the parent snapshot whose fragment chain
     the child inherits (None for the creating commit); ``removed`` are the
-    base files this commit replaced (COW merge / rewrite)."""
+    base files this commit replaced (COW merge / rewrite).  With
+    ``branch``, the commit advances that branch ref instead of the main
+    current pointer (Iceberg branch writes)."""
     if batch_key is not None:
         # batch-idempotence ledger for the resumable pipeline's sinks:
         # committed in the same atomic metadata write as the snapshot, so
@@ -516,7 +523,9 @@ def _commit(
             "summary": summary or {},
         }
     )
-    if not staged:
+    if branch is not None:
+        state.setdefault("branches", {})[branch]["head"] = sid
+    elif not staged:
         state["current_id"] = sid
     _dump(table_dir, state)
     return sid
@@ -551,17 +560,31 @@ def create_table(
     )
 
 
+def _ref_head(state: dict, branch: str | None) -> dict:
+    """The snapshot a write bases on: the branch head, or main's current."""
+    if branch is None:
+        return _snap(state, state["current_id"])
+    refs = state.setdefault("branches", {})
+    if branch not in refs:
+        raise KeyError(f"unknown branch {branch!r}")
+    return _snap(state, refs[branch]["head"])
+
+
 @_locked
 def append(
     df: DataFrame,
     table_dir: str,
     stream_epoch: tuple[str, int] | None = None,
     batch_key: str | None = None,
+    branch: str | None = None,
 ) -> int:
     """Fast append: child snapshot = parent files + the new files.  No
-    existing file is read or rewritten (Iceberg append semantics)."""
+    existing file is read or rewritten (Iceberg append semantics).
+    ``branch`` targets a named writable ref instead of main — the commit
+    bases on and advances that branch head; main is untouched until
+    :func:`fast_forward`."""
     state = _load(table_dir)
-    cur = _snap(state, state["current_id"])
+    cur = _ref_head(state, branch)
     _evolve_schema(state, df)
     new, fstats = _land_files(df, table_dir, state["last_id"] + 1, state)
     return _commit(
@@ -570,10 +593,12 @@ def append(
         new,
         "append",
         base=cur,
+        parent=cur["id"],
         added_stats=fstats,
         summary={"added": len(new)},
         stream_epoch=stream_epoch,
         batch_key=batch_key,
+        branch=branch,
     )
 
 
@@ -774,6 +799,9 @@ def expire_snapshots(table_dir: str, keep_last: int) -> list[int]:
         keep_ids.add(state["current_id"])
     keep_ids |= {s["id"] for s in ordered if s["staged"]}
     keep_ids |= set(state.setdefault("tags", {}).values())  # tags pin retention
+    keep_ids |= {  # branch heads pin retention too
+        b["head"] for b in state.setdefault("branches", {}).values()
+    }
     expired = [s["id"] for s in ordered if s["id"] not in keep_ids]
     state["snapshots"] = [s for s in ordered if s["id"] in keep_ids]
     _dump(table_dir, state)
@@ -1070,6 +1098,82 @@ def read_tag(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
     return _read_files(
         spark, table_dir, _files_of(table_dir, snap), _schema_of(state, snap)
     )
+
+
+@_locked
+def create_branch(
+    table_dir: str, name: str, snapshot_id: int | None = None
+) -> int:
+    """Name a WRITABLE ref (Iceberg branch) at a snapshot (default: main's
+    current).  ``append(..., branch=name)`` then bases on and advances the
+    branch head while main stays put — the generalization of the WAP
+    staging flow to multi-commit audit lines (land a whole backfill on a
+    branch, validate it, then :func:`fast_forward` main).  Branch heads
+    pin retention like tags; their files survive GC.  The ref records its
+    FORK POINT (the snapshot it branched from) — fast-forward validation
+    compares main against it, so it stays provable after snapshot expiry
+    (no ancestry walk over possibly-expired entries)."""
+    state = _load(table_dir)
+    sid = state["current_id"] if snapshot_id is None else snapshot_id
+    _snap(state, sid)  # must exist and be retained
+    branches = state.setdefault("branches", {})
+    if name in branches:
+        raise ValueError(f"branch {name!r} already exists")
+    branches[name] = {"head": sid, "base": sid}
+    _dump(table_dir, state)
+    return sid
+
+
+@_locked
+def drop_branch(table_dir: str, name: str) -> int:
+    """Remove a branch ref; its unshared commits become expirable and
+    their files GC-able."""
+    state = _load(table_dir)
+    ref = state.setdefault("branches", {}).pop(name, None)
+    if ref is None:
+        raise KeyError(f"unknown branch {name!r}")
+    _dump(table_dir, state)
+    return ref["head"]
+
+
+def read_branch(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
+    """Read a branch head (the branch's live table view)."""
+    state = _load(table_dir)
+    branches = state.setdefault("branches", {})
+    if name not in branches:
+        raise KeyError(f"unknown branch {name!r}")
+    snap = _snap(state, branches[name]["head"])
+    return _read_files(
+        spark, table_dir, _files_of(table_dir, snap), _schema_of(state, snap)
+    )
+
+
+@_locked
+def fast_forward(table_dir: str, name: str) -> int:
+    """Publish a branch: flip main's current pointer to the branch head,
+    iff main still points at the branch's recorded fork point — otherwise
+    main advanced independently and a fast-forward would drop its commits,
+    so the publish fails with :class:`CommitConflict` (the same lost-update
+    validation as the WAP ``publish``, robust to expired ancestry because
+    it compares ids, not walks them).  On success the branch's fork point
+    advances to its head (the branch now equals main and can keep
+    receiving commits); drop it when the audit line is finished."""
+    state = _load(table_dir)
+    branches = state.setdefault("branches", {})
+    if name not in branches:
+        raise KeyError(f"unknown branch {name!r}")
+    ref = branches[name]
+    if state["current_id"] != ref["base"]:
+        raise CommitConflict(
+            f"branch {name!r} forked from {ref['base']} but main's current "
+            f"is {state['current_id']} — main advanced independently; "
+            "rebase the branch (re-create from the new current) or merge "
+            "explicitly"
+        )
+    state["current_id"] = ref["head"]
+    ref["base"] = ref["head"]
+    _dump(table_dir, state)
+    return ref["head"]
 
 
 def changes_since(
