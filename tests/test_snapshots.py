@@ -672,3 +672,21 @@ def test_branch_write_isolate_fast_forward(spark, tbl):
         fast_forward(out, "stale")
     # main kept its independent commit
     assert ("c7", 0, "g") in _rows(read_snapshot(spark, out))
+
+
+def test_merge_on_branch_isolated_until_fast_forward(spark, tbl):
+    from wolf_quake_spark.plans.snapshots import (
+        create_branch,
+        fast_forward,
+        read_branch,
+    )
+
+    out, mk = tbl
+    main_before = _rows(read_snapshot(spark, out))
+    create_branch(out, "fixups")
+    res = merge_cow(spark, out, mk([("c3", 0, "c-v2")]), branch="fixups")
+    assert res["rewritten"] == 1
+    assert ("c3", 0, "c-v2") in _rows(read_branch(spark, out, "fixups"))
+    assert _rows(read_snapshot(spark, out)) == main_before  # main untouched
+    fast_forward(out, "fixups")
+    assert ("c3", 0, "c-v2") in _rows(read_snapshot(spark, out))

@@ -253,7 +253,14 @@ def _cmd_snapshot(args: argparse.Namespace) -> None:
         sid = sn.stage_append(spark.read.parquet(args.input), args.table)
         print(json.dumps({"staged_snapshot_id": sid}))
     elif act == "merge":
-        print(json.dumps(sn.merge_cow(spark, args.table, spark.read.parquet(args.input))))
+        print(
+            json.dumps(
+                sn.merge_cow(
+                    spark, args.table, spark.read.parquet(args.input),
+                    branch=args.branch,
+                )
+            )
+        )
     elif act == "read":
         if args.where_col:
             df, rep = sn.scan_where(

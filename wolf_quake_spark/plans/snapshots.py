@@ -676,9 +676,12 @@ def merge_cow(
     table_dir: str,
     source: DataFrame,
     stream_epoch: tuple[str, int] | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Copy-on-write MERGE (upsert by the table's pinned key columns):
     ``WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
+    ``branch`` bases the merge on (and advances) that writable ref
+    instead of main, same as ``append``.
 
     Plan shape (the 100 TB argument):
 
@@ -703,7 +706,7 @@ def merge_cow(
     keys = state["key_cols"]
     if not keys:
         raise ValueError("merge_cow needs a table created with key columns")
-    cur = _snap(state, state["current_id"])
+    cur = _ref_head(state, branch)
     cur_files = _files_of(table_dir, cur)
     _evolve_schema(state, source)
     src_keys = source.select(*keys).distinct()
@@ -778,10 +781,12 @@ def merge_cow(
         new_files,
         "merge",
         base=cur,
+        parent=cur["id"],
         removed=affected,
         added_stats=fstats,
         summary=summary,
         stream_epoch=stream_epoch,
+        branch=branch,
     )
     return {"snapshot_id": sid, **summary}
 
