@@ -690,3 +690,29 @@ def test_merge_on_branch_isolated_until_fast_forward(spark, tbl):
     assert _rows(read_snapshot(spark, out)) == main_before  # main untouched
     fast_forward(out, "fixups")
     assert ("c3", 0, "c-v2") in _rows(read_snapshot(spark, out))
+
+
+def test_changes_since_follows_main_ancestry_not_branch_commits(spark, tbl):
+    """Unpublished branch commits must NOT leak into main's incremental
+    feed; after fast_forward they enter it exactly once as main history."""
+    from wolf_quake_spark.plans.snapshots import (
+        changes_since,
+        create_branch,
+        fast_forward,
+    )
+
+    out, mk = tbl
+    df, wm = changes_since(spark, out, None)
+    assert wm == 2 and df.count() == 4
+    create_branch(out, "audit")
+    bsid = append(mk([("c5", 0, "e")]), out, branch="audit")
+    # branch commit invisible to a main consumer
+    assert changes_since(spark, out, wm) == (None, 2)
+    # a branch id is not a valid main watermark
+    with pytest.raises(KeyError):
+        changes_since(spark, out, bsid)
+    fast_forward(out, "audit")
+    df2, wm2 = changes_since(spark, out, wm)
+    assert wm2 == bsid
+    got = {(r["_change_type"], r["conv_id"]) for r in df2.collect()}
+    assert got == {("insert", "c5")}

@@ -1191,15 +1191,25 @@ def changes_since(
     ``(df, watermark)`` — pass the watermark back as the next call's
     ``since_id`` to consume each commit exactly once; ``(None, since_id)``
     when nothing new committed.  ``since_id=None`` starts from the
-    beginning (the first snapshot surfaces whole, as inserts).  Staged
-    (unpublished) snapshots are invisible.  Cost per step tracks that
+    beginning (the first snapshot surfaces whole, as inserts).  The feed
+    follows MAIN's ancestry (current's parent chain): staged snapshots
+    and unpublished branch commits are invisible; after a
+    ``fast_forward`` the adopted branch commits enter the feed as part of
+    main's history, exactly once (the Iceberg incremental scan follows a
+    ref's lineage, not the raw snapshot log).  Cost per step tracks that
     commit's changed files, never the table."""
     state = _load(table_dir)
-    live = sorted(
-        (s["id"] for s in state["snapshots"] if not s["staged"])
-    )
+    by_id = {s["id"]: s for s in state["snapshots"]}
+    live: list[int] = []
+    node = state["current_id"]
+    while node is not None and node in by_id:
+        live.append(node)
+        node = by_id[node].get("parent")
+    live.sort()  # child ids always exceed parent ids (monotone allocator)
     if since_id is not None and since_id not in live:
-        raise KeyError(f"unknown or expired snapshot id {since_id}")
+        raise KeyError(
+            f"snapshot id {since_id} is not in main's retained ancestry"
+        )
     newer = [i for i in live if since_id is None or i > since_id]
     if not newer:
         return None, since_id
