@@ -111,3 +111,43 @@ def test_epoch_retries_through_held_lock(spark, tmp_path):
     finally:
         t.cancel()
     assert _rows(read_snapshot(spark, tbl)) == {("c1", 0, "a"), ("c2", 0, "b")}
+
+
+def test_stream_onto_branch_then_fast_forward(spark, tmp_path):
+    """Audited streaming backfill: epochs land on a branch (exactly-once
+    as usual), main is untouched until fast_forward publishes the line."""
+    from wolf_quake_spark.plans.snapshots import (
+        create_branch,
+        create_table,
+        fast_forward,
+        read_branch,
+    )
+
+    land = str(tmp_path / "land")
+    tbl = str(tmp_path / "tbl")
+    create_table(_mk(spark, [("c1", 0, "a")]).coalesce(1), tbl, ["conv_id", "turn_idx"])
+    create_branch(tbl, "backfill")
+    _mk(spark, [("c2", 0, "b"), ("c3", 0, "c")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_stream_to_snapshot(
+        spark, land, tbl, ["conv_id", "turn_idx"], branch="backfill"
+    )
+    assert _rows(read_snapshot(spark, tbl)) == {("c1", 0, "a")}  # main untouched
+    assert _rows(read_branch(spark, tbl, "backfill")) == {
+        ("c1", 0, "a"),
+        ("c2", 0, "b"),
+        ("c3", 0, "c"),
+    }
+    fast_forward(tbl, "backfill")
+    assert _rows(read_snapshot(spark, tbl)) == {
+        ("c1", 0, "a"),
+        ("c2", 0, "b"),
+        ("c3", 0, "c"),
+    }
+    # branch-targeted sink on an uninitialized table is rejected
+    process = make_snapshot_sink(
+        spark, str(tmp_path / "empty"), ["conv_id", "turn_idx"], branch="x"
+    )
+    with pytest.raises(ValueError):
+        process(_mk(spark, [("c9", 0, "z")]), 0)

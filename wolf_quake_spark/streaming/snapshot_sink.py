@@ -43,11 +43,17 @@ def make_snapshot_sink(
     key_cols: list[str],
     mode: str = "append",
     stream_name: str = "transcripts",
+    branch: str | None = None,
 ):
     """Build the ``foreachBatch`` function.  Exposed separately from
     :func:`run_stream_to_snapshot` so tests can drive replayed epochs
     directly (the crash window is not reproducible from the happy path).
-    """
+
+    ``branch`` lands every epoch on that writable ref instead of main —
+    the audited streaming backfill: drain a correction stream onto a
+    branch (exactly-once per epoch as usual), validate the branch head,
+    then ``fast_forward`` main in one atomic pointer flip.  The table
+    (and the branch) must already exist in branch mode."""
     if mode not in ("append", "merge"):
         raise ValueError(f"unknown sink mode {mode!r}")
 
@@ -62,11 +68,17 @@ def make_snapshot_sink(
             epoch = (stream_name, int(epoch_id))
             try:
                 if state["current_id"] is None and not state["snapshots"]:
+                    if branch is not None:
+                        raise ValueError(
+                            "branch-targeted sink needs an existing table"
+                        )
                     sn.create_table(df, table_dir, key_cols, stream_epoch=epoch)
                 elif mode == "merge":
-                    sn.merge_cow(spark, table_dir, df, stream_epoch=epoch)
+                    sn.merge_cow(
+                        spark, table_dir, df, stream_epoch=epoch, branch=branch
+                    )
                 else:
-                    sn.append(df, table_dir, stream_epoch=epoch)
+                    sn.append(df, table_dir, stream_epoch=epoch, branch=branch)
                 return
             except sn.CommitConflict:
                 if attempt == 5:
@@ -85,6 +97,7 @@ def run_stream_to_snapshot(
     stream_name: str = "transcripts",
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Drain the landing zone (availableNow) into the snapshot table and
     return the resulting snapshot-log state.  Restartable: the streaming
@@ -96,7 +109,9 @@ def run_stream_to_snapshot(
     stream = reader.parquet(input_path)
     query = (
         stream.writeStream.foreachBatch(
-            make_snapshot_sink(spark, table_dir, key_cols, mode, stream_name)
+            make_snapshot_sink(
+                spark, table_dir, key_cols, mode, stream_name, branch
+            )
         )
         .option(
             "checkpointLocation",
