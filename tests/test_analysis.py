@@ -2169,3 +2169,46 @@ def test_count_vectorizer_df_bounds_and_rank(spark):
     assert vocab == {"data": 1, "spark": 2, "join": 3}
     assert all(r["tf"] == 1 for r in out)
     assert len(out) == 6 + 6 + 3
+
+
+def test_pq_train_identity_and_codebook_shape(spark):
+    """PQ codes: identical vectors share all m codes; the codebook holds at
+    most m*ks codewords of width dim/m; every vector gets exactly m codes."""
+    from wolf_quake_spark.analysis.similarity import pq_train
+
+    rows = [
+        (0, [1.0, 0.0, 2.0, 0.0, 0.5, 0.5, 3.0, 1.0]),
+        (1, [1.0, 0.0, 2.0, 0.0, 0.5, 0.5, 3.0, 1.0]),  # identical to 0
+        (2, [-1.0, 4.0, 0.0, 1.0, 2.0, 2.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0, 9.0, 9.0, 9.0, 9.0]),
+        (4, [1.1, 0.0, 2.0, 0.1, 0.5, 0.4, 3.0, 1.0]),  # close to 0
+    ]
+    vecs8 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes, cb = pq_train(vecs8, m=2, iters=2)
+    got = {(r["vec_id"], r["sub_id"]): r["code_id"] for r in codes.collect()}
+    # every vector encoded in every subspace
+    assert set(got) == {(v, s) for v in range(5) for s in range(2)}
+    # identical vectors -> identical codes in both subspaces
+    assert got[(0, 0)] == got[(1, 0)] and got[(0, 1)] == got[(1, 1)]
+    cb_rows = cb.collect()
+    assert all(len(r["cvec"]) == 4 for r in cb_rows)  # dim/m = 8/2
+    assert len(cb_rows) <= 2 * 2 * 2  # m * ks with ks = derived_ks(5) = 2
+    # deterministic: retrain reproduces the exact assignment
+    codes2, _ = pq_train(vecs8, m=2, iters=2)
+    assert {(r["vec_id"], r["sub_id"]): r["code_id"] for r in codes2.collect()} == got
+
+
+def test_pq_adc_ranks_near_vectors_first(spark):
+    """ADC distance of an exact-duplicate query is minimal, and the far
+    cluster ranks last; recall gauge reads 10/10 when k covers the corpus."""
+    from wolf_quake_spark.analysis.similarity import pq_adc_topk, pq_recall_at_k
+
+    rows = [(i, [float(i // 4) * 10 + j * 0.1 for j in range(8)]) for i in range(8)]
+    vecs8 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [j * 0.1 for j in range(8)]  # == vec 0..3's cluster centre shape
+    out = pq_adc_topk(vecs8, q, m=2, iters=2, k=8).collect()
+    order = [r["vec_id"] for r in out]
+    assert set(order[:4]) == {0, 1, 2, 3}  # near cluster first
+    assert out[0]["adc_d2"] <= out[-1]["adc_d2"]
+    rec = pq_recall_at_k(vecs8, q, m=2, iters=2, k=8).collect()[0]
+    assert rec["n_overlap"] == 8 and rec["recall_at_8"] == 1.0

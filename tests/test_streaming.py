@@ -1025,3 +1025,95 @@ def test_windowed_countmin_parity_and_merge(spark, tmp_path):
            for r in cm_estimate(merged, items, width=16).collect()}
     assert est and all(est[u] >= c for u, c in truth.items())
     closed.unpersist()
+
+
+def test_session_window_streaming_matches_batch_for_closed_sessions(spark, tmp_path):
+    """Native session_window: one definition, two modes — every session the
+    watermark closed in the append-mode stream must equal the same user's
+    session from the batch run, including the half-open end bound."""
+    import datetime as dt
+    import glob
+    import os
+    import random
+    import shutil
+
+    from wolf_quake_spark.streaming.windowed import session_window_rollup
+
+    rng = random.Random(23)
+    base = dt.datetime(2024, 3, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = []
+    for i in range(300):
+        # bursts with inter-burst quiet gaps so sessions actually close
+        burst = i // 30
+        rows.append(
+            (i,
+             base + dt.timedelta(minutes=burst * 120 + rng.randrange(0, 25)),
+             rng.randrange(6),
+             "click",
+             round(rng.uniform(0, 50), 2))
+        )
+    rows.sort(key=lambda r: r[1])
+    landing = tmp_path / "sw_landing"
+    landing.mkdir()
+    for i in range(3):
+        chunk = rows[i * 100:(i + 1) * 100]
+        st = str(tmp_path / f"sw{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("overwrite").parquet(st)
+        dst = str(landing / f"f{i}.parquet")
+        shutil.copyfile(glob.glob(st + "/part-*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    q = (
+        session_window_rollup(stream, gap="30 minutes", delay="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sw_parity")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"],
+                                             r["first_event_id"], r["value_cents"])
+        for r in spark.table("sw_parity").collect()
+    }
+    assert streamed  # at least one session closed
+
+    batch = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"],
+                                             r["first_event_id"], r["value_cents"])
+        for r in session_window_rollup(
+            spark.createDataFrame(rows, schema), gap="30 minutes", delay="30 minutes"
+        ).collect()
+    }
+    for key, vals in streamed.items():
+        assert batch[key] == vals
+
+
+def test_session_window_exact_gap_boundary_merges(spark):
+    """The session end bound is INCLUSIVE: an event at EXACTLY prev_ts +
+    gap still extends the session; one microsecond later starts a new one —
+    the boundary the registry oracle's strict-> comparison encodes."""
+    import datetime as dt
+
+    from wolf_quake_spark.streaming.windowed import session_window_rollup
+
+    base = dt.datetime(2024, 3, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = [
+        (0, base, 1, "click", 1.0),
+        (1, base + dt.timedelta(minutes=30), 1, "click", 1.0),  # == gap: merges
+        (2, base + dt.timedelta(minutes=60, microseconds=1), 1, "click", 1.0),  # > gap: new
+    ]
+    out = session_window_rollup(
+        spark.createDataFrame(rows, schema), gap="30 minutes"
+    ).orderBy("session_start").collect()
+    assert [r["n_events"] for r in out] == [2, 1]
+    assert out[0]["session_end"] == base + dt.timedelta(minutes=60)
+    assert out[1]["session_start"] == base + dt.timedelta(minutes=60, microseconds=1)

@@ -1188,3 +1188,227 @@ def knn_classify(
     )
     out._wqs_persisted = [q, aq]
     return out
+
+
+# --- Product quantization (PQ) ---------------------------------------------
+
+PQ_M = 4  # subspaces per vector (codes per row); dim must divide evenly
+PQ_MAX_KS = 256  # classic 8-bit code ceiling per subspace codebook
+
+
+def derived_ks(n_vecs: int, max_ks: int = PQ_MAX_KS) -> int:
+    """Scale-aware codewords-per-subspace: sqrt(n) clamped to [2, 256].
+
+    Every vector trains every subspace codebook, so the sqrt rule gives each
+    codeword ~sqrt(n) training points (FAISS warns below ~39/centroid); 256
+    is the classic 8-bit PQ code width -- past that, add subspaces (more
+    codes/vector) rather than wider codebooks, which is the published PQ
+    scaling recipe (Jegou et al., TPAMI'11 SS3).  Mirrors the oracle's
+    ``greatest(least(round(sqrt(n)), 256), 2)`` (IEEE sqrt + half-up round
+    agree across engines)."""
+    import math
+
+    return max(2, min(int(round(math.sqrt(n_vecs))), max_ks))
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    iters: int = 2,
+    ks: int | None = None,
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization trainer (Jegou et al., TPAMI'11): split each
+    quantized vector into ``m`` contiguous subspaces and run an independent
+    small k-means per subspace -- ALL subspaces trained in one set of
+    DataFrame jobs by carrying ``sub_id`` as a grouping key (the same
+    all-cells-at-once trick as :func:`kmeans_assign_two_level`).
+
+    Returns ``(codes, codebook)``:
+
+    * ``codes`` -- (vec_id, sub_id, code_id): the per-subspace assignment,
+      i.e. each vector compressed to ``m`` small integers (n x m rows,
+      the exploded form both the ADC scan and the oracle compare on);
+    * ``codebook`` -- (sub_id, code_id, cvec): the m x ks codeword table
+      (array<long>, quantized ints), always broadcast-sized (<= m*256 rows).
+
+    Determinism/engine-exactness: integer L2-squared distances over the
+    quantized components, argmin ties to the LOWEST code_id, centroid
+    updates ``floor(sum/count)``, seeding is a derandomized random sample
+    (the ks vec_ids with the smallest ``_hash20`` rank -- random-subset init
+    is the standard PQ recipe; the md5 rank plays the uniform draw's role,
+    and the DuckDB oracle reproduces it with the same strpos arithmetic).
+    A convergence probe (exact xxhash64 assignment signature) allows early
+    exit bit-identical to the oracle's fixed ``iters`` unroll, exactly as in
+    :func:`kmeans_assign`.
+
+    100 TB design: each Lloyd round is one broadcast join over the persisted
+    sub-vector frame (n*m narrow rows) + a (sub_id, code_id, sub_pos)
+    aggregation of m*ks*(dim/m) = ks*dim rows; only the m*ks codeword table
+    ever reaches the driver (the textbook PQ trainer loop).  The trained
+    codes are the 256x-compressed representation ADC search scans INSTEAD of
+    raw vectors -- the memory/bandwidth step that makes billion-scale
+    similarity scans feasible (IVF prunes candidates, PQ shrinks what is
+    scanned)."""
+    from pyspark import StorageLevel
+
+    spark = embeddings.sparkSession
+    n = embeddings.count()
+    if ks is None:
+        ks = derived_ks(n)
+    dim = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    w = dim // m
+
+    # persisted: feeds every Lloyd assignment + the update joins + the final
+    # encode -- without it each pass re-reads parquet and re-quantizes.
+    subs = (
+        embeddings.select("vec_id", _quant(F.col(vec_col)).alias("qe"))
+        .select(
+            "vec_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.struct(
+                        s.cast("int").alias("sub_id"),
+                        F.slice("qe", s * F.lit(w) + 1, w).alias("svec"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("vec_id", F.col("e.sub_id").alias("sub_id"), F.col("e.svec").alias("svec"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+
+    # derandomized random-sample seeding: ks smallest (hash, vec_id) --
+    # distributed TakeOrdered, then a ks-row driver map for code_id ranks
+    seed_rows = (
+        embeddings.select("vec_id", _hash20(F.col("vec_id")).alias("h"))
+        .orderBy(F.asc("h"), F.asc("vec_id"))
+        .limit(ks)
+        .collect()
+    )
+    seed_map = spark.createDataFrame(
+        [(r["vec_id"], i) for i, r in enumerate(seed_rows)], "seed_id long, code_id int"
+    )
+    cb = (
+        subs.join(F.broadcast(seed_map), subs["vec_id"] == seed_map["seed_id"])
+        .select("sub_id", "code_id", F.col("svec").alias("cvec"))
+    )
+
+    def assign(cframe: DataFrame) -> DataFrame:
+        scored = subs.join(F.broadcast(cframe), "sub_id").select(
+            "vec_id", "sub_id", "code_id", _l2(F.col("svec"), F.col("cvec")).alias("dist")
+        )
+        return (
+            scored.groupBy("vec_id", "sub_id")
+            .agg(F.min(F.struct("dist", "code_id")).alias("mn"))
+            .select("vec_id", "sub_id", F.col("mn.code_id").alias("code_id"))
+        )
+
+    prev_sig = None
+    for _ in range(iters):
+        a = assign(cb).persist(StorageLevel.DISK_ONLY)
+        sig_row = a.agg(
+            F.sum(F.xxhash64("vec_id", "sub_id", "code_id").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("c"),
+        ).collect()[0]
+        sig = (sig_row["s"], sig_row["c"])
+        if sig == prev_sig:
+            a.unpersist()
+            break  # fixpoint: further rounds no-op on both engines
+        prev_sig = sig
+        upd = (
+            a.join(subs, ["vec_id", "sub_id"])
+            .select("sub_id", "code_id", F.posexplode("svec").alias("sub_pos", "xq"))
+            .groupBy("sub_id", "code_id", "sub_pos")
+            .agg(F.floor(F.sum("xq").cast("double") / F.count("*")).cast("long").alias("cq"))
+            .groupBy("sub_id", "code_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub_pos", "cq"))), lambda s: s["cq"]
+                ).alias("cvec")
+            )
+        )
+        # empty codewords carry their previous centroid; the m*ks codeword
+        # table is collected to the driver (standard PQ trainer loop)
+        new_rows = {(r["sub_id"], r["code_id"]): r["cvec"] for r in upd.collect()}
+        old_rows = {(r["sub_id"], r["code_id"]): r["cvec"] for r in cb.collect()}
+        merged = [(s, c, new_rows.get((s, c), old_rows[(s, c)])) for s, c in sorted(old_rows)]
+        cb = spark.createDataFrame(merged, "sub_id int, code_id int, cvec array<long>")
+        a.unpersist()
+
+    codes = assign(cb)
+    codes._wqs_persisted = subs
+    return codes, cb
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    m: int = PQ_M,
+    iters: int = 2,
+    k: int = 100,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: precompute the m x ks
+    lookup table of exact integer sub-distances query<->codeword, then score
+    every vector as the SUM of m table lookups -- never touching the raw
+    vectors at scan time.  This is the PQ payoff: the scan reads n*m small
+    ints instead of n*dim floats (32x less data at m=4/dim=64), and the
+    distance math drops from dim multiplies to m broadcast-hash lookups.
+
+    Exact-integer end to end (quantized components, BIGINT partial
+    distances), so the DuckDB oracle reproduces the top-k bit-for-bit; ties
+    break on vec_id.  One broadcast join + one hash agg + TakeOrdered -- no
+    wide shuffle."""
+    codes, cb = pq_train(embeddings, m=m, iters=iters, vec_col=vec_col)
+    qq = [int(round(x * SCALE)) for x in query_vec]
+    w = len(qq) // m
+    qcol = F.array(*[F.lit(v).cast("long") for v in qq])
+    lut = cb.select(
+        "sub_id",
+        "code_id",
+        _l2(F.col("cvec"), F.slice(qcol, F.col("sub_id") * w + 1, w)).alias("pd2"),
+    )
+    out = (
+        codes.join(F.broadcast(lut), ["sub_id", "code_id"])
+        .groupBy("vec_id")
+        .agg(F.sum("pd2").cast("long").alias("adc_d2"))
+        .orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+        .limit(k)
+    )
+    out._wqs_persisted = getattr(codes, "_wqs_persisted", None)
+    return out
+
+
+def pq_recall_at_k(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    m: int = PQ_M,
+    iters: int = 2,
+    k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ trust gauge: recall@k of the ADC top-k against the exact integer
+    L2-squared top-k for the same query -- the compression-loss measurement
+    every PQ deployment reads before swapping the raw-vector scan out (the
+    L2/compression analog of ``ann_recall_at_k``).  Both arms are bounded
+    top-k plans; the comparison is a k x k id join reduced to one row."""
+    adc = pq_adc_topk(embeddings, query_vec, m=m, iters=iters, k=k, vec_col=vec_col)
+    qq = [int(round(x * SCALE)) for x in query_vec]
+    qcol = F.array(*[F.lit(v).cast("long") for v in qq])
+    exact = (
+        embeddings.select("vec_id", _quant(F.col(vec_col)).alias("qe"))
+        .select("vec_id", _l2(F.col("qe"), qcol).alias("d2"))
+        .orderBy(F.asc("d2"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+    out = adc.select("vec_id").join(exact, "vec_id").agg(
+        F.count("*").cast("long").alias("n_overlap"),
+        F.round(F.count("*") / float(k), 6).alias(f"recall_at_{k}"),
+    )
+    out._wqs_persisted = getattr(adc, "_wqs_persisted", None)
+    return out

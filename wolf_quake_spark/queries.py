@@ -84,6 +84,9 @@ from wolf_quake_spark.analysis.similarity import (
     knn_classify,
     mmr_topk,
     neardup_pairs,
+    pq_adc_topk,
+    pq_recall_at_k,
+    pq_train,
     quantize_int8,
     srp_hyperplanes,
     srp_neardup_pairs,
@@ -902,6 +905,51 @@ def q_inactivity_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(F.count("*").alias("n_events"), F.min("event_id").alias("first_event_id"))
     )
+
+
+@register(
+    "session_window_rollup",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS sess
+      FROM g)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(event_id) AS first_event_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def q_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` sessionization (the engine-maintained
+    dynamic-gap window, Spark 3.2+): per-user sessions that close after 30
+    idle minutes, with start/end bounds and cent-exact value sums.  Same
+    semantics as the lag/prefix-sum closed form (`inactivity_sessions`) —
+    the oracle IS that closed form, pinning the INCLUSIVE end boundary (an
+    event at exactly ``prev_ts + gap`` still EXTENDS the session — pinned
+    by test; the oracle's gap comparison is strictly ``>``) at microsecond
+    precision.  The streaming face of the identical function body lives in
+    streaming/windowed.py (watermarked, append-mode; parity-tested).
+
+    Scale shape: ONE user-keyed exchange; the engine merges sessions inside
+    each group rather than materializing the window chain the closed form
+    needs — and on the streaming side the same plan runs incrementally with
+    bounded state."""
+    from wolf_quake_spark.streaming.windowed import session_window_rollup
+
+    return session_window_rollup(_read(spark, sf_dir, "events"))
 
 
 @register(
@@ -4823,6 +4871,132 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     as CTE steps."""
     emb = _read(spark, sf_dir, "embeddings")
     return mmr_topk(emb, _query_vec(spark, sf_dir), k=8, pool=20)
+
+
+def _pq_sql(iters: int = 2, m: int = 4, final: str = "codes", k: int = 100) -> str:
+    """Product-quantization trainer unrolled as CTEs, exactly mirroring
+    analysis/similarity.pq_train: per-subspace k-means over quantized
+    sub-vectors (sub_id carried as a grouping key so all m codebooks train
+    at once), corpus-derived ks (√n rule capped at 256 = 8-bit codes),
+    derandomized random-sample seeding (ks smallest md5-hash ranks), integer
+    L2² distances with lowest-code_id tiebreak, floor(sum/count) codeword
+    update, empty-codeword carry-over.  The fixed ``iters`` unroll matches
+    Spark's convergence-probe early exit (probe fires only at a fixpoint).
+
+    ``final`` picks the SELECT: ``codes`` = the (vec_id, sub_id, code_id)
+    assignment; ``adc`` = asymmetric-distance top-``k`` vs the vec_id=0
+    query; ``recall`` = one-row recall@10 of ADC vs the exact integer-L2
+    top-10."""
+    h20 = "strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), {i}, 1)) - 1"
+    hexpr = "(" + h20.format(i=1) + ")"
+    for i in range(2, 6):
+        hexpr = f"({hexpr}) * 16 + ({h20.format(i=i)})"
+    hexpr = f"(({hexpr}) + 1)"
+    parts = [
+        f"""
+    WITH u AS (SELECT vec_id,
+           CAST((pos - 1) // w AS INTEGER) AS sub_id,
+           CAST((pos - 1) % w AS INTEGER) AS sub_pos,
+           CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS pos,
+                 len(embedding) // {m} AS w
+          FROM embeddings)),
+    kk AS (SELECT CAST(GREATEST(LEAST(ROUND(SQRT(COUNT(*))), 256), 2) AS BIGINT) AS ks
+           FROM embeddings),
+    hw AS (SELECT vec_id, {hexpr} AS h FROM embeddings),
+    sd AS (SELECT t.vec_id AS seed_id, CAST(t.rn - 1 AS INTEGER) AS code_id FROM (
+             SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h ASC, vec_id ASC) AS rn
+             FROM hw) t, kk
+           WHERE t.rn <= kk.ks),
+    c0 AS (SELECT u.sub_id, sd.code_id, u.sub_pos, u.xq AS cq
+           FROM u JOIN sd ON u.vec_id = sd.seed_id)"""
+    ]
+
+    def _assign_cte(src: str, name: str, out: str) -> str:
+        return f"""
+    d{name} AS (SELECT u.vec_id, u.sub_id, c.code_id,
+                       SUM((u.xq - c.cq) * (u.xq - c.cq)) AS dist
+                FROM u JOIN {src} c
+                  ON u.sub_id = c.sub_id AND u.sub_pos = c.sub_pos
+                GROUP BY u.vec_id, u.sub_id, c.code_id),
+    {out} AS (SELECT vec_id, sub_id, code_id FROM (
+             SELECT vec_id, sub_id, code_id,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                       ORDER BY dist, code_id) AS rn
+             FROM d{name}) WHERE rn = 1)"""
+
+    cur = "c0"
+    for i in range(1, iters + 1):
+        parts.append("\n    ," + _assign_cte(cur, str(i), f"a{i}") + f""",
+    n{i} AS (SELECT a.sub_id, a.code_id, u.sub_pos,
+                    CAST(floor(CAST(SUM(u.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+             FROM u JOIN a{i} a ON u.vec_id = a.vec_id AND u.sub_id = a.sub_id
+             GROUP BY a.sub_id, a.code_id, u.sub_pos),
+    c{i} AS (SELECT p.sub_id, p.code_id, p.sub_pos, COALESCE(n.cq, p.cq) AS cq
+             FROM {cur} p LEFT JOIN n{i} n
+               ON n.sub_id = p.sub_id AND n.code_id = p.code_id
+              AND n.sub_pos = p.sub_pos)""")
+        cur = f"c{i}"
+    parts.append("\n    ," + _assign_cte(cur, "f", "af"))
+    if final == "codes":
+        parts.append("\n    SELECT vec_id, sub_id, code_id FROM af")
+        return "".join(parts)
+    parts.append(f"""
+    , qv AS (SELECT sub_id, sub_pos, xq AS qx FROM u WHERE vec_id = 0),
+    lut AS (SELECT c.sub_id, c.code_id, SUM((q.qx - c.cq) * (q.qx - c.cq)) AS pd2
+            FROM {cur} c JOIN qv q
+              ON q.sub_id = c.sub_id AND q.sub_pos = c.sub_pos
+            GROUP BY c.sub_id, c.code_id),
+    adc AS (SELECT a.vec_id, CAST(SUM(l.pd2) AS BIGINT) AS adc_d2
+            FROM af a JOIN lut l ON a.sub_id = l.sub_id AND a.code_id = l.code_id
+            GROUP BY a.vec_id)""")
+    if final == "adc":
+        parts.append(f"""
+    SELECT vec_id, adc_d2 FROM adc ORDER BY adc_d2 ASC, vec_id ASC LIMIT {k}""")
+        return "".join(parts)
+    parts.append("""
+    , ex AS (SELECT u.vec_id, SUM((u.xq - q.qx) * (u.xq - q.qx)) AS d2
+             FROM u JOIN qv q ON u.sub_id = q.sub_id AND u.sub_pos = q.sub_pos
+             GROUP BY u.vec_id),
+    ex10 AS (SELECT vec_id FROM ex ORDER BY d2 ASC, vec_id ASC LIMIT 10),
+    adc10 AS (SELECT vec_id FROM adc ORDER BY adc_d2 ASC, vec_id ASC LIMIT 10)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           round(COUNT(*) / 10.0, 6) AS recall_at_10
+    FROM ex10 JOIN adc10 USING (vec_id)""")
+    return "".join(parts)
+
+
+@register("pq_codes", _pq_sql())
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoder (Jégou TPAMI'11): each embedding
+    compressed to m=4 per-subspace codewords from independently-trained
+    √n-sized codebooks — the 256×-compression step that lets billion-scale
+    similarity scans read codes instead of raw vectors.  All m codebooks
+    train in one set of DataFrame jobs (sub_id as a grouping key); only the
+    m·ks codeword table reaches the driver.  See similarity.pq_train."""
+    codes, _ = pq_train(_read(spark, sf_dir, "embeddings"), iters=2)
+    return codes
+
+
+@register("pq_adc_topk", _pq_sql(final="adc"))
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-100 over PQ codes vs the vec_id=0
+    query: an m×ks lookup table of exact integer sub-distances, scored by
+    m broadcast-hash lookups per vector — the scan never touches raw
+    vectors.  Exact BIGINT distances ⇒ bit-identical top-k cross-engine."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, _query_vec(spark, sf_dir), k=100)
+
+
+@register("pq_recall_at_k", _pq_sql(final="recall"))
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compression-loss gauge: recall@10 of ADC against the exact
+    integer-L2 top-10 for the same query (the L2/compression analog of
+    ann_recall_at_k) — the number a deployment reads before swapping the
+    raw-vector scan for the 32×-smaller code scan."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return pq_recall_at_k(emb, _query_vec(spark, sf_dir), k=10)
 
 
 @register(

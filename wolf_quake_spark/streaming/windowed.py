@@ -76,3 +76,51 @@ def windowed_event_rollup(
             "approx_users",
         )
     )
+
+
+def session_window_rollup(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    delay: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user SESSION windows via Spark's native ``session_window`` — the
+    dynamic-gap cousin of the fixed rollup above: a window opens at a user's
+    first event and keeps extending while successive events arrive within
+    ``gap``; the first quiet gap closes it at ``last_ts + gap``.
+
+    Semantics boundary pinned by the oracle/tests: the end bound is
+    INCLUSIVE — an event at EXACTLY ``prev_ts + gap`` still extends the
+    session (a new one starts only when the idle gap is strictly greater,
+    at full microsecond precision; the closed-form lag/prefix-sum
+    restatement in the ``session_window_rollup`` registry oracle encodes
+    the same strict-``>`` boundary).
+
+    One definition, two execution modes (the Structured Streaming
+    contract): on a batch frame ``withWatermark`` is a no-op and the
+    session merge runs as a single user-keyed sort-merge pass; on a stream,
+    open sessions live in the state store until the watermark passes their
+    end, then emit exactly once in append mode — state is bounded by
+    sessions open inside the delay horizon, independent of stream length
+    (same argument as the tumbling rollup above).  At cluster scale both
+    faces shuffle once on ``user_id`` — the same single-exchange shape as
+    the lag/prefix-sum closed form, but with merge logic the engine
+    maintains incrementally instead of a recomputed window chain.
+    """
+    return (
+        events.withWatermark(ts_col, delay)
+        .groupBy(F.session_window(F.col(ts_col), gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window").getField("start").alias("session_start"),
+            F.col("session_window").getField("end").alias("session_end"),
+            "n_events",
+            "first_event_id",
+            "value_cents",
+        )
+    )
