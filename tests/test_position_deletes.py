@@ -1,0 +1,145 @@
+"""Merge-on-read POSITION deletes + deletion vectors (plans/deletes.py).
+
+Iceberg v2 position-delete semantics ((file_path, pos) addresses from the
+hidden _metadata scan columns) and the v3 deletion-vector fold — row
+identity, idempotence, fold-horizon correctness, and compaction all
+pytest-pinned (ops surface: no SQL oracle, same as equality deletes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wolf_quake_spark.plans.deletes import (
+    append_data,
+    append_equality_deletes,
+    append_position_deletes,
+    compact_deletes,
+    delete_where,
+    read_mor,
+    rewrite_position_deletes,
+)
+
+
+def _addresses(spark, table_dir, condition):
+    """Physical (file_path, pos) addresses of raw data rows matching a
+    predicate — the hand-rolled version of what delete_where scans."""
+    data_dir = f"{table_dir}/data"
+    return (
+        spark.read.option("basePath", data_dir)
+        .parquet(data_dir)
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+            "*",
+        )
+        .where(condition)
+        .select("file_path", "pos")
+    )
+
+
+def _mk_table(spark, tmp_path, n=100, parts=4):
+    table = str(tmp_path / "t")
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("txt-"), F.col("id")).alias("text"),
+    )
+    append_data(df.repartition(parts), table)
+    return table
+
+
+def test_position_delete_removes_exactly_named_rows(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    dead = _addresses(spark, table, F.col("doc_id") % 10 == 3)
+    n_dead = dead.count()
+    append_position_deletes(dead, table)
+    out = read_mor(spark, table)
+    assert out.count() == 100 - n_dead
+    assert out.where(F.col("doc_id") % 10 == 3).count() == 0
+    # survivors are byte-identical rows, each exactly once
+    expect = spark.range(100).where(F.col("id") % 10 != 3).count()
+    assert out.select("doc_id").distinct().count() == expect
+
+
+def test_delete_where_parity_and_idempotence(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    seq, n = delete_where(spark, table, F.col("grp") == 2)
+    assert n == spark.range(100).where(F.col("id") % 7 == 2).count()
+    out = read_mor(spark, table)
+    assert out.where(F.col("grp") == 2).count() == 0
+    assert out.count() == 100 - n
+    # second identical DELETE finds nothing (scan is the MoR view)
+    _, n2 = delete_where(spark, table, F.col("grp") == 2)
+    assert n2 == 0
+    assert read_mor(spark, table).count() == 100 - n
+
+
+def test_deletion_vector_fold_preserves_view_and_later_deletes_apply(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    delete_where(spark, table, F.col("doc_id") < 15)
+    delete_where(spark, table, F.col("doc_id").between(40, 44))
+    before = sorted(r["doc_id"] for r in read_mor(spark, table).collect())
+    info = rewrite_position_deletes(spark, table)
+    assert info["dv_version"] == 1 and info["folded_files"] >= 2
+    after = sorted(r["doc_id"] for r in read_mor(spark, table).collect())
+    assert after == before  # the fold is a pure representation change
+    # position deletes landing AFTER the fold still apply (dv_covers_seq)
+    delete_where(spark, table, F.col("doc_id") == 99)
+    got = sorted(r["doc_id"] for r in read_mor(spark, table).collect())
+    assert got == [d for d in before if d != 99]
+    # a second fold absorbs them into v2 and keeps the view fixed
+    info2 = rewrite_position_deletes(spark, table)
+    assert info2["dv_version"] == 2
+    assert sorted(r["doc_id"] for r in read_mor(spark, table).collect()) == got
+
+
+def test_equality_and_position_deletes_compose(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    keys = spark.createDataFrame([(5,), (6,)], "doc_id long")
+    append_equality_deletes(keys, table, ["doc_id"])
+    delete_where(spark, table, F.col("doc_id") == 7)
+    out = sorted(r["doc_id"] for r in read_mor(spark, table).collect())
+    assert out == [d for d in range(100) if d not in (5, 6, 7)]
+
+
+def test_compaction_folds_all_delete_kinds(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    append_equality_deletes(spark.createDataFrame([(1,)], "doc_id long"), table, ["doc_id"])
+    delete_where(spark, table, F.col("doc_id") == 2)
+    rewrite_position_deletes(spark, table)
+    delete_where(spark, table, F.col("doc_id") == 3)
+    want = sorted(r["doc_id"] for r in read_mor(spark, table).collect())
+    info = compact_deletes(spark, table)
+    assert info["rows"] == len(want)
+    import os
+
+    assert not os.path.isdir(f"{table}/pos_deletes")
+    assert not os.path.isdir(f"{table}/dvs")
+    got = sorted(r["doc_id"] for r in read_mor(spark, table).collect())
+    assert got == want
+    # post-compaction deletes work from a clean slate
+    delete_where(spark, table, F.col("doc_id") == 4)
+    assert sorted(r["doc_id"] for r in read_mor(spark, table).collect()) == [
+        d for d in want if d != 4
+    ]
+
+
+def test_mor_scan_never_shuffles_data_side(spark, tmp_path):
+    """All three delete representations apply via broadcast joins — the
+    10^12-row data side must plan zero exchanges."""
+    table = _mk_table(spark, tmp_path)
+    append_equality_deletes(spark.createDataFrame([(1,)], "doc_id long"), table, ["doc_id"])
+    delete_where(spark, table, F.col("doc_id") == 2)
+    rewrite_position_deletes(spark, table)
+    delete_where(spark, table, F.col("doc_id") == 3)
+    plan = read_mor(spark, table)._jdf.queryExecution().executedPlan().toString()
+    # all three delete representations join as broadcasts
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 3
+    # the only exchanges are the delete-side pre-aggregations (max-seq-per-
+    # key and the position distinct), each feeding a BroadcastExchange —
+    # i.e. bounded by the DELETE relation, never by the data scan
+    assert plan.count("Exchange hashpartitioning") == 2
+    data_scan = next(ln for ln in plan.splitlines() if "FileScan" in ln and "/t/data" in ln)
+    assert "PushedFilters" in data_scan  # the data side is a plain scan leaf

@@ -1,4 +1,5 @@
-"""Iceberg-style merge-on-read equality deletes.
+"""Iceberg-style merge-on-read row-level deletes: equality deletes,
+POSITION deletes, and deletion vectors.
 
 An equality delete file records key tuples plus the SEQUENCE NUMBER at
 which the delete was committed; at read time a data row is dead iff some
@@ -7,6 +8,30 @@ delete with a HIGHER sequence number matches its keys (Iceberg spec
 10^12-turn table therefore writes a few MB of delete files and rewrites
 nothing; readers pay one broadcast join until a compaction folds the
 deletes in.
+
+A POSITION delete names a dead row by physical address instead:
+``(file_path, pos)`` — the Iceberg v2 position-delete file schema — with
+``pos`` the row's ordinal within its data file.  This is what engine-side
+``DELETE``/``MERGE`` write after a scan has located the target rows: no
+key columns needed, applies to exactly one physical row, and needs no
+sequence applicability (the address names the file directly; re-written
+files get new addresses).  The Spark-native source of the address is the
+``_metadata.file_path`` / ``_metadata.row_index`` hidden scan columns, so
+positions come from the same scan that evaluated the predicate — no
+bookkeeping column materialized in the data.
+
+DELETION VECTORS (Iceberg v3 / Delta DVs) are the compacted form: one
+bitmap per data file marking dead ordinals, stored sparsely as
+``(file_path, word, bits)`` rows — only words containing deletions exist
+(the flat-file stand-in for a Puffin roaring-bitmap blob; 60-bit words,
+the repo-wide portable-int64 convention of plans/bloom_index.py).
+``rewrite_position_deletes`` folds accumulated position-delete files into
+the vector store (Iceberg's ``rewrite_position_delete_files`` maintenance
+action), after which readers apply one broadcast (file, word)-keyed left
+join + a bit test instead of an ever-growing anti join: read cost is
+O(deleted/60) broadcast rows no matter how many DELETE commits produced
+them, and new position deletes landing after the rewrite still apply
+(``dv_covers_seq`` tracks the fold horizon).
 
 Emulation convention (same as the rest of ``plans/``): data appends land
 under ``data/seq=N/`` and delete files under ``deletes/seq=M/`` with a
@@ -38,14 +63,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 SEQ_LOG = "_seq_log.json"
+DV_WORD_BITS = 60  # keep 1 << bit positive in signed int64 (bloom_index rule)
 
 
 def _load(table_dir: str) -> dict:
     try:
         with open(os.path.join(table_dir, SEQ_LOG)) as fh:
-            return json.load(fh)
+            state = json.load(fh)
     except FileNotFoundError:
-        return {"last_seq": 0, "key_cols": None}
+        state = {"last_seq": 0, "key_cols": None}
+    # older tables predate the deletion-vector fields
+    state.setdefault("dv_version", 0)
+    state.setdefault("dv_covers_seq", 0)
+    return state
 
 
 def _dump(table_dir: str, state: dict) -> None:
@@ -92,29 +122,212 @@ def append_equality_deletes(
     return seq
 
 
-def read_mor(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Merge-on-read scan: data minus sequence-applicable equality
-    deletes.  The delete relation is max-seq-per-key then broadcast, so
-    the data side never shuffles.  Rolls any interrupted compaction
-    forward first (single-writer assumption) so survivors are never seen
-    twice."""
+def append_position_deletes(deletes: DataFrame, table_dir: str) -> int:
+    """Commit a position-delete file: ``(file_path, pos)`` rows naming dead
+    row addresses (Iceberg v2 position-delete schema).  No sequence
+    applicability needed — the address names a specific physical file —
+    but the commit still takes the next sequence number so the deletion-
+    vector fold horizon (``dv_covers_seq``) can bound which files it
+    absorbed."""
     _recover(table_dir)
+    state = _load(table_dir)
+    seq = state["last_seq"] + 1
+    deletes.select("file_path", F.col("pos").cast("long")).distinct().write.mode(
+        "errorifexists"
+    ).parquet(os.path.join(table_dir, "pos_deletes", f"seq={seq}"))
+    state["last_seq"] = seq
+    _dump(table_dir, state)
+    return seq
+
+
+def delete_where(spark: SparkSession, table_dir: str, condition) -> tuple[int, int]:
+    """Engine-side ``DELETE WHERE``: locate matching LIVE rows via the
+    hidden ``_metadata`` scan columns and commit their addresses as one
+    position-delete file — the plan every MoR engine runs for DELETE/MERGE
+    (scan → predicate → write positions; the data files are never touched).
+    Returns ``(seq, n_rows_deleted)``.
+
+    The scan is the MoR view (already-dead rows are not re-deleted), so
+    repeated identical calls are idempotent after the first: they find 0
+    matches and commit an empty delete file."""
+    live = _mor_with_address(spark, table_dir)
+    hits = live.where(condition).select(
+        F.col("_wqs_fp").alias("file_path"), F.col("_wqs_pos").alias("pos")
+    )
+    n = hits.count()
+    seq = append_position_deletes(hits, table_dir)
+    return seq, n
+
+
+def rewrite_position_deletes(spark: SparkSession, table_dir: str) -> dict:
+    """Fold accumulated position-delete files into the deletion-vector
+    store (Iceberg's ``rewrite_position_delete_files`` maintenance action):
+    one sparse bitmap relation ``(file_path, word, bits)`` replacing N
+    delete files — read cost drops from an N-file anti join to one
+    broadcast word-keyed join + bit test, O(deleted/60) rows total.
+
+    Crash-safe: the merged vectors land in a versioned dir
+    (``dvs/v=K``), the seq-log update (pointing at K and recording the
+    covered horizon) is the atomic commit point, and superseded
+    pos-delete/DV dirs are removed only after it — a crash in between
+    leaves them orphaned but ignored (the read path consults only the
+    committed pointer/horizon), reclaimed on the next rewrite."""
+    _recover(table_dir)
+    state = _load(table_dir)
+    pos_dir = os.path.join(table_dir, "pos_deletes")
+    have_pos = os.path.isdir(pos_dir) and any(
+        d.startswith("seq=") for d in os.listdir(pos_dir)
+    )
+    if not have_pos:
+        return {"dv_version": state["dv_version"], "folded_files": 0}
+    pend = (
+        spark.read.option("basePath", pos_dir)
+        .parquet(pos_dir)
+        .where(F.col("seq") > state["dv_covers_seq"])
+    )
+    bits = pend.select(
+        "file_path",
+        (F.col("pos") / DV_WORD_BITS).cast("long").alias("word"),
+        F.expr(
+            f"shiftleft(cast(1 as bigint), cast(pos % {DV_WORD_BITS} as int))"
+        ).alias("b"),
+    ).groupBy("file_path", "word").agg(F.expr("bit_or(b)").alias("bits"))
+    old_v = state["dv_version"]
+    if old_v:
+        prev = spark.read.parquet(os.path.join(table_dir, "dvs", f"v={old_v}"))
+        bits = (
+            bits.unionByName(prev)
+            .groupBy("file_path", "word")
+            .agg(F.expr("bit_or(bits)").alias("bits"))
+        )
+    new_v = old_v + 1
+    dv_dir = os.path.join(table_dir, "dvs", f"v={new_v}")
+    bits.write.mode("errorifexists").parquet(dv_dir)
+    n_folded = len([d for d in os.listdir(pos_dir) if d.startswith("seq=")])
+    state["dv_version"] = new_v
+    state["dv_covers_seq"] = state["last_seq"]
+    _dump(table_dir, state)  # atomic commit point
+    shutil.rmtree(pos_dir)
+    if old_v:
+        shutil.rmtree(os.path.join(table_dir, "dvs", f"v={old_v}"), ignore_errors=True)
+    return {"dv_version": new_v, "folded_files": n_folded}
+
+
+def _mor_with_address(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The MoR scan with each live row's physical address exposed as
+    ``_wqs_fp`` / ``_wqs_pos`` (consumed by ``delete_where``; dropped by
+    ``read_mor``).  Address columns come from the hidden ``_metadata``
+    struct and MUST be projected at the scan, before any join."""
+    _recover(table_dir)
+    state = _load(table_dir)
     data_dir = os.path.join(table_dir, "data")
     data = spark.read.option("basePath", data_dir).parquet(data_dir)
-    del_dir = os.path.join(table_dir, "deletes")
-    if not os.path.isdir(del_dir) or not os.listdir(del_dir):
-        return data.drop("seq") if "seq" in data.columns else data
-    key_cols = _load(table_dir)["key_cols"]
-    dels = (
-        spark.read.option("basePath", del_dir)
-        .parquet(del_dir)
-        .groupBy(*key_cols)
-        .agg(F.max("seq").alias("_del_seq"))
+    user_cols = [c for c in data.columns if c != "seq"]
+    data = data.select(
+        *user_cols,
+        F.col("seq") if "seq" in data.columns else F.lit(0).alias("seq"),
+        F.col("_metadata.file_path").alias("_wqs_fp"),
+        F.col("_metadata.row_index").alias("_wqs_pos"),
     )
-    joined = data.join(broadcast(dels), on=key_cols, how="left")
-    return joined.where(
-        F.col("_del_seq").isNull() | (F.col("_del_seq") <= F.col("seq"))
-    ).drop("_del_seq", "seq")
+
+    # 1. equality deletes: max-seq-per-key broadcast left join
+    del_dir = os.path.join(table_dir, "deletes")
+    if os.path.isdir(del_dir) and os.listdir(del_dir):
+        key_cols = state["key_cols"]
+        dels = (
+            spark.read.option("basePath", del_dir)
+            .parquet(del_dir)
+            .groupBy(*key_cols)
+            .agg(F.max("seq").alias("_del_seq"))
+        )
+        data = (
+            data.join(broadcast(dels), on=key_cols, how="left")
+            .where(F.col("_del_seq").isNull() | (F.col("_del_seq") <= F.col("seq")))
+            .drop("_del_seq")
+        )
+
+    # 2. deletion vectors: broadcast (file, word)-keyed left join + bit test
+    if state["dv_version"]:
+        dv = spark.read.parquet(
+            os.path.join(table_dir, "dvs", f"v={state['dv_version']}")
+        ).select(
+            F.col("file_path").alias("_dv_fp"),
+            F.col("word").alias("_dv_word"),
+            F.col("bits").alias("_dv_bits"),
+        )
+        data = (
+            data.join(
+                broadcast(dv),
+                (F.col("_wqs_fp") == F.col("_dv_fp"))
+                & ((F.col("_wqs_pos") / DV_WORD_BITS).cast("long") == F.col("_dv_word")),
+                "left",
+            )
+            .where(
+                F.col("_dv_bits").isNull()
+                | (
+                    F.expr(
+                        f"(_dv_bits >> cast(_wqs_pos % {DV_WORD_BITS} as int)) & 1"
+                    )
+                    == 0
+                )
+            )
+            .drop("_dv_fp", "_dv_word", "_dv_bits")
+        )
+
+    # 3. position deletes newer than the DV fold horizon: broadcast anti join
+    pos_dir = os.path.join(table_dir, "pos_deletes")
+    if os.path.isdir(pos_dir) and any(
+        d.startswith("seq=") for d in os.listdir(pos_dir)
+    ):
+        pd = (
+            spark.read.option("basePath", pos_dir)
+            .parquet(pos_dir)
+            .where(F.col("seq") > state["dv_covers_seq"])
+            .select(F.col("file_path").alias("_pd_fp"), F.col("pos").alias("_pd_pos"))
+            .distinct()
+        )
+        data = data.join(
+            broadcast(pd),
+            (F.col("_wqs_fp") == F.col("_pd_fp"))
+            & (F.col("_wqs_pos") == F.col("_pd_pos")),
+            "left_anti",
+        )
+    return data.select(*user_cols, "_wqs_fp", "_wqs_pos")
+
+
+def read_mor(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Merge-on-read scan: data minus equality deletes (sequence-
+    applicable, broadcast max-seq-per-key join), minus deletion-vector
+    bits, minus uncompacted position deletes (broadcast anti join) — every
+    delete representation applied in one pass with the data side never
+    shuffling.  Rolls any interrupted compaction forward first
+    (single-writer assumption) so survivors are never seen twice."""
+    state = _load(table_dir)
+    pos_dir = os.path.join(table_dir, "pos_deletes")
+    has_pos = state["dv_version"] or (
+        os.path.isdir(pos_dir) and any(d.startswith("seq=") for d in os.listdir(pos_dir))
+    )
+    if not has_pos:
+        # equality-only fast path: never projects _metadata, keeping the
+        # pre-existing plan shape for tables without positional deletes
+        _recover(table_dir)
+        data_dir = os.path.join(table_dir, "data")
+        data = spark.read.option("basePath", data_dir).parquet(data_dir)
+        del_dir = os.path.join(table_dir, "deletes")
+        if not os.path.isdir(del_dir) or not os.listdir(del_dir):
+            return data.drop("seq") if "seq" in data.columns else data
+        key_cols = _load(table_dir)["key_cols"]
+        dels = (
+            spark.read.option("basePath", del_dir)
+            .parquet(del_dir)
+            .groupBy(*key_cols)
+            .agg(F.max("seq").alias("_del_seq"))
+        )
+        joined = data.join(broadcast(dels), on=key_cols, how="left")
+        return joined.where(
+            F.col("_del_seq").isNull() | (F.col("_del_seq") <= F.col("seq"))
+        ).drop("_del_seq", "seq")
+    return _mor_with_address(spark, table_dir).drop("_wqs_fp", "_wqs_pos")
 
 
 JOURNAL = "_compact_journal.json"
@@ -167,12 +380,17 @@ def _recover(table_dir: str) -> None:
         p = os.path.join(data_dir, d)
         if os.path.isdir(p):
             shutil.rmtree(p)
-    del_dir = os.path.join(table_dir, "deletes")
-    if os.path.isdir(del_dir):
-        shutil.rmtree(del_dir)
+    for dead in ("deletes", "pos_deletes", "dvs"):
+        p = os.path.join(table_dir, dead)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
     state = _load(table_dir)
-    if state["last_seq"] < j["new_seq"]:
-        state["last_seq"] = j["new_seq"]
+    if state["last_seq"] < j["new_seq"] or state["dv_version"]:
+        state["last_seq"] = max(state["last_seq"], j["new_seq"])
+        # the rewrite folded every delete representation in; clear the
+        # deletion-vector pointer so readers stop looking for dvs/
+        state["dv_version"] = 0
+        state["dv_covers_seq"] = 0
         _dump(table_dir, state)
     os.remove(jpath)
 
