@@ -143,3 +143,77 @@ def test_mor_scan_never_shuffles_data_side(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning") == 2
     data_scan = next(ln for ln in plan.splitlines() if "FileScan" in ln and "/t/data" in ln)
     assert "PushedFilters" in data_scan  # the data side is a plain scan leaf
+
+
+def test_merge_mor_upserts_and_inserts(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    from wolf_quake_spark.plans.deletes import merge_mor
+
+    src = spark.createDataFrame(
+        [(10, 99, "UPDATED-10"), (11, 99, "UPDATED-11"), (500, 99, "NEW-500")],
+        "doc_id long, grp long, text string",
+    )
+    info = merge_mor(spark, table, src, ["doc_id"])
+    assert info["rows_replaced"] == 2 and info["rows_upserted"] == 3
+    out = {r["doc_id"]: (r["grp"], r["text"]) for r in read_mor(spark, table).collect()}
+    assert len(out) == 101  # 100 originals - 2 replaced + 3 source
+    assert out[10] == (99, "UPDATED-10") and out[11] == (99, "UPDATED-11")
+    assert out[500] == (99, "NEW-500")
+    assert out[12] == (12 % 7, "txt-12")  # untouched rows intact
+    # duplicate source keys rejected (MERGE cardinality rule)
+    dup = spark.createDataFrame(
+        [(1, 0, "a"), (1, 0, "b")], "doc_id long, grp long, text string"
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        merge_mor(spark, table, dup, ["doc_id"])
+    # a second merge on the same key replaces the FIRST merge's row
+    src2 = spark.createDataFrame([(10, 7, "AGAIN-10")], "doc_id long, grp long, text string")
+    info2 = merge_mor(spark, table, src2, ["doc_id"])
+    assert info2["rows_replaced"] == 1
+    out2 = {r["doc_id"]: r["text"] for r in read_mor(spark, table).collect()}
+    assert out2[10] == "AGAIN-10" and len(out2) == 101
+
+
+def test_merge_mor_crash_windows(spark, tmp_path):
+    """Staged-but-unjournaled merges vanish; journaled ones roll forward
+    exactly once — readers see the complete old view or the complete new
+    one, never deletes without their matching append."""
+    import json
+    import os
+
+    from wolf_quake_spark.plans.deletes import merge_mor
+
+    table = _mk_table(spark, tmp_path, n=20, parts=2)
+    before = sorted(r["doc_id"] for r in read_mor(spark, table).collect())
+
+    # window A: both dirs staged, crash BEFORE the journal commit point
+    spark.createDataFrame([(5, 0, "ghost")], "doc_id long, grp long, text string") \
+        .write.parquet(f"{table}/data/_merge_seq=30")
+    spark.createDataFrame([("f", 1)], "file_path string, pos long") \
+        .write.parquet(f"{table}/pos_deletes/_merge_seq=31")
+    assert sorted(r["doc_id"] for r in read_mor(spark, table).collect()) == before
+    assert not os.path.isdir(f"{table}/data/_merge_seq=30")
+    assert not os.path.isdir(f"{table}/pos_deletes/_merge_seq=31")
+
+    # window B: journal written, crash before the renames — read rolls the
+    # merge forward exactly once
+    dead = _addresses(spark, table, F.col("doc_id") == 3)
+    spark.createDataFrame([(3, 9, "ROLLED-3")], "doc_id long, grp long, text string") \
+        .write.parquet(f"{table}/data/_merge_seq=40")
+    dead.write.parquet(f"{table}/pos_deletes/_merge_seq=41")
+    with open(f"{table}/{'_compact_journal.json'}", "w") as fh:
+        json.dump({"merge": {"data_seq": 40, "pos_seq": 41}}, fh)
+    out = {r["doc_id"]: r["text"] for r in read_mor(spark, table).collect()}
+    assert out[3] == "ROLLED-3" and len(out) == 20
+    assert not os.path.exists(f"{table}/_compact_journal.json")
+    # seq counter moved past the recovered merge: the next commit can't collide
+    info = merge_mor(
+        spark, table,
+        spark.createDataFrame([(0, 1, "after")], "doc_id long, grp long, text string"),
+        ["doc_id"],
+    )
+    assert info["data_seq"] > 41
+    out2 = {r["doc_id"]: r["text"] for r in read_mor(spark, table).collect()}
+    assert out2[0] == "after" and out2[3] == "ROLLED-3" and len(out2) == 20

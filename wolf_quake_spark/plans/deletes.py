@@ -348,12 +348,21 @@ def _recover(table_dir: str) -> None:
       is idempotent, so recovery itself may crash and rerun.
     """
     data_dir = os.path.join(table_dir, "data")
+    pos_dir = os.path.join(table_dir, "pos_deletes")
     jpath = os.path.join(table_dir, JOURNAL)
+
+    def _drop_orphans() -> None:
+        for base, prefixes in (
+            (data_dir, ("_compacting_seq=", "_merge_seq=")),
+            (pos_dir, ("_merge_seq=",)),
+        ):
+            if os.path.isdir(base):
+                for d in os.listdir(base):
+                    if d.startswith(prefixes):
+                        shutil.rmtree(os.path.join(base, d))
+
     if not os.path.exists(jpath):
-        if os.path.isdir(data_dir):
-            for d in os.listdir(data_dir):
-                if d.startswith("_compacting_seq="):
-                    shutil.rmtree(os.path.join(data_dir, d))
+        _drop_orphans()
         return
     try:
         with open(jpath) as fh:
@@ -363,14 +372,26 @@ def _recover(table_dir: str) -> None:
         # unparseable one predates that discipline or is fs corruption —
         # either way the swap never started (renames happen strictly
         # after the journal commit), so drop it, reclaim the staged
-        # orphan, and let the compaction be redone (plans/compact.py
+        # orphans, and let the operation be redone (plans/compact.py
         # learned this the hard way: one truncated journal wedged every
         # subsequent call in recovery)
         os.remove(jpath)
-        if os.path.isdir(data_dir):
-            for d in os.listdir(data_dir):
-                if d.startswith("_compacting_seq="):
-                    shutil.rmtree(os.path.join(data_dir, d))
+        _drop_orphans()
+        return
+    if "merge" in j:
+        # merge roll-forward: two renames (data append + position deletes),
+        # each idempotent, then the single seq-log bump commits both
+        dseq, pseq = j["merge"]["data_seq"], j["merge"]["pos_seq"]
+        for base, seqno in ((data_dir, dseq), (pos_dir, pseq)):
+            staged = os.path.join(base, f"_merge_seq={seqno}")
+            final = os.path.join(base, f"seq={seqno}")
+            if os.path.isdir(staged) and not os.path.isdir(final):
+                os.rename(staged, final)
+        state = _load(table_dir)
+        if state["last_seq"] < pseq:
+            state["last_seq"] = pseq
+            _dump(table_dir, state)
+        os.remove(jpath)
         return
     staged = os.path.join(data_dir, f"_compacting_seq={j['new_seq']}")
     final = os.path.join(data_dir, f"seq={j['new_seq']}")
@@ -428,3 +449,63 @@ def compact_deletes(spark: SparkSession, table_dir: str) -> dict:
     os.replace(jpath + ".tmp", jpath)  # atomic commit point
     _recover(table_dir)  # roll the committed swap forward
     return {"rows": n_after, "data_seq": seq}
+
+
+def merge_mor(
+    spark: SparkSession, table_dir: str, source: DataFrame, key_cols: list[str]
+) -> dict:
+    """Merge-on-read ``MERGE INTO`` (upsert): position-delete every matched
+    target row and append the full source as one new data file set — the
+    Iceberg v2 MoR MERGE write path.  No existing data file is rewritten
+    (contrast plans/snapshots.merge_cow, the copy-on-write strategy that
+    rewrites whole files); readers pay the usual MoR broadcast joins until
+    ``rewrite_position_deletes`` / ``compact_deletes`` folds the debt.
+
+    Source keys must be unique (the standard MERGE cardinality rule —
+    one source row per target row — enforced up front).
+
+    Atomic for readers: both the data append and the delete file stage
+    under underscore dirs Spark readers ignore, a journal is the commit
+    point, and ``_recover`` rolls the two renames forward — a crash
+    anywhere leaves either the complete old view or the complete new one,
+    never updated rows without their deletes (or vice versa).
+
+    Scale shape: one MoR scan semi-joined to the source keys (AQE
+    broadcasts the typical small-source MERGE; a huge backfill source
+    shuffles both sides on the keys, which is then the right plan), plus
+    one source write.  Matched-row addresses are O(matched), not O(table).
+    """
+    _recover(table_dir)
+    state = _load(table_dir)
+    n_src = source.count()
+    src_keys = source.select(*key_cols).distinct()
+    if src_keys.count() != n_src:
+        raise ValueError("MERGE source has duplicate keys (cardinality rule)")
+
+    live = _mor_with_address(spark, table_dir)
+    hits = live.join(src_keys, key_cols, "left_semi").select(
+        F.col("_wqs_fp").alias("file_path"), F.col("_wqs_pos").alias("pos")
+    )
+
+    data_seq, pos_seq = state["last_seq"] + 1, state["last_seq"] + 2
+    data_dir = os.path.join(table_dir, "data")
+    pos_dir = os.path.join(table_dir, "pos_deletes")
+    staged_data = os.path.join(data_dir, f"_merge_seq={data_seq}")
+    staged_pos = os.path.join(pos_dir, f"_merge_seq={pos_seq}")
+    source.write.mode("errorifexists").parquet(staged_data)
+    hits.distinct().write.mode("errorifexists").parquet(staged_pos)
+    n_staged = spark.read.parquet(staged_data).count()
+    if n_staged != n_src:
+        shutil.rmtree(staged_data)
+        shutil.rmtree(staged_pos)
+        raise RuntimeError(f"merge staging row mismatch {n_src} != {n_staged}")
+    n_del = spark.read.parquet(staged_pos).count()
+
+    jpath = os.path.join(table_dir, JOURNAL)
+    with open(jpath + ".tmp", "w") as fh:
+        json.dump({"merge": {"data_seq": data_seq, "pos_seq": pos_seq}}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(jpath + ".tmp", jpath)  # atomic commit point
+    _recover(table_dir)  # roll the committed merge forward
+    return {"data_seq": data_seq, "rows_replaced": n_del, "rows_upserted": n_src}
