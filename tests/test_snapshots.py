@@ -716,3 +716,36 @@ def test_changes_since_follows_main_ancestry_not_branch_commits(spark, tbl):
     assert wm2 == bsid
     got = {(r["_change_type"], r["conv_id"]) for r in df2.collect()}
     assert got == {("insert", "c5")}
+
+
+def test_refs_and_files_metadata_tables(spark, tbl):
+    from wolf_quake_spark.plans.snapshots import (
+        create_branch,
+        create_tag,
+        files_table,
+        refs,
+        snapshot_files,
+    )
+
+    out, mk = tbl
+    create_tag(out, "release-1", 1)
+    create_branch(out, "audit")
+    append(mk([("c9", 0, "x")]), out, branch="audit")
+
+    rows = refs(out)
+    by_name = {r["name"]: r for r in rows}
+    assert by_name["main"] == {"name": "main", "type": "branch", "snapshot_id": 2}
+    assert by_name["release-1"] == {"name": "release-1", "type": "tag", "snapshot_id": 1}
+    # the branch advanced past main and remembers its fork point
+    assert by_name["audit"]["type"] == "branch"
+    assert by_name["audit"]["fork_point"] == 2
+    assert by_name["audit"]["snapshot_id"] > 2
+
+    frows = files_table(out)  # current = main's head (snapshot 2)
+    assert sorted(r["file"] for r in frows) == sorted(snapshot_files(out, 2))
+    assert all(r["size_bytes"] > 0 for r in frows)
+    # entry stats rode along: the key column's bounds are present per file
+    assert all("conv_id" in r["stats"] for r in frows)
+    # time travel: snapshot 1 lists only its own file
+    f1 = files_table(out, 1)
+    assert len(f1) == 1 and f1[0]["file"] == snapshot_files(out, 1)[0]

@@ -225,6 +225,14 @@ def _cmd_snapshot(args: argparse.Namespace) -> None:
         for row in sn.history(args.table):
             print(json.dumps(row))
         return
+    if act == "refs":
+        for row in sn.refs(args.table):
+            print(json.dumps(row))
+        return
+    if act == "files":
+        for row in sn.files_table(args.table, args.snapshot_id):
+            print(json.dumps(row))
+        return
     if act == "expire":
         print(json.dumps({"expired": sn.expire_snapshots(args.table, args.keep_last)}))
         return
@@ -455,7 +463,7 @@ def main(argv: list[str] | None = None) -> None:
         choices=[
             "create", "append", "merge", "read", "changes", "rewrite",
             "stage", "publish", "expire", "gc", "tag", "untag", "history",
-            "branch", "unbranch", "ff",
+            "refs", "files", "branch", "unbranch", "ff",
         ],
     )
     sp.add_argument("--table", required=True, help="snapshot table dir")

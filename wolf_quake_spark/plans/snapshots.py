@@ -290,6 +290,53 @@ def history(table_dir: str) -> list[dict]:
     return out
 
 
+def refs(table_dir: str) -> list[dict]:
+    """The Iceberg ``refs`` metadata table: every named ref — ``main``,
+    writable branches (with their recorded fork point), and immutable tags
+    — each with its head snapshot id.  The one listing an operator reads
+    to see what is pinning retention and where audit lines stand.
+    Driver-side metadata only (no JVM)."""
+    state = _load(table_dir)
+    out = [{"name": "main", "type": "branch", "snapshot_id": state["current_id"]}]
+    for name, ref in sorted(state.get("branches", {}).items()):
+        out.append(
+            {
+                "name": name,
+                "type": "branch",
+                "snapshot_id": ref["head"],
+                "fork_point": ref["base"],
+            }
+        )
+    for name, sid in sorted(state.get("tags", {}).items()):
+        out.append({"name": name, "type": "tag", "snapshot_id": sid})
+    return out
+
+
+def files_table(table_dir: str, snapshot_id: int | None = None) -> list[dict]:
+    """The Iceberg ``files`` metadata table: one row per LIVE data file of
+    a snapshot (default: current) with its on-disk size and per-column key
+    bounds resolved from the fragment-manifest entry stats.  Metadata plus
+    one ``stat()`` per live file — never opens a parquet footer, so it
+    stays cheap at any file count (the footers were read once, at commit).
+    """
+    state = _load(table_dir)
+    sid = state["current_id"] if snapshot_id is None else snapshot_id
+    snap = _snap(state, sid)
+    stats = _stats_of(table_dir, snap, state)
+    data_dir = os.path.join(table_dir, "data")
+    rows = []
+    for f in _files_of(table_dir, snap):
+        p = os.path.join(data_dir, f)
+        rows.append(
+            {
+                "file": f,
+                "size_bytes": os.path.getsize(p) if os.path.exists(p) else None,
+                "stats": stats.get(f, {}),
+            }
+        )
+    return rows
+
+
 def _stats_of(table_dir: str, snap: dict, state: dict) -> dict:
     """Per-file key-column bounds for a snapshot's files: the fragment
     manifests' embedded entry stats (current layout), unioned with the
