@@ -223,3 +223,51 @@ def test_audit_partitions_all_lines():
             audit[audit.turn_idx == turn].sort_values("line_no").raw.tolist()
         )
         assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Grok pattern compiler (operators/grok.py)
+# ---------------------------------------------------------------------------
+
+
+def test_compile_grok_groups_and_types():
+    from wolf_quake_spark.operators.grok import compile_grok
+
+    regex, fields = compile_grok("%{IP:ip} - %{INT:code} %{NUMBER:secs} %{GREEDYDATA:msg}")
+    assert fields == [("ip", None), ("code", "long"), ("secs", "double"), ("msg", None)]
+    import re as _re
+
+    m = _re.fullmatch(regex, "10.0.0.7 - 404 1.25 not found")
+    assert m.groups() == ("10.0.0.7", "404", "1.25", "not found")
+    # literal text is escaped: a regex metachar in the pattern is literal
+    regex2, _ = compile_grok("cost($)=%{INT:c}")
+    assert _re.fullmatch(regex2, "cost($)=5").group(1) == "5"
+    # unnamed tokens match without capturing
+    regex3, f3 = compile_grok("%{WORD} %{INT:v}")
+    assert f3 == [("v", "long")]
+    assert _re.fullmatch(regex3, "abc 7").groups() == ("7",)
+    # unknown type fails at compile time
+    import pytest
+
+    with pytest.raises(ValueError):
+        compile_grok("%{NOPE:x}")
+
+
+def test_grok_parse_types_and_reject_flag(spark):
+    from wolf_quake_spark.operators.grok import grok_parse
+
+    df = spark.createDataFrame(
+        [(1, "INFO user=7 took 1.5"), (2, "garbage line"), (3, "WARN user=-2 took 0.25")],
+        "id long, line string",
+    )
+    out = grok_parse(
+        df, "line", "%{LOGLEVEL:level} user=%{INT:uid} took %{NUMBER:secs}", keep=["id"]
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "string", "bigint", "double", "boolean",
+    ]
+    assert rows[1]["level"] == "INFO" and rows[1]["uid"] == 7 and rows[1]["secs"] == 1.5
+    assert rows[3]["uid"] == -2 and rows[3]["secs"] == 0.25
+    assert not rows[2]["_grok_matched"] and rows[2]["uid"] is None
+    assert rows[1]["_grok_matched"] and rows[3]["_grok_matched"]

@@ -907,6 +907,67 @@ def q_inactivity_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grok_sql() -> str:
+    """Oracle for grok_parse_events: the SAME compiled regex (one source
+    of truth — compile_grok output embedded verbatim) applied with
+    DuckDB's regexp_extract/regexp_matches over an identically-formatted
+    log line."""
+    from wolf_quake_spark.operators.grok import _GROK_EVENTS_PATTERN, compile_grok
+
+    regex, fields = compile_grok(_GROK_EVENTS_PATTERN)
+    anchored = "^" + regex + "$"
+    casts = {"long": "BIGINT", "double": "DOUBLE"}
+    exprs = []
+    for i, (name, cast) in enumerate(fields, start=1):
+        e = f"regexp_extract(line, '{anchored}', {i})"
+        if cast:
+            # TRY_CAST mirrors the Spark side's try_cast ('' on unmatched → NULL)
+            e = f"TRY_CAST({e} AS {casts[cast]})"
+        exprs.append(f"{e} AS {name}")
+    return f"""
+    WITH lines AS (
+      SELECT event_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') || ' ' || upper(event_type)
+             || ' user=' || CAST(user_id AS VARCHAR)
+             || ' value_cents=' || CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)
+             || ' ' || props AS line
+      FROM events)
+    SELECT event_id, {", ".join(exprs)},
+           regexp_matches(line, '{anchored}') AS _grok_matched
+    FROM lines
+    """
+
+
+@register("grok_parse_events", _grok_sql())
+def q_grok_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok-pattern log parsing (the production generalization of the
+    reference's fixed-format line parser, reference/src/parser.rs:159):
+    ``%{TYPE:name}`` tokens compile once to a single anchored regex whose
+    capture groups become typed columns — pure regexp_extract projections
+    inside whole-stage codegen, zero shuffles, no UDF (operators/grok.py).
+    The fixture lines are formatted from the events table deterministically
+    so extraction is fully round-trippable; ``_grok_matched`` carries the
+    reject-routing flag.  The oracle embeds the identical compiled regex."""
+    from wolf_quake_spark.operators.grok import _GROK_EVENTS_PATTERN, grok_parse
+
+    ev = _read(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+            F.lit(" "),
+            F.upper("event_type"),
+            F.lit(" user="),
+            F.col("user_id").cast("string"),
+            F.lit(" value_cents="),
+            F.round(F.col("value") * 100).cast("long").cast("string"),
+            F.lit(" "),
+            F.col("props"),
+        ).alias("line"),
+    )
+    return grok_parse(lines, "line", _GROK_EVENTS_PATTERN, keep=["event_id"])
+
+
 @register(
     "session_window_rollup",
     """
