@@ -152,3 +152,96 @@ def test_pruned_read_string_stats_stay_lexical(spark, tmp_path):
     got, report = pruned_read(spark, out, "code", "2", "5")
     assert report["partitions_read"] == 1  # NOT pruned
     assert sorted(r["code"] for r in got.collect()) == ["30"]
+
+
+# ---------------------------------------------------------------------------
+# Partition spec evolution (multi-spec tables)
+# ---------------------------------------------------------------------------
+
+
+def _ev_rows(spark, n, day_offset=0):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1) + dt.timedelta(days=day_offset)
+    rows = [
+        (i + day_offset * 10_000,
+         base + dt.timedelta(minutes=(i * 7) % (3 * 24 * 60)),  # spans 3 days
+         i % 100)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+
+
+def test_partition_evolution_metadata_only_and_pruned_union(spark, tmp_path):
+    import os
+
+    from wolf_quake_spark.plans.partition_transforms import (
+        append_evolving,
+        create_evolving_table,
+        evolve_partition_spec,
+        read_evolving_pruned,
+    )
+
+    table = str(tmp_path / "ev")
+    create_evolving_table(_ev_rows(spark, 600), table, "day:ts")
+    append_evolving(_ev_rows(spark, 400, day_offset=3), table)
+
+    # snapshot old data files, then evolve: NOTHING may be rewritten
+    old_files = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(os.path.join(table, "spec=0"))
+        for f in fs
+    }
+    sid = evolve_partition_spec(table, "day:ts,trunc25:user_id")
+    assert sid == 1
+    append_evolving(_ev_rows(spark, 500, day_offset=6), table)
+    now_files = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(os.path.join(table, "spec=0"))
+        for f in fs
+    }
+    assert now_files == old_files  # evolution + later appends: metadata-only
+
+    # range on ts: BOTH specs prune by their day partitions
+    df, rep = read_evolving_pruned(
+        spark, table, "ts", "2024-01-07 00:00:00", "2024-01-07 23:59:59"
+    )
+    assert all(s["pruned"] for s in rep["specs"])
+    assert rep["specs"][1]["partitions_read"] < rep["specs"][1]["partitions_total"]
+    flat = (
+        _ev_rows(spark, 600).unionByName(_ev_rows(spark, 400, day_offset=3))
+        .unionByName(_ev_rows(spark, 500, day_offset=6))
+        .where(F.col("ts").between("2024-01-07 00:00:00", "2024-01-07 23:59:59"))
+    )
+    assert df.count() == flat.count() > 0
+    assert df.columns == ["event_id", "ts", "user_id"]  # derived cols dropped
+
+    # range on user_id: spec 0 can't prune (honestly reported), spec 1 can
+    df2, rep2 = read_evolving_pruned(spark, table, "user_id", "0", "20")
+    by_spec = {s["spec"]: s for s in rep2["specs"]}
+    assert not by_spec[0]["pruned"]
+    assert by_spec[0]["partitions_read"] == by_spec[0]["partitions_total"]
+    assert by_spec[1]["pruned"]
+    assert by_spec[1]["partitions_read"] < by_spec[1]["partitions_total"]
+    flat2 = (
+        _ev_rows(spark, 600).unionByName(_ev_rows(spark, 400, day_offset=3))
+        .unionByName(_ev_rows(spark, 500, day_offset=6))
+        .where(F.col("user_id").between(0, 20))
+    )
+    assert df2.count() == flat2.count() > 0
+
+
+def test_evolve_rejects_bad_descriptor(spark, tmp_path):
+    import pytest
+
+    from wolf_quake_spark.plans.partition_transforms import (
+        create_evolving_table,
+        evolve_partition_spec,
+        _spec_log_load,
+    )
+
+    table = str(tmp_path / "ev2")
+    create_evolving_table(_ev_rows(spark, 50), table, "day:ts")
+    with pytest.raises(ValueError):
+        evolve_partition_spec(table, "wat:ts")
+    assert _spec_log_load(table)["current"] == 0  # validation precedes commit

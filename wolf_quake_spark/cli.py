@@ -109,33 +109,14 @@ def _cmd_compact(args: argparse.Namespace) -> None:
 
 
 def _parse_partition_spec(spec: str):
-    """day:ts,hour:ts,bucket16:conv_id,trunc10:value,truncstr3:event_type
-    → PartitionSpec list (derived names ``<col>_<kind>``)."""
-    from wolf_quake_spark.plans import partition_transforms as pt
+    """Delegates to the canonical descriptor parser (partition_transforms.
+    parse_spec), keeping the CLI error shape."""
+    from wolf_quake_spark.plans.partition_transforms import parse_spec
 
-    out = []
-    for item in spec.split(","):
-        kind, col = item.split(":", 1)
-        if kind == "day":
-            out.append(pt.PartitionSpec(f"{col}_day", col, pt.days(col)))
-        elif kind == "hour":
-            out.append(pt.PartitionSpec(f"{col}_hour", col, pt.hours(col)))
-        elif kind == "month":
-            out.append(pt.PartitionSpec(f"{col}_month", col, pt.months(col)))
-        elif kind == "year":
-            out.append(pt.PartitionSpec(f"{col}_year", col, pt.years(col)))
-        elif kind.startswith("truncstr"):
-            w = int(kind[len("truncstr"):])
-            out.append(pt.PartitionSpec(f"{col}_t{w}", col, pt.truncate_str(w, col)))
-        elif kind.startswith("trunc"):
-            w = int(kind[len("trunc"):])
-            out.append(pt.PartitionSpec(f"{col}_t{w}", col, pt.truncate(w, col)))
-        elif kind.startswith("bucket"):
-            n = int(kind[len("bucket"):])
-            out.append(pt.PartitionSpec(f"{col}_b{n}", col, pt.bucket(n, col)))
-        else:
-            raise SystemExit(f"unknown transform {kind!r} in --by")
-    return out
+    try:
+        return parse_spec(spec)
+    except ValueError as e:
+        raise SystemExit(f"{e} in --by") from None
 
 
 def _cmd_table_write(args: argparse.Namespace) -> None:

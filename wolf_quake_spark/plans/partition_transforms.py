@@ -245,3 +245,144 @@ def pruned_read(
         )
     )
     return df, report
+
+
+# --- partition spec EVOLUTION (multi-spec tables) --------------------------
+
+SPEC_LOG = "_spec_log.json"
+
+
+def parse_spec(descr: str) -> list[PartitionSpec]:
+    """Transform-descriptor string → PartitionSpec list (derived names
+    ``<col>_<kind>``): ``day:ts,hour:ts,bucket16:conv_id,trunc10:value,
+    truncstr3:event_type``.  The canonical serialized form a spec log
+    stores — Column exprs don't serialize, descriptors do."""
+    out = []
+    for item in descr.split(","):
+        kind, col = item.split(":", 1)
+        if kind == "day":
+            out.append(PartitionSpec(f"{col}_day", col, days(col)))
+        elif kind == "hour":
+            out.append(PartitionSpec(f"{col}_hour", col, hours(col)))
+        elif kind == "month":
+            out.append(PartitionSpec(f"{col}_month", col, months(col)))
+        elif kind == "year":
+            out.append(PartitionSpec(f"{col}_year", col, years(col)))
+        elif kind.startswith("truncstr"):
+            w = int(kind[len("truncstr"):])
+            out.append(PartitionSpec(f"{col}_t{w}", col, truncate_str(w, col)))
+        elif kind.startswith("trunc"):
+            w = int(kind[len("trunc"):])
+            out.append(PartitionSpec(f"{col}_t{w}", col, truncate(w, col)))
+        elif kind.startswith("bucket"):
+            n = int(kind[len("bucket"):])
+            out.append(PartitionSpec(f"{col}_b{n}", col, bucket(n, col)))
+        else:
+            raise ValueError(f"unknown transform {kind!r}")
+    return out
+
+
+def _spec_log_load(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, SPEC_LOG)) as fh:
+        return json.load(fh)
+
+
+def _spec_log_dump(out_dir: str, log: dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, SPEC_LOG)
+    with open(path + ".tmp", "w") as fh:
+        json.dump(log, fh, indent=1, sort_keys=True)
+    os.replace(path + ".tmp", path)
+
+
+def create_evolving_table(df: DataFrame, out_dir: str, descr: str) -> dict:
+    """Create a multi-spec hidden-partitioned table at spec 0."""
+    log = {"current": 0, "specs": [descr], "next_commit": 0}
+    _spec_log_dump(out_dir, log)
+    return append_evolving(df, out_dir)
+
+
+def evolve_partition_spec(out_dir: str, descr: str) -> int:
+    """Change the table's partition layout WITHOUT rewriting any data —
+    the Iceberg §Partition Evolution contract.  Metadata-only: the new
+    spec is appended to the log and becomes current; every existing
+    commit keeps its original directory layout and manifest, and the
+    reader plans each commit under the spec it was WRITTEN with.  Returns
+    the new spec id."""
+    parse_spec(descr)  # validate before committing
+    log = _spec_log_load(out_dir)
+    log["specs"].append(descr)
+    log["current"] = len(log["specs"]) - 1
+    _spec_log_dump(out_dir, log)
+    return log["current"]
+
+
+def append_evolving(df: DataFrame, out_dir: str) -> dict:
+    """Append a commit under the CURRENT spec: each commit is its own
+    ``spec=<s>/commit=<c>`` directory with its own partition manifest (the
+    per-manifest granularity Iceberg scan planning prunes at)."""
+    log = _spec_log_load(out_dir)
+    sid, cid = log["current"], log["next_commit"]
+    sub = os.path.join(out_dir, f"spec={sid}", f"commit={cid}")
+    manifest = write_hidden_partitioned(df, sub, parse_spec(log["specs"][sid]))
+    log["next_commit"] = cid + 1
+    _spec_log_dump(out_dir, log)
+    return {"spec": sid, "commit": cid, "partitions": len(manifest["partitions"])}
+
+
+def read_evolving_pruned(
+    spark: SparkSession, out_dir: str, source_col: str, lo: str, hi: str
+) -> tuple[DataFrame, dict]:
+    """Range scan over a multi-spec table: every commit is pruned under
+    the spec it was written with — commits whose spec partitions on
+    ``source_col`` use their manifest min/max stats, commits whose spec
+    doesn't are read in full (honestly reported) — and the residual
+    predicate keeps every arm exact.  This is why partition evolution is
+    safe: a query never depends on WHICH spec a row landed under, only
+    pruning effectiveness differs.
+
+    Derived partition columns (which differ across specs) are dropped
+    before the union, so the result schema is the source schema for every
+    spec mix."""
+    log = _spec_log_load(out_dir)
+    frames = []
+    specs_report = []
+    for sid, descr in enumerate(log["specs"]):
+        spec_dir = os.path.join(out_dir, f"spec={sid}")
+        if not os.path.isdir(spec_dir):
+            continue
+        commits = sorted(
+            d for d in os.listdir(spec_dir) if d.startswith("commit=")
+        )
+        spec = parse_spec(descr)
+        sources = {p.source for p in spec}
+        derived = [p.name for p in spec]
+        pruned = source_col in sources
+        srep = {
+            "spec": sid, "descr": descr, "commits": len(commits),
+            "pruned": pruned, "partitions_total": 0, "partitions_read": 0,
+        }
+        for c in commits:
+            sub = os.path.join(spec_dir, c)
+            if pruned:
+                df, rep = pruned_read(spark, sub, source_col, lo, hi)
+                srep["partitions_total"] += rep["partitions_total"]
+                srep["partitions_read"] += rep["partitions_read"]
+            else:
+                raw = spark.read.option("basePath", sub).parquet(sub)
+                dtype = raw.schema[source_col].dataType
+                df = raw.where(
+                    F.col(source_col).between(
+                        F.lit(lo).cast(dtype), F.lit(hi).cast(dtype)
+                    )
+                )
+                with open(os.path.join(sub, MANIFEST)) as fh:
+                    n = len(json.load(fh)["partitions"])
+                srep["partitions_total"] += n
+                srep["partitions_read"] += n
+            frames.append(df.drop(*derived))
+        specs_report.append(srep)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out, {"specs": specs_report}
