@@ -141,8 +141,10 @@ def test_mor_scan_never_shuffles_data_side(spark, tmp_path):
     # key and the position distinct), each feeding a BroadcastExchange —
     # i.e. bounded by the DELETE relation, never by the data scan
     assert plan.count("Exchange hashpartitioning") == 2
-    data_scan = next(ln for ln in plan.splitlines() if "FileScan" in ln and "/t/data" in ln)
-    assert "PushedFilters" in data_scan  # the data side is a plain scan leaf
+    # the data side is a plain scan leaf (first FileScan, carrying the user
+    # columns) — never the probe side of anything but broadcasts
+    data_scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "doc_id" in data_scan and "text" in data_scan
 
 
 def test_merge_mor_upserts_and_inserts(spark, tmp_path):
@@ -205,7 +207,12 @@ def test_merge_mor_crash_windows(spark, tmp_path):
     dead.write.parquet(f"{table}/pos_deletes/_merge_seq=41")
     with open(f"{table}/{'_compact_journal.json'}", "w") as fh:
         json.dump({"merge": {"data_seq": 40, "pos_seq": 41}}, fh)
-    out = {r["doc_id"]: r["text"] for r in read_mor(spark, table).collect()}
+    rows = read_mor(spark, table).collect()
+    # COUNT, not just distinct keys: the roll-forward must apply the
+    # recovered position deletes in the same read — a fast path that
+    # recovers but skips them would return doc_id=3 twice
+    assert len(rows) == 20
+    out = {r["doc_id"]: r["text"] for r in rows}
     assert out[3] == "ROLLED-3" and len(out) == 20
     assert not os.path.exists(f"{table}/_compact_journal.json")
     # seq counter moved past the recovered merge: the next commit can't collide
@@ -217,3 +224,40 @@ def test_merge_mor_crash_windows(spark, tmp_path):
     assert info["data_seq"] > 41
     out2 = {r["doc_id"]: r["text"] for r in read_mor(spark, table).collect()}
     assert out2[0] == "after" and out2[3] == "ROLLED-3" and len(out2) == 20
+
+
+def test_dv_rewrite_crash_windows_never_wedge(spark, tmp_path):
+    """Crash between the DV write and the seq-log commit leaves an orphan
+    dvs/v=K; crash between the commit and the cleanup leaves folded seq=
+    dirs and the old DV generation.  Both must be reclaimed by the next
+    rewrite — not wedge it or inflate its folded count."""
+    import os
+    import shutil
+
+    table = _mk_table(spark, tmp_path)
+    delete_where(spark, table, F.col("doc_id") < 10)
+
+    # window A: uncommitted dvs/v=1 orphan (crash before _dump)
+    os.makedirs(f"{table}/dvs/v=1")
+    with open(f"{table}/dvs/v=1/junk.parquet", "w") as fh:
+        fh.write("orphan")
+    info = rewrite_position_deletes(spark, table)
+    assert info["dv_version"] == 1 and info["folded_files"] == 1
+    view1 = sorted(r["doc_id"] for r in read_mor(spark, table).collect())
+    assert view1 == list(range(10, 100))
+
+    # window B: resurrect already-folded delete dirs + a stale old DV dir
+    # (crash after _dump, before cleanup) — next rewrite reclaims both and
+    # reports a no-op fold, and the view never changes
+    delete_where(spark, table, F.col("doc_id") == 50)  # seq above horizon
+    shutil.copytree(f"{table}/dvs/v=1", f"{table}/dvs/v=0_stale_probe")
+    os.rename(f"{table}/dvs/v=0_stale_probe", f"{table}/dvs/v=0")
+    info2 = rewrite_position_deletes(spark, table)
+    assert info2["dv_version"] == 2 and info2["folded_files"] == 1  # only the new file
+    assert not os.path.isdir(f"{table}/dvs/v=0")
+    assert not os.path.isdir(f"{table}/dvs/v=1")
+    got = sorted(r["doc_id"] for r in read_mor(spark, table).collect())
+    assert got == [d for d in range(10, 100) if d != 50]
+    # pure no-op rewrite: nothing pending, version unchanged
+    info3 = rewrite_position_deletes(spark, table)
+    assert info3 == {"dv_version": 2, "folded_files": 0}

@@ -1204,11 +1204,10 @@ def derived_ks(n_vecs: int, max_ks: int = PQ_MAX_KS) -> int:
     is the classic 8-bit PQ code width -- past that, add subspaces (more
     codes/vector) rather than wider codebooks, which is the published PQ
     scaling recipe (Jegou et al., TPAMI'11 SS3).  Mirrors the oracle's
-    ``greatest(least(round(sqrt(n)), 256), 2)`` (IEEE sqrt + half-up round
-    agree across engines)."""
-    import math
-
-    return max(2, min(int(round(math.sqrt(n_vecs))), max_ks))
+    ``greatest(least(round(sqrt(n)), 256), 2)`` — the same sqrt rule as
+    :func:`derived_k`, reused so the rounding/clamping convention has ONE
+    definition."""
+    return derived_k(n_vecs, max_k=max_ks)
 
 
 def pq_train(

@@ -154,8 +154,12 @@ def delete_where(spark: SparkSession, table_dir: str, condition) -> tuple[int, i
     hits = live.where(condition).select(
         F.col("_wqs_fp").alias("file_path"), F.col("_wqs_pos").alias("pos")
     )
-    n = hits.count()
+    # one table scan, not two: commit the delete file first, then count
+    # the (tiny) committed parquet instead of re-running the MoR scan
     seq = append_position_deletes(hits, table_dir)
+    n = spark.read.parquet(
+        os.path.join(table_dir, "pos_deletes", f"seq={seq}")
+    ).count()
     return seq, n
 
 
@@ -175,6 +179,20 @@ def rewrite_position_deletes(spark: SparkSession, table_dir: str) -> dict:
     _recover(table_dir)
     state = _load(table_dir)
     pos_dir = os.path.join(table_dir, "pos_deletes")
+    dvs_dir = os.path.join(table_dir, "dvs")
+    # reclaim what a crash between the commit (_dump) and the cleanup left
+    # behind: already-folded delete files (seq <= covers horizon) and any
+    # DV generation other than the committed one.  Idempotent, runs every
+    # call, so a single crash can't wedge later rewrites or inflate their
+    # folded_files count.
+    if os.path.isdir(pos_dir):
+        for d in os.listdir(pos_dir):
+            if d.startswith("seq=") and int(d[4:]) <= state["dv_covers_seq"]:
+                shutil.rmtree(os.path.join(pos_dir, d))
+    if os.path.isdir(dvs_dir):
+        for d in os.listdir(dvs_dir):
+            if d.startswith("v=") and int(d[2:]) != state["dv_version"]:
+                shutil.rmtree(os.path.join(dvs_dir, d))
     have_pos = os.path.isdir(pos_dir) and any(
         d.startswith("seq=") for d in os.listdir(pos_dir)
     )
@@ -202,7 +220,11 @@ def rewrite_position_deletes(spark: SparkSession, table_dir: str) -> dict:
         )
     new_v = old_v + 1
     dv_dir = os.path.join(table_dir, "dvs", f"v={new_v}")
-    bits.write.mode("errorifexists").parquet(dv_dir)
+    # overwrite, not errorifexists: an uncommitted v=new_v orphan from a
+    # crash between this write and the _dump below must not wedge the
+    # retry (the pre-clean above removes it, but overwrite also guards
+    # the window inside THIS call)
+    bits.write.mode("overwrite").parquet(dv_dir)
     n_folded = len([d for d in os.listdir(pos_dir) if d.startswith("seq=")])
     state["dv_version"] = new_v
     state["dv_covers_seq"] = state["last_seq"]
@@ -213,22 +235,31 @@ def rewrite_position_deletes(spark: SparkSession, table_dir: str) -> dict:
     return {"dv_version": new_v, "folded_files": n_folded}
 
 
-def _mor_with_address(spark: SparkSession, table_dir: str) -> DataFrame:
-    """The MoR scan with each live row's physical address exposed as
-    ``_wqs_fp`` / ``_wqs_pos`` (consumed by ``delete_where``; dropped by
-    ``read_mor``).  Address columns come from the hidden ``_metadata``
-    struct and MUST be projected at the scan, before any join."""
+def _mor_scan(spark: SparkSession, table_dir: str, with_address: bool) -> DataFrame:
+    """ONE MoR read path for both faces (``read_mor`` / ``delete_where``):
+    recovery ALWAYS runs first — the strategy decision (are there
+    positional deletes?) must see post-roll-forward state, or a crashed
+    merge's deletes would be rolled in by the scan that then ignores them.
+    The physical-address columns (hidden ``_metadata`` struct, projected
+    at the scan before any join) are added only when positional deletes
+    exist or the caller asked for them, so equality-only tables keep the
+    plain-scan plan shape."""
     _recover(table_dir)
     state = _load(table_dir)
     data_dir = os.path.join(table_dir, "data")
     data = spark.read.option("basePath", data_dir).parquet(data_dir)
     user_cols = [c for c in data.columns if c != "seq"]
-    data = data.select(
-        *user_cols,
-        F.col("seq") if "seq" in data.columns else F.lit(0).alias("seq"),
-        F.col("_metadata.file_path").alias("_wqs_fp"),
-        F.col("_metadata.row_index").alias("_wqs_pos"),
+    pos_dir = os.path.join(table_dir, "pos_deletes")
+    has_posdel = bool(state["dv_version"]) or (
+        os.path.isdir(pos_dir) and any(d.startswith("seq=") for d in os.listdir(pos_dir))
     )
+    project_address = with_address or has_posdel
+    cols = [F.col(c) for c in user_cols]
+    cols.append(F.col("seq") if "seq" in data.columns else F.lit(0).alias("seq"))
+    if project_address:
+        cols.append(F.col("_metadata.file_path").alias("_wqs_fp"))
+        cols.append(F.col("_metadata.row_index").alias("_wqs_pos"))
+    data = data.select(*cols)
 
     # 1. equality deletes: max-seq-per-key broadcast left join
     del_dir = os.path.join(table_dir, "deletes")
@@ -247,6 +278,10 @@ def _mor_with_address(spark: SparkSession, table_dir: str) -> DataFrame:
         )
 
     # 2. deletion vectors: broadcast (file, word)-keyed left join + bit test
+    if not has_posdel:
+        if with_address:
+            return data.select(*user_cols, "_wqs_fp", "_wqs_pos")
+        return data.select(*user_cols)
     if state["dv_version"]:
         dv = spark.read.parquet(
             os.path.join(table_dir, "dvs", f"v={state['dv_version']}")
@@ -275,7 +310,6 @@ def _mor_with_address(spark: SparkSession, table_dir: str) -> DataFrame:
         )
 
     # 3. position deletes newer than the DV fold horizon: broadcast anti join
-    pos_dir = os.path.join(table_dir, "pos_deletes")
     if os.path.isdir(pos_dir) and any(
         d.startswith("seq=") for d in os.listdir(pos_dir)
     ):
@@ -292,7 +326,16 @@ def _mor_with_address(spark: SparkSession, table_dir: str) -> DataFrame:
             & (F.col("_wqs_pos") == F.col("_pd_pos")),
             "left_anti",
         )
-    return data.select(*user_cols, "_wqs_fp", "_wqs_pos")
+    if with_address:
+        return data.select(*user_cols, "_wqs_fp", "_wqs_pos")
+    return data.select(*user_cols)
+
+
+def _mor_with_address(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The MoR scan with each live row's physical address exposed as
+    ``_wqs_fp`` / ``_wqs_pos`` (consumed by ``delete_where`` /
+    ``merge_mor``)."""
+    return _mor_scan(spark, table_dir, with_address=True)
 
 
 def read_mor(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -300,34 +343,10 @@ def read_mor(spark: SparkSession, table_dir: str) -> DataFrame:
     applicable, broadcast max-seq-per-key join), minus deletion-vector
     bits, minus uncompacted position deletes (broadcast anti join) — every
     delete representation applied in one pass with the data side never
-    shuffling.  Rolls any interrupted compaction forward first
-    (single-writer assumption) so survivors are never seen twice."""
-    state = _load(table_dir)
-    pos_dir = os.path.join(table_dir, "pos_deletes")
-    has_pos = state["dv_version"] or (
-        os.path.isdir(pos_dir) and any(d.startswith("seq=") for d in os.listdir(pos_dir))
-    )
-    if not has_pos:
-        # equality-only fast path: never projects _metadata, keeping the
-        # pre-existing plan shape for tables without positional deletes
-        _recover(table_dir)
-        data_dir = os.path.join(table_dir, "data")
-        data = spark.read.option("basePath", data_dir).parquet(data_dir)
-        del_dir = os.path.join(table_dir, "deletes")
-        if not os.path.isdir(del_dir) or not os.listdir(del_dir):
-            return data.drop("seq") if "seq" in data.columns else data
-        key_cols = _load(table_dir)["key_cols"]
-        dels = (
-            spark.read.option("basePath", del_dir)
-            .parquet(del_dir)
-            .groupBy(*key_cols)
-            .agg(F.max("seq").alias("_del_seq"))
-        )
-        joined = data.join(broadcast(dels), on=key_cols, how="left")
-        return joined.where(
-            F.col("_del_seq").isNull() | (F.col("_del_seq") <= F.col("seq"))
-        ).drop("_del_seq", "seq")
-    return _mor_with_address(spark, table_dir).drop("_wqs_fp", "_wqs_pos")
+    shuffling.  Rolls any interrupted operation forward FIRST (single-
+    writer assumption) so survivors are never seen twice and a recovered
+    merge's position deletes are never skipped."""
+    return _mor_scan(spark, table_dir, with_address=False)
 
 
 JOURNAL = "_compact_journal.json"

@@ -382,6 +382,8 @@ def read_evolving_pruned(
                 srep["partitions_read"] += n
             frames.append(df.drop(*derived))
         specs_report.append(srep)
+    if not frames:
+        raise ValueError(f"evolving table {out_dir!r} has no data commits")
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
