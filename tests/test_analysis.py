@@ -2212,3 +2212,23 @@ def test_pq_adc_ranks_near_vectors_first(spark):
     assert out[0]["adc_d2"] <= out[-1]["adc_d2"]
     rec = pq_recall_at_k(vecs8, q, m=2, iters=2, k=8).collect()[0]
     assert rec["n_overlap"] == 8 and rec["recall_at_8"] == 1.0
+
+
+def test_ivfpq_finds_exact_duplicate_first(spark):
+    """IVFADC: an exact-duplicate query lands in the probed cell with
+    residual distance equal to the codeword quantization error — it must
+    rank first; the scan never touches unprobed cells' vectors."""
+    from wolf_quake_spark.analysis.similarity import ivfpq_search
+
+    rows = [(i, [float(i // 8) * 50 + (j % 3) * 0.5 + (i % 8) * 0.01
+                 for j in range(8)]) for i in range(24)]
+    vecs8 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [0 * 50 + (j % 3) * 0.5 + 5 * 0.01 for j in range(8)]  # == vec 5
+    out = ivfpq_search(vecs8, q, m=2, iters=2, n_probes=2, k=5).collect()
+    assert out[0]["vec_id"] == 5
+    assert out[0]["adc_d2"] <= min(r["adc_d2"] for r in out)
+    # deterministic: a re-run returns the identical ranking
+    again = ivfpq_search(vecs8, q, m=2, iters=2, n_probes=2, k=5).collect()
+    assert [(r["vec_id"], r["adc_d2"]) for r in again] == [
+        (r["vec_id"], r["adc_d2"]) for r in out
+    ]

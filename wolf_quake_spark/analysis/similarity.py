@@ -1249,21 +1249,29 @@ def pq_train(
     raw vectors -- the memory/bandwidth step that makes billion-scale
     similarity scans feasible (IVF prunes candidates, PQ shrinks what is
     scanned)."""
-    from pyspark import StorageLevel
-
-    spark = embeddings.sparkSession
     n = embeddings.count()
     if ks is None:
         ks = derived_ks(n)
     dim = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
-    w = dim // m
+    qframe = embeddings.select("vec_id", _quant(F.col(vec_col)).alias("qe"))
+    return _pq_core(qframe, m, iters, ks, dim // m)
 
+
+def _pq_core(
+    qframe: DataFrame, m: int, iters: int, ks: int, w: int
+) -> tuple[DataFrame, DataFrame]:
+    """PQ trainer core over a pre-quantized ``(vec_id, qe)`` frame — shared
+    by :func:`pq_train` (raw vectors) and :func:`ivfpq_search` (coarse-cell
+    RESIDUALS, the IVFADC composition)."""
+    from pyspark import StorageLevel
+
+    spark = qframe.sparkSession
     # persisted: feeds every Lloyd assignment + the update joins + the final
     # encode -- without it each pass re-reads parquet and re-quantizes.
     subs = (
-        embeddings.select("vec_id", _quant(F.col(vec_col)).alias("qe"))
+        qframe
         .select(
             "vec_id",
             F.explode(
@@ -1283,7 +1291,7 @@ def pq_train(
     # derandomized random-sample seeding: ks smallest (hash, vec_id) --
     # distributed TakeOrdered, then a ks-row driver map for code_id ranks
     seed_rows = (
-        embeddings.select("vec_id", _hash20(F.col("vec_id")).alias("h"))
+        qframe.select("vec_id", _hash20(F.col("vec_id")).alias("h"))
         .orderBy(F.asc("h"), F.asc("vec_id"))
         .limit(ks)
         .collect()
@@ -1410,4 +1418,89 @@ def pq_recall_at_k(
         F.round(F.count("*") / float(k), 6).alias(f"recall_at_{k}"),
     )
     out._wqs_persisted = getattr(adc, "_wqs_persisted", None)
+    return out
+
+
+def ivfpq_search(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    m: int = PQ_M,
+    iters: int = 2,
+    n_probes: int = 3,
+    k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC (Jegou et al., TPAMI'11 SS5): the canonical billion-scale ANN
+    index, composing the two quantizers this module already has --
+
+    1. COARSE: the k-means IVF quantizer assigns every vector a cell
+       (:func:`kmeans_assign`); member-mean cell centroids are recomputed
+       with the same integer floor-mean rule the search path uses.
+    2. FINE: product quantization over the RESIDUALS ``x - centroid(x)``
+       (:func:`_pq_core` on the residual frame) -- residuals are tighter
+       than raw vectors, which is why IVFADC beats flat PQ at equal code
+       budget.
+    3. SEARCH: probe the ``n_probes`` nearest cells; build one ADC lookup
+       table PER PROBED CELL against the query's cell-specific residual
+       ``q - centroid(cell)``; score candidates by m table lookups and
+       take the top k.
+
+    Everything stays exact-integer (quantized components, BIGINT partial
+    distances, floor-mean centroids, lowest-id tiebreaks), so the DuckDB
+    oracle reproduces the top-k bit-for-bit.  At 100 TB: the scan touches
+    only ``n * n_probes / k_cells`` code rows (cell pruning) of m small
+    ints each (code compression) -- with the codes written bucketed by
+    ``cent_id``, the probe set prunes partitions instead of filtering.
+    """
+    from pyspark import StorageLevel
+
+    asg = kmeans_assign(embeddings, iters=iters, vec_col=vec_col)
+    q = asg._wqs_persisted  # (vec_id, qe) DISK_ONLY
+    asg = asg.persist(StorageLevel.DISK_ONLY)
+    cents = _member_centroids(q, asg).persist(StorageLevel.DISK_ONLY)
+
+    n = q.count()
+    dim = len(q.select("qe").first()["qe"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    w = dim // m
+    ks = derived_ks(n)
+
+    # residual frame: x - centroid(cell(x)), exact integer subtraction
+    resid = (
+        q.join(asg, "vec_id")
+        .join(F.broadcast(cents), "cent_id")
+        .select("vec_id", F.zip_with("qe", "cvec", lambda x, y: x - y).alias("qe"))
+    )
+    codes, cb = _pq_core(resid, m, iters, ks, w)
+    subs_handle = codes._wqs_persisted
+
+    # --- search -----------------------------------------------------------
+    qlit = F.array(*[F.lit(int(round(x * SCALE))).cast("long") for x in query_vec])
+    probes = (
+        cents.select("cent_id", "cvec", _l2(F.col("cvec"), qlit).alias("d"))
+        .orderBy("d", "cent_id")
+        .limit(n_probes)
+        .select("cent_id", F.col("cvec").alias("cellvec"))
+    )
+    # per-cell ADC lookup table: codeword vs the query's CELL residual,
+    # n_probes x m x ks rows -- broadcast-sized by construction
+    cbv = cb.select("sub_id", "code_id", F.col("cvec").alias("codeword"))
+    sub_q = F.slice(qlit, F.col("sub_id") * w + 1, w)
+    sub_c = F.slice(F.col("cellvec"), F.col("sub_id") * w + 1, w)
+    lut = probes.crossJoin(F.broadcast(cbv)).select(
+        "cent_id",
+        "sub_id",
+        "code_id",
+        _l2(F.col("codeword"), F.zip_with(sub_q, sub_c, lambda x, y: x - y)).alias("pd2"),
+    )
+    out = (
+        codes.join(asg, "vec_id")
+        .join(F.broadcast(lut), ["cent_id", "sub_id", "code_id"])
+        .groupBy("vec_id")
+        .agg(F.sum("pd2").cast("long").alias("adc_d2"))
+        .orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+        .limit(k)
+    )
+    out._wqs_persisted = [q, asg, cents, subs_handle]
     return out

@@ -84,6 +84,7 @@ from wolf_quake_spark.analysis.similarity import (
     knn_classify,
     mmr_topk,
     neardup_pairs,
+    ivfpq_search,
     pq_adc_topk,
     pq_recall_at_k,
     pq_train,
@@ -5026,6 +5027,108 @@ def _pq_sql(iters: int = 2, m: int = 4, final: str = "codes", k: int = 100) -> s
            round(COUNT(*) / 10.0, 6) AS recall_at_10
     FROM ex10 JOIN adc10 USING (vec_id)""")
     return "".join(parts)
+
+
+def _ivfpq_sql(m: int = 4, iters: int = 2, n_probes: int = 3, k: int = 10) -> str:
+    """IVFADC oracle: the k-means coarse quantizer (reused ``_kmeans_sql``
+    subquery + the member-mean ``cents`` CTE of the IVF search oracle)
+    composed with the PQ trainer unroll — run over RESIDUALS ``x −
+    centroid(cell(x))`` — then per-probed-cell ADC lookup tables against
+    the query's cell residuals.  Exactly mirrors
+    analysis/similarity.ivfpq_search."""
+    h20 = "strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), {i}, 1)) - 1"
+    hexpr = "(" + h20.format(i=1) + ")"
+    for i in range(2, 6):
+        hexpr = f"({hexpr}) * 16 + ({h20.format(i=i)})"
+    hexpr = f"(({hexpr}) + 1)"
+    parts = [
+        f"""
+    WITH asg AS (SELECT * FROM ({_kmeans_sql()}) t),
+    u AS (SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq, pos FROM (
+      SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+    cents AS (SELECT asg.cent_id, u.pos,
+                     CAST(floor(CAST(SUM(u.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+              FROM u JOIN asg USING (vec_id) GROUP BY asg.cent_id, u.pos),
+    ww AS (SELECT CAST(MAX(pos) AS BIGINT) // {m} AS w FROM u),
+    rs AS (SELECT r.vec_id,
+                  CAST((r.pos - 1) // ww.w AS INTEGER) AS sub_id,
+                  CAST((r.pos - 1) % ww.w AS INTEGER) AS sub_pos,
+                  r.rq
+           FROM (SELECT u.vec_id, u.pos, u.xq - c.cq AS rq
+                 FROM u JOIN asg a USING (vec_id)
+                 JOIN cents c ON c.cent_id = a.cent_id AND c.pos = u.pos) r, ww),
+    kk AS (SELECT CAST(GREATEST(LEAST(ROUND(SQRT(COUNT(*))), 256), 2) AS BIGINT) AS ks
+           FROM embeddings),
+    hw AS (SELECT vec_id, {hexpr} AS h FROM embeddings),
+    sd AS (SELECT t2.vec_id AS seed_id, CAST(t2.rn - 1 AS INTEGER) AS code_id FROM (
+             SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h ASC, vec_id ASC) AS rn
+             FROM hw) t2, kk
+           WHERE t2.rn <= kk.ks),
+    pc0 AS (SELECT rs.sub_id, sd.code_id, rs.sub_pos, rs.rq AS cq
+            FROM rs JOIN sd ON rs.vec_id = sd.seed_id)"""
+    ]
+
+    def _assign_cte(src: str, name: str, out: str) -> str:
+        return f"""
+    pd{name} AS (SELECT rs.vec_id, rs.sub_id, c.code_id,
+                        SUM((rs.rq - c.cq) * (rs.rq - c.cq)) AS dist
+                 FROM rs JOIN {src} c
+                   ON rs.sub_id = c.sub_id AND rs.sub_pos = c.sub_pos
+                 GROUP BY rs.vec_id, rs.sub_id, c.code_id),
+    {out} AS (SELECT vec_id, sub_id, code_id FROM (
+             SELECT vec_id, sub_id, code_id,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                       ORDER BY dist, code_id) AS rn
+             FROM pd{name}) WHERE rn = 1)"""
+
+    cur = "pc0"
+    for i in range(1, iters + 1):
+        parts.append("\n    ," + _assign_cte(cur, str(i), f"pa{i}") + f""",
+    pn{i} AS (SELECT a.sub_id, a.code_id, rs.sub_pos,
+                     CAST(floor(CAST(SUM(rs.rq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+              FROM rs JOIN pa{i} a ON rs.vec_id = a.vec_id AND rs.sub_id = a.sub_id
+              GROUP BY a.sub_id, a.code_id, rs.sub_pos),
+    pc{i} AS (SELECT p.sub_id, p.code_id, p.sub_pos, COALESCE(n.cq, p.cq) AS cq
+              FROM {cur} p LEFT JOIN pn{i} n
+                ON n.sub_id = p.sub_id AND n.code_id = p.code_id
+               AND n.sub_pos = p.sub_pos)""")
+        cur = f"pc{i}"
+    parts.append("\n    ," + _assign_cte(cur, "f", "paf"))
+    parts.append(f"""
+    , qv AS (SELECT pos, xq FROM u WHERE vec_id = 0),
+    pdq AS (SELECT c.cent_id, SUM((c.cq - q.xq) * (c.cq - q.xq)) AS d
+            FROM cents c JOIN qv q USING (pos) GROUP BY c.cent_id),
+    probes AS (SELECT cent_id FROM pdq ORDER BY d, cent_id LIMIT {n_probes}),
+    qr AS (SELECT p.cent_id,
+                  CAST((c.pos - 1) // ww.w AS INTEGER) AS sub_id,
+                  CAST((c.pos - 1) % ww.w AS INTEGER) AS sub_pos,
+                  q.xq - c.cq AS rq
+           FROM probes p JOIN cents c ON c.cent_id = p.cent_id
+           JOIN qv q ON q.pos = c.pos, ww),
+    lut AS (SELECT q.cent_id, cb.sub_id, cb.code_id,
+                   SUM((q.rq - cb.cq) * (q.rq - cb.cq)) AS pd2
+            FROM {cur} cb JOIN qr q
+              ON q.sub_id = cb.sub_id AND q.sub_pos = cb.sub_pos
+            GROUP BY q.cent_id, cb.sub_id, cb.code_id),
+    adc AS (SELECT a.vec_id, CAST(SUM(l.pd2) AS BIGINT) AS adc_d2
+            FROM paf a JOIN asg g USING (vec_id)
+            JOIN lut l ON l.cent_id = g.cent_id
+                      AND l.sub_id = a.sub_id AND l.code_id = a.code_id
+            GROUP BY a.vec_id)
+    SELECT vec_id, adc_d2 FROM adc ORDER BY adc_d2 ASC, vec_id ASC LIMIT {k}""")
+    return "".join(parts)
+
+
+@register("ivfpq_adc_topk", _ivfpq_sql())
+def q_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou TPAMI'11 §5) — the canonical billion-scale ANN index:
+    k-means cells prune the scan to 3 probed cells, PQ codes over cell
+    RESIDUALS compress what's scanned, per-cell ADC lookup tables score
+    candidates by m table lookups.  Composes the module's two oracle-exact
+    quantizers; the top-k is bit-identical cross-engine."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivfpq_search(emb, _query_vec(spark, sf_dir), n_probes=3, k=10)
 
 
 @register("pq_codes", _pq_sql())
