@@ -5029,7 +5029,10 @@ def _pq_sql(iters: int = 2, m: int = 4, final: str = "codes", k: int = 100) -> s
     return "".join(parts)
 
 
-def _ivfpq_sql(m: int = 4, iters: int = 2, n_probes: int = 3, k: int = 10) -> str:
+def _ivfpq_sql(
+    m: int = 4, iters: int = 2, n_probes: int = 3, k: int = 10,
+    final: str = "adc",
+) -> str:
     """IVFADC oracle: the k-means coarse quantizer (reused ``_kmeans_sql``
     subquery + the member-mean ``cents`` CTE of the IVF search oracle)
     composed with the PQ trainer unroll — run over RESIDUALS ``x −
@@ -5115,8 +5118,19 @@ def _ivfpq_sql(m: int = 4, iters: int = 2, n_probes: int = 3, k: int = 10) -> st
             FROM paf a JOIN asg g USING (vec_id)
             JOIN lut l ON l.cent_id = g.cent_id
                       AND l.sub_id = a.sub_id AND l.code_id = a.code_id
-            GROUP BY a.vec_id)
+            GROUP BY a.vec_id)""")
+    if final == "adc":
+        parts.append(f"""
     SELECT vec_id, adc_d2 FROM adc ORDER BY adc_d2 ASC, vec_id ASC LIMIT {k}""")
+        return "".join(parts)
+    parts.append(f"""
+    , ex AS (SELECT u.vec_id, SUM((u.xq - q.xq) * (u.xq - q.xq)) AS d2
+             FROM u JOIN qv q USING (pos) GROUP BY u.vec_id),
+    ex10 AS (SELECT vec_id FROM ex ORDER BY d2 ASC, vec_id ASC LIMIT {k}),
+    adc10 AS (SELECT vec_id FROM adc ORDER BY adc_d2 ASC, vec_id ASC LIMIT {k})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           round(COUNT(*) / {k}.0, 6) AS recall_at_{k}
+    FROM ex10 JOIN adc10 USING (vec_id)""")
     return "".join(parts)
 
 
@@ -5129,6 +5143,35 @@ def q_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizers; the top-k is bit-identical cross-engine."""
     emb = _read(spark, sf_dir, "embeddings")
     return ivfpq_search(emb, _query_vec(spark, sf_dir), n_probes=3, k=10)
+
+
+@register("ivfpq_recall_at_k", _ivfpq_sql(final="recall"))
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC trust gauge: recall@10 of the cell-pruned residual-PQ search
+    against the exact integer-L2 top-10 — measures BOTH loss sources at
+    once (probing misses cells, PQ codes blur distances), the number read
+    before trading the exact scan for the compressed index.  One k×k id
+    join reduced to one audit row."""
+    from wolf_quake_spark.analysis.similarity import _l2, _quant
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    searched = ivfpq_search(emb, qv, n_probes=3, k=10)
+    approx = searched.select("vec_id")  # .select drops _wqs_persisted — keep the original handle
+    qlit = F.array(*[F.lit(int(round(x * 1000))).cast("long") for x in qv])
+    exact = (
+        emb.select("vec_id", _quant(F.col("embedding")).alias("qe"))
+        .select("vec_id", _l2(F.col("qe"), qlit).alias("d2"))
+        .orderBy(F.asc("d2"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    out = approx.join(exact, "vec_id").agg(
+        F.count("*").cast("long").alias("n_overlap"),
+        F.round(F.count("*") / 10.0, 6).alias("recall_at_10"),
+    )
+    out._wqs_persisted = getattr(searched, "_wqs_persisted", None)
+    return out
 
 
 @register("pq_codes", _pq_sql())
