@@ -1390,6 +1390,23 @@ def pq_adc_topk(
     return out
 
 
+def exact_l2_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10, vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact integer-L2 top-k vec_ids for a query — the ground-truth arm
+    every compression/probing recall gauge compares against (shared by
+    :func:`pq_recall_at_k` and the IVFADC recall registry entry)."""
+    qq = [int(round(x * SCALE)) for x in query_vec]
+    qcol = F.array(*[F.lit(v).cast("long") for v in qq])
+    return (
+        embeddings.select("vec_id", _quant(F.col(vec_col)).alias("qe"))
+        .select("vec_id", _l2(F.col("qe"), qcol).alias("d2"))
+        .orderBy(F.asc("d2"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+
+
 def pq_recall_at_k(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -1404,15 +1421,7 @@ def pq_recall_at_k(
     L2/compression analog of ``ann_recall_at_k``).  Both arms are bounded
     top-k plans; the comparison is a k x k id join reduced to one row."""
     adc = pq_adc_topk(embeddings, query_vec, m=m, iters=iters, k=k, vec_col=vec_col)
-    qq = [int(round(x * SCALE)) for x in query_vec]
-    qcol = F.array(*[F.lit(v).cast("long") for v in qq])
-    exact = (
-        embeddings.select("vec_id", _quant(F.col(vec_col)).alias("qe"))
-        .select("vec_id", _l2(F.col("qe"), qcol).alias("d2"))
-        .orderBy(F.asc("d2"), F.asc("vec_id"))
-        .limit(k)
-        .select("vec_id")
-    )
+    exact = exact_l2_topk(embeddings, query_vec, k=k, vec_col=vec_col)
     out = adc.select("vec_id").join(exact, "vec_id").agg(
         F.count("*").cast("long").alias("n_overlap"),
         F.round(F.count("*") / float(k), 6).alias(f"recall_at_{k}"),

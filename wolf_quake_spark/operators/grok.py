@@ -114,7 +114,7 @@ def grok_parse(
 
 # The registry fixture pattern (queries.grok_parse_events): shared between
 # the Spark query and its generated oracle so both compile the same regex.
-_GROK_EVENTS_PATTERN = (
+GROK_EVENTS_PATTERN = (
     "%{TIMESTAMP_ISO8601:log_ts} %{WORD:level} user=%{INT:uid}"
     " value_cents=%{INT:cents} %{GREEDYDATA:payload}"
 )

@@ -913,9 +913,9 @@ def _grok_sql() -> str:
     of truth — compile_grok output embedded verbatim) applied with
     DuckDB's regexp_extract/regexp_matches over an identically-formatted
     log line."""
-    from wolf_quake_spark.operators.grok import _GROK_EVENTS_PATTERN, compile_grok
+    from wolf_quake_spark.operators.grok import GROK_EVENTS_PATTERN, compile_grok
 
-    regex, fields = compile_grok(_GROK_EVENTS_PATTERN)
+    regex, fields = compile_grok(GROK_EVENTS_PATTERN)
     anchored = "^" + regex + "$"
     casts = {"long": "BIGINT", "double": "DOUBLE"}
     exprs = []
@@ -949,7 +949,7 @@ def q_grok_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixture lines are formatted from the events table deterministically
     so extraction is fully round-trippable; ``_grok_matched`` carries the
     reject-routing flag.  The oracle embeds the identical compiled regex."""
-    from wolf_quake_spark.operators.grok import _GROK_EVENTS_PATTERN, grok_parse
+    from wolf_quake_spark.operators.grok import GROK_EVENTS_PATTERN, grok_parse
 
     ev = _read(spark, sf_dir, "events")
     lines = ev.select(
@@ -966,7 +966,7 @@ def q_grok_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("props"),
         ).alias("line"),
     )
-    return grok_parse(lines, "line", _GROK_EVENTS_PATTERN, keep=["event_id"])
+    return grok_parse(lines, "line", GROK_EVENTS_PATTERN, keep=["event_id"])
 
 
 @register(
@@ -4420,6 +4420,18 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- k-means IVF quantizer -------------------------------------------------
 
 
+def _h20_sql_expr() -> str:
+    """The 20-bit md5 integer weight in [1, 2^20] over ``vec_id`` —
+    strpos arithmetic mirroring analysis/similarity._hash20.  ONE
+    definition for every oracle that seeds or weights by this hash
+    (_kmeans_sql, _pq_sql, _ivfpq_sql)."""
+    h20 = "strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), {i}, 1)) - 1"
+    hexpr = "(" + h20.format(i=1) + ")"
+    for i in range(2, 6):
+        hexpr = f"({hexpr}) * 16 + ({h20.format(i=i)})"
+    return f"(({hexpr}) + 1)"
+
+
 def _kmeans_sql(
     iters: int = 2,
     k_expr: str = "GREATEST(LEAST(ROUND(SQRT(COUNT(*))), 65536), 2)",
@@ -4433,12 +4445,7 @@ def _kmeans_sql(
     update, empty-cluster carry-over.  The fixed ``iters`` unroll matches
     Spark's convergence-probe early exit because the probe only fires at a
     fixpoint (further rounds are no-ops)."""
-    # 20-bit md5 integer weight, strpos arithmetic (mirrors _hash20)
-    h20 = "strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), {i}, 1)) - 1"
-    hexpr = "(" + h20.format(i=1) + ")"
-    for i in range(2, 6):
-        hexpr = f"({hexpr}) * 16 + ({h20.format(i=i)})"
-    hexpr = f"(({hexpr}) + 1)"
+    hexpr = _h20_sql_expr()
     parts = [
         f"""
     WITH u AS (SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq, pos FROM (
@@ -4949,11 +4956,7 @@ def _pq_sql(iters: int = 2, m: int = 4, final: str = "codes", k: int = 100) -> s
     assignment; ``adc`` = asymmetric-distance top-``k`` vs the vec_id=0
     query; ``recall`` = one-row recall@10 of ADC vs the exact integer-L2
     top-10."""
-    h20 = "strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), {i}, 1)) - 1"
-    hexpr = "(" + h20.format(i=1) + ")"
-    for i in range(2, 6):
-        hexpr = f"({hexpr}) * 16 + ({h20.format(i=i)})"
-    hexpr = f"(({hexpr}) + 1)"
+    hexpr = _h20_sql_expr()
     parts = [
         f"""
     WITH u AS (SELECT vec_id,
@@ -5039,11 +5042,7 @@ def _ivfpq_sql(
     centroid(cell(x))`` — then per-probed-cell ADC lookup tables against
     the query's cell residuals.  Exactly mirrors
     analysis/similarity.ivfpq_search."""
-    h20 = "strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), {i}, 1)) - 1"
-    hexpr = "(" + h20.format(i=1) + ")"
-    for i in range(2, 6):
-        hexpr = f"({hexpr}) * 16 + ({h20.format(i=i)})"
-    hexpr = f"(({hexpr}) + 1)"
+    hexpr = _h20_sql_expr()
     parts = [
         f"""
     WITH asg AS (SELECT * FROM ({_kmeans_sql()}) t),
@@ -5152,20 +5151,13 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     once (probing misses cells, PQ codes blur distances), the number read
     before trading the exact scan for the compressed index.  One k×k id
     join reduced to one audit row."""
-    from wolf_quake_spark.analysis.similarity import _l2, _quant
+    from wolf_quake_spark.analysis.similarity import exact_l2_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
     searched = ivfpq_search(emb, qv, n_probes=3, k=10)
     approx = searched.select("vec_id")  # .select drops _wqs_persisted — keep the original handle
-    qlit = F.array(*[F.lit(int(round(x * 1000))).cast("long") for x in qv])
-    exact = (
-        emb.select("vec_id", _quant(F.col("embedding")).alias("qe"))
-        .select("vec_id", _l2(F.col("qe"), qlit).alias("d2"))
-        .orderBy(F.asc("d2"), F.asc("vec_id"))
-        .limit(10)
-        .select("vec_id")
-    )
+    exact = exact_l2_topk(emb, qv, k=10)
     out = approx.join(exact, "vec_id").agg(
         F.count("*").cast("long").alias("n_overlap"),
         F.round(F.count("*") / 10.0, 6).alias("recall_at_10"),
