@@ -749,3 +749,56 @@ def test_refs_and_files_metadata_tables(spark, tbl):
     # time travel: snapshot 1 lists only its own file
     f1 = files_table(out, 1)
     assert len(f1) == 1 and f1[0]["file"] == snapshot_files(out, 1)[0]
+
+
+def test_zorder_rewrite_prunes_both_dimensions(spark, tmp_path):
+    """Z-order rewrite: after re-clustering on (a, b), footer/manifest
+    stats prune scans on EITHER dimension — including b, which a plain
+    key sort leaves scattered — while the view stays row-identical and
+    the rewrite's changelog is empty (row-preserving)."""
+    import random
+
+    from wolf_quake_spark.plans.snapshots import (
+        create_table,
+        append,
+        read_snapshot,
+        rewrite_small_files,
+        scan_where,
+        snapshot_changes,
+    )
+
+    rng = random.Random(7)
+    out = str(tmp_path / "zt")
+    rows = [(i, rng.randrange(1000), rng.randrange(1000)) for i in range(4000)]
+    schema = "doc_id long, a long, b long"
+    # 8 scattered single-file commits: every file spans ~the full (a, b) range
+    create_table(spark.createDataFrame(rows[:500], schema).coalesce(1), out, ["doc_id"])
+    for j in range(1, 8):
+        append(spark.createDataFrame(rows[j * 500:(j + 1) * 500], schema).coalesce(1), out)
+
+    # scattered layout: a range predicate on either dim prunes nothing
+    _, rep_a0 = scan_where(spark, out, "a", 0, 99)
+    assert rep_a0["files_pruned"] == 0
+
+    # small target ⇒ several z-range-partitioned output files, each
+    # carrying a tight Morton-curve segment (= tight bounds in BOTH dims)
+    info = rewrite_small_files(
+        spark, out, target_bytes=16 * 1024, strategy="zorder", zorder_cols=["a", "b"]
+    )
+    assert info["rewritten"] == 8 and info["added"] >= 3
+    # row identity + empty changelog (pure representation change)
+    assert read_snapshot(spark, out).count() == 4000
+    assert snapshot_changes(spark, out, info["snapshot_id"] - 1, info["snapshot_id"]).count() == 0
+
+    _, rep_a = scan_where(spark, out, "a", 0, 99)
+    _, rep_b = scan_where(spark, out, "b", 0, 99)
+    assert rep_a["files_total"] > 2
+    assert rep_a["files_pruned"] > 0, rep_a  # leading dim prunes
+    assert rep_b["files_pruned"] > 0, rep_b  # NON-leading dim prunes too
+    df_b, _ = scan_where(spark, out, "b", 0, 99)
+    assert df_b.count() == sum(1 for _, _, b in rows if b < 100)  # exact
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rewrite_small_files(spark, out, strategy="zorder", zorder_cols=["a"])

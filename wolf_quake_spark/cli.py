@@ -282,6 +282,7 @@ def _cmd_snapshot(args: argparse.Namespace) -> None:
                     args.table,
                     target_bytes=args.target_mb * 1024 * 1024,
                     strategy=args.strategy,
+                    zorder_cols=args.zorder_cols.split(",") if args.zorder_cols else None,
                 )
             )
         )
@@ -460,8 +461,13 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--keep-last", type=int, default=3, help="expire retention")
     sp.add_argument("--target-mb", type=int, default=128, help="rewrite bin size")
     sp.add_argument(
-        "--strategy", choices=["binpack", "sort"], default="binpack",
-        help="rewrite: binpack (no shuffle) or sort (re-cluster by key)",
+        "--strategy", choices=["binpack", "sort", "zorder"], default="binpack",
+        help="rewrite: binpack (no shuffle), sort (re-cluster by key), or "
+        "zorder (multi-dim Morton clustering; needs --zorder-cols)",
+    )
+    sp.add_argument(
+        "--zorder-cols", default=None,
+        help="rewrite --strategy zorder: comma list of >= 2 numeric/timestamp cols",
     )
     sp.add_argument("--name", default=None, help="tag name (tag/untag/read)")
     sp.add_argument("--limit", type=int, default=10)

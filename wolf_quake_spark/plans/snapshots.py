@@ -71,7 +71,7 @@ import os
 import shutil
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -451,7 +451,11 @@ def _footer_stats(path: str, cols: list[str]) -> dict:
 
 
 def _land_files(
-    df: DataFrame, table_dir: str, snapshot_id: int, state: dict | None = None
+    df: DataFrame,
+    table_dir: str,
+    snapshot_id: int,
+    state: dict | None = None,
+    extra_stats_cols: tuple[str, ...] = (),
 ) -> tuple[list[str], dict]:
     """Write ``df`` to a staging dir, then move its part files into
     ``data/`` under unique deterministic names.  Files land before the
@@ -470,7 +474,10 @@ def _land_files(
     parts = sorted(
         f for f in os.listdir(staging) if f.endswith(".parquet") and not f.startswith(".")
     )
-    key_cols = (state or {}).get("key_cols") or []
+    key_cols = list((state or {}).get("key_cols") or [])
+    for c in extra_stats_cols:
+        if c not in key_cols:
+            key_cols.append(c)
     for i, part in enumerate(parts):
         name = f"snap{snapshot_id:06d}-{i:05d}.parquet"
         dest = os.path.join(data_dir, name)
@@ -1047,6 +1054,40 @@ def snapshot_changes(
     )
 
 
+def _zorder_key(loaded: DataFrame, cols: list[str]) -> Column:
+    """Morton (Z-order) sort key over ≥2 columns: each column is
+    range-normalized to a ``bits``-wide integer bucket (min/max from one
+    tiny agg over the rewrite input), then the buckets' bits are
+    round-robin interleaved — rows close in EVERY dimension land close on
+    the curve, so min/max file stats prune multi-dimensional predicates
+    instead of only the leading sort column (Delta OPTIMIZE ZORDER BY /
+    Iceberg z-ordered sort rewrite).  Timestamps participate as epoch
+    seconds; NULLs sort first (bucket 0)."""
+    n = len(cols)
+    bits = min(14, 62 // n)
+    longs = [
+        F.coalesce(F.col(c).cast("long"), F.lit(None)).alias(f"_zc{i}")
+        for i, c in enumerate(cols)
+    ]
+    row = loaded.select(*longs).agg(
+        *[F.min(f"_zc{i}").alias(f"mn{i}") for i in range(n)],
+        *[F.max(f"_zc{i}").alias(f"mx{i}") for i in range(n)],
+    ).collect()[0]
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        mn = row[f"mn{ci}"] or 0
+        mx = row[f"mx{ci}"] or 0
+        span = max(1, mx - mn + 1)
+        v = F.coalesce(F.col(c).cast("long"), F.lit(mn))
+        b = F.least(
+            F.lit((1 << bits) - 1),
+            F.floor((v - F.lit(mn)) * F.lit(1 << bits) / F.lit(span)),
+        ).cast("long")
+        for i in range(bits):
+            z = z + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + ci)
+    return z
+
+
 @_locked
 def rewrite_small_files(
     spark: SparkSession,
@@ -1054,6 +1095,7 @@ def rewrite_small_files(
     target_bytes: int = 128 * 1024 * 1024,
     min_input_files: int = 2,
     strategy: str = "binpack",
+    zorder_cols: list[str] | None = None,
 ) -> dict:
     """Bin-pack small data files into ~``target_bytes`` files (Iceberg's
     ``rewrite_data_files`` maintenance procedure) — the answer to the
@@ -1096,11 +1138,29 @@ def rewrite_small_files(
                 "(keyless sink tables: use strategy='binpack')"
             )
         packed = loaded.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
+    elif strategy == "zorder":
+        # multi-dimensional clustering: range-partition + sort on the Morton
+        # key so output files carry tight bounds in EVERY zorder column —
+        # their footer stats then prune predicates on any of them, not only
+        # the table key (stats for the zorder columns ride the manifest
+        # entries via extra_stats_cols below).  One shuffle, like sort.
+        if not zorder_cols or len(zorder_cols) < 2:
+            raise ValueError("zorder rewrite needs >= 2 zorder_cols")
+        zk = _zorder_key(loaded, zorder_cols)
+        packed = (
+            loaded.withColumn("_wqs_z", zk)
+            .repartitionByRange(n_out, "_wqs_z")
+            .sortWithinPartitions("_wqs_z")
+            .drop("_wqs_z")
+        )
     elif strategy == "binpack":
         packed = loaded.coalesce(n_out)
     else:
         raise ValueError(f"unknown rewrite strategy {strategy!r}")
-    new_files, fstats = _land_files(packed, table_dir, state["last_id"] + 1, state)
+    new_files, fstats = _land_files(
+        packed, table_dir, state["last_id"] + 1, state,
+        extra_stats_cols=tuple(zorder_cols or ()),
+    )
     summary = {
         "rewritten": len(small),
         "added": len(new_files),
