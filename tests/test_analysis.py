@@ -2232,3 +2232,31 @@ def test_ivfpq_finds_exact_duplicate_first(spark):
     assert [(r["vec_id"], r["adc_d2"]) for r in again] == [
         (r["vec_id"], r["adc_d2"]) for r in out
     ]
+
+
+def test_hard_negatives_picks_boundary_candidates(spark):
+    """Anchor vec 0 shares a cell with a same-label near-dup and a
+    different-label near-dup: the positive must be the same-label one, the
+    hard negative the different-label one, margin = cos difference; anchors
+    without both kinds of cell-mate yield no row."""
+    from wolf_quake_spark.analysis.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 1),   # anchor (vec_id % 10 == 0)
+        (1, [0.99, 0.1, 0.0, 0.0], 1),  # same-label near-dup -> positive
+        (2, [0.95, 0.2, 0.0, 0.0], 2),  # diff-label near-dup -> hard negative
+        (3, [0.9, 0.3, 0.0, 0.0], 1),   # same-label, farther
+        (10, [-1.0, 0.0, 0.0, 0.0], 1), # anchor in the opposite cluster
+        (11, [-0.98, 0.1, 0.0, 0.0], 1),# same-label mate only -> no row
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in hard_negatives(vecs, holdout_mod=10).collect()}
+    assert set(out) <= {0, 10}
+    assert 0 in out
+    r0 = out[0]
+    assert r0["pos_id"] == 1 and r0["neg_id"] == 2
+    assert r0["pos_cos"] > r0["neg_cos"] > 0.9
+    # margin is rounded from the UNROUNDED cosines, so compare loosely
+    assert abs(r0["margin"] - (r0["pos_cos"] - r0["neg_cos"])) < 1e-5
+    # anchor 10's cell has no different-label mate -> dropped (inner join)
+    assert 10 not in out

@@ -1513,3 +1513,88 @@ def ivfpq_search(
     )
     out._wqs_persisted = [q, asg, cents, subs_handle]
     return out
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    holdout_mod: int = 10,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-pair mining over the IVF cells: for every anchor
+    (``vec_id % holdout_mod == 0``) find, among the OTHER vectors in its
+    own k-means cell, the most-similar SAME-label vector (the positive)
+    and the most-similar DIFFERENT-label vector (the HARD negative) — the
+    per-anchor triplet (anchor, positive, hard negative) that trains
+    embedding models far better than random negatives (in-batch/random
+    negatives are trivially far; the hard ones sit right at the decision
+    boundary, and cell-mates are exactly the near-boundary candidates).
+
+    Cell-bounded like :func:`knn_classify` — the candidate join is
+    cent_id-keyed (Σ anchors_c × cand_c, never anchors × corpus), cosine
+    is exact quantized-integer, argmax ties break on lowest candidate id,
+    and anchors lacking a same-label or different-label cell-mate drop
+    (identically in both engines).  Returns one row per minable anchor:
+    (vec_id, label, pos_id, pos_cos, neg_id, neg_cos, margin)."""
+    from pyspark import StorageLevel
+
+    asg = kmeans_assign(embeddings, iters=iters, vec_col=vec_col)
+    q = asg._wqs_persisted
+    aq = (
+        asg.join(q, "vec_id")
+        .join(embeddings.select("vec_id", label_col), "vec_id")
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    is_anchor = F.col("vec_id") % holdout_mod == 0
+    pr = aq.filter(is_anchor).select(
+        F.col("vec_id").alias("pid"),
+        "cent_id",
+        F.col("qe").alias("pqe"),
+        F.col(label_col).alias("label"),
+    )
+    ca = aq.filter(~is_anchor).select(
+        F.col("vec_id").alias("cid"),
+        "cent_id",
+        F.col("qe").alias("cqe"),
+        F.col(label_col).alias("cand_label"),
+    )
+    np_, nc = _sqnorm(F.col("pqe")), _sqnorm(F.col("cqe"))
+    dot = _dot(F.col("pqe"), F.col("cqe"))
+    cos = F.when(
+        (np_ > 0) & (nc > 0),
+        dot.cast("double") / F.sqrt((np_ * nc).cast("double")),
+    ).otherwise(F.lit(0.0))
+    scored = pr.join(ca, "cent_id").select(
+        "pid", "label", "cid", "cand_label", cos.alias("cos")
+    )
+
+    def best(side: DataFrame, prefix: str) -> DataFrame:
+        # argmax cosine, lowest-cid tiebreak, via one ordered struct-max
+        return (
+            side.groupBy("pid", "label")
+            .agg(F.max(F.struct(F.col("cos"), (-F.col("cid")).alias("nid"))).alias("m"))
+            .select(
+                "pid",
+                "label",
+                (-F.col("m.nid")).alias(f"{prefix}_id"),
+                F.col("m.cos").alias(f"{prefix}_cos"),
+            )
+        )
+
+    pos = best(scored.filter(F.col("cand_label") == F.col("label")), "pos")
+    neg = best(scored.filter(F.col("cand_label") != F.col("label")), "neg")
+    out = (
+        pos.join(neg, ["pid", "label"])
+        .select(
+            F.col("pid").alias("vec_id"),
+            "label",
+            "pos_id",
+            F.round("pos_cos", 6).alias("pos_cos"),
+            "neg_id",
+            F.round("neg_cos", 6).alias("neg_cos"),
+            F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+        )
+    )
+    out._wqs_persisted = [q, aq]
+    return out

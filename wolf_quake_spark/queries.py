@@ -4709,6 +4709,60 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_classify(_read(spark, sf_dir, "embeddings"), k=5, holdout_mod=10)
 
 
+@register(
+    "hard_negative_pairs",
+    f"""
+    WITH asg AS (SELECT * FROM ({_kmeans_sql()}) t),
+    u AS (SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq, pos FROM (
+      SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS nn FROM u GROUP BY vec_id),
+    pr AS (SELECT vec_id, cent_id FROM asg WHERE vec_id % 10 = 0),
+    ca AS (SELECT vec_id, cent_id FROM asg WHERE vec_id % 10 <> 0),
+    dots AS (SELECT p.vec_id AS pid, c.vec_id AS cid,
+                    CAST(SUM(a.xq * b.xq) AS BIGINT) AS dot
+             FROM pr p JOIN ca c ON c.cent_id = p.cent_id
+             JOIN u a ON a.vec_id = p.vec_id
+             JOIN u b ON b.vec_id = c.vec_id AND b.pos = a.pos
+             GROUP BY p.vec_id, c.vec_id),
+    scored AS (SELECT d.pid, d.cid, lp.label, lc.label AS cand_label,
+                      CASE WHEN na.nn > 0 AND nb.nn > 0
+                           THEN CAST(d.dot AS DOUBLE)
+                                / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+                           ELSE 0.0 END AS cos
+               FROM dots d JOIN norms na ON na.vec_id = d.pid
+               JOIN norms nb ON nb.vec_id = d.cid
+               JOIN lab lp ON lp.vec_id = d.pid
+               JOIN lab lc ON lc.vec_id = d.cid),
+    pos AS (SELECT pid, label, cid AS pos_id, cos AS pos_cos FROM (
+              SELECT pid, label, cid, cos,
+                     ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cos DESC, cid) AS rn
+              FROM scored WHERE cand_label = label) WHERE rn = 1),
+    neg AS (SELECT pid, cid AS neg_id, cos AS neg_cos FROM (
+              SELECT pid, cid, cos,
+                     ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cos DESC, cid) AS rn
+              FROM scored WHERE cand_label <> label) WHERE rn = 1)
+    SELECT p.pid AS vec_id, p.label, p.pos_id, round(p.pos_cos, 6) AS pos_cos,
+           n.neg_id, round(n.neg_cos, 6) AS neg_cos,
+           round(p.pos_cos - n.neg_cos, 6) AS margin
+    FROM pos p JOIN neg n ON n.pid = p.pid
+    """,
+)
+def q_hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining through the IVF cells: per anchor (every
+    10th vector), the most-similar same-label cell-mate (positive) and the
+    most-similar different-label cell-mate (the HARD negative) with the
+    anchor's triplet margin — the training-pair prep step for embedding
+    models, where near-boundary negatives carry the gradient signal random
+    negatives lack.  Cell-keyed equi-join only (never anchor × corpus),
+    exact quantized cosine, lowest-cid tiebreaks; anchors without both a
+    positive and a negative cell-mate drop identically in both engines."""
+    from wolf_quake_spark.analysis.similarity import hard_negatives
+
+    return hard_negatives(_read(spark, sf_dir, "embeddings"), holdout_mod=10)
+
+
 @register("ivf_kmeans_search", _KMEANS_SEARCH_SQL)
 def q_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search over SEMANTIC cells: k-means assignment, nearest-centroid
