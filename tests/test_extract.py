@@ -271,3 +271,35 @@ def test_grok_parse_types_and_reject_flag(spark):
     assert rows[3]["uid"] == -2 and rows[3]["secs"] == 0.25
     assert not rows[2]["_grok_matched"] and rows[2]["uid"] is None
     assert rows[1]["_grok_matched"] and rows[3]["_grok_matched"]
+
+
+def test_assemble_multiline_folds_continuations(spark):
+    from wolf_quake_spark.operators.grok import assemble_multiline
+
+    rows = [
+        ("h1", 1, 0, "ERROR boom"),
+        ("h1", 1, 1, "  at frame_a"),
+        ("h1", 1, 2, "\tat frame_b"),
+        ("h1", 2, 0, "INFO fine"),
+        ("h1", 3, 0, "  orphan continuation"),  # wait: sorts after event 2
+        ("h2", 1, 0, "WARN solo"),
+    ]
+    df = spark.createDataFrame(rows, "host string, seq long, line_no long, line string")
+    out = {(r["host"], r["event_no"]): r for r in
+           assemble_multiline(df, "host", ["seq", "line_no"]).collect()}
+    # h1: ERROR + 2 continuations fold into event 1; INFO is event 2; the
+    # later orphan continuation attaches to the preceding INFO event
+    assert out[("h1", 1)]["n_lines"] == 3
+    assert out[("h1", 1)]["content"] == "ERROR boom\n  at frame_a\n\tat frame_b"
+    assert out[("h1", 2)]["n_lines"] == 2  # INFO + trailing orphan
+    assert out[("h2", 1)]["content"] == "WARN solo"
+
+
+def test_assemble_multiline_leading_orphan_groups_as_event_zero(spark):
+    from wolf_quake_spark.operators.grok import assemble_multiline
+
+    rows = [("h", 1, "  stray"), ("h", 2, "START ok"), ("h", 3, "  tail")]
+    df = spark.createDataFrame(rows, "host string, seq long, line string")
+    out = {r["event_no"]: r for r in assemble_multiline(df, "host", ["seq"]).collect()}
+    assert out[0]["content"] == "  stray"  # emitted, never dropped
+    assert out[1]["content"] == "START ok\n  tail"

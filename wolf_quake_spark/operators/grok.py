@@ -118,3 +118,55 @@ GROK_EVENTS_PATTERN = (
     "%{TIMESTAMP_ISO8601:log_ts} %{WORD:level} user=%{INT:uid}"
     " value_cents=%{INT:cents} %{GREEDYDATA:payload}"
 )
+
+
+def assemble_multiline(
+    lines: DataFrame,
+    partition_col: str,
+    order_cols: list[str],
+    line_col: str = "line",
+    continuation: str = r"^[ \t]",
+) -> DataFrame:
+    """Multiline log-event assembly (the Logstash/Filebeat ``multiline``
+    codec): fold continuation lines (default: starting with whitespace —
+    stack frames, wrapped payloads) into the preceding header line, so one
+    crash with a 40-frame trace becomes ONE event, not 41.
+
+    Same closed form as the pipeline's game sessionization
+    (operators/sessionize.py): a header flag prefix-summed over the
+    stable ``order_cols`` order within ``partition_col`` numbers the
+    events; one ordered struct-sort reassembles each event's lines.  ONE
+    partition-keyed exchange serves the window AND the aggregation — at
+    10^12 lines the partition key (conv/host/file) is what bounds sort
+    width, exactly like sessionization.  A continuation line with no
+    preceding header in its partition groups under event_no 0 (emitted,
+    never dropped — the reject-visibility rule).
+
+    Returns (partition_col, event_no, n_lines, first_* order cols,
+    content) with ``content`` the newline-rejoined event text.
+    """
+    from pyspark.sql import Window
+
+    is_start = (~F.col(line_col).rlike(continuation)).cast("long")
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = lines.select(
+        partition_col,
+        *order_cols,
+        line_col,
+        F.sum(is_start).over(w).alias("event_no"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(*order_cols, F.col(line_col).alias("_l")))
+    )
+    return (
+        numbered.groupBy(partition_col, "event_no")
+        .agg(
+            F.count("*").alias("n_lines"),
+            *[F.min(c).alias(f"first_{c}") for c in order_cols],
+            F.concat_ws("\n", F.transform(ordered, lambda s: s["_l"])).alias("content"),
+        )
+    )

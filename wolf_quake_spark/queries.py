@@ -970,6 +970,78 @@ def q_grok_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multiline_log_events",
+    """
+    WITH src AS (
+      SELECT event_id, user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') || ' ' || upper(event_type) AS hdr,
+             event_type
+      FROM events),
+    lines AS (
+      SELECT event_id, user_id, 0 AS line_no, hdr AS line FROM src
+      UNION ALL
+      SELECT event_id, user_id, 1,
+             '  at handler_' || CAST(event_id % 7 AS VARCHAR) FROM src
+      WHERE event_type = 'error'
+      UNION ALL
+      SELECT event_id, user_id, 2,
+             '  caused_by code_' || CAST(event_id % 13 AS VARCHAR) FROM src
+      WHERE event_type = 'error'),
+    numbered AS (
+      SELECT user_id, event_id, line_no, line,
+             SUM(CASE WHEN line LIKE ' %' OR line LIKE CHR(9) || '%'
+                      THEN 0 ELSE 1 END)
+               OVER (PARTITION BY user_id ORDER BY event_id, line_no
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS event_no
+      FROM lines)
+    SELECT user_id, CAST(event_no AS BIGINT) AS event_no,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           MIN(event_id) AS first_event_id,
+           md5(string_agg(line, CHR(10) ORDER BY event_id, line_no)) AS content_md5
+    FROM numbered GROUP BY user_id, event_no
+    """,
+)
+def q_multiline_log_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline codec (Logstash/Filebeat): deterministic synthetic stack
+    traces — every error event emits a header plus two indented frames —
+    are folded back into single events by the prefix-sum assembler
+    (operators/grok.assemble_multiline; same closed form as the game
+    sessionizer).  Content compared by md5 so the value hash pins the
+    REASSEMBLED text byte-for-byte, not just the counts."""
+    from wolf_quake_spark.operators.grok import assemble_multiline
+
+    ev = _read(spark, sf_dir, "events")
+    hdr = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.lit(" "), F.upper("event_type")
+    )
+    frames = F.when(
+        F.col("event_type") == "error",
+        F.array(
+            F.struct(F.lit(0).alias("line_no"), hdr.alias("line")),
+            F.struct(
+                F.lit(1).alias("line_no"),
+                F.concat(F.lit("  at handler_"), (F.col("event_id") % 7).cast("string")).alias("line"),
+            ),
+            F.struct(
+                F.lit(2).alias("line_no"),
+                F.concat(F.lit("  caused_by code_"), (F.col("event_id") % 13).cast("string")).alias("line"),
+            ),
+        ),
+    ).otherwise(F.array(F.struct(F.lit(0).alias("line_no"), hdr.alias("line"))))
+    lines = ev.select(
+        "event_id", "user_id", F.explode(frames).alias("e")
+    ).select("event_id", "user_id", F.col("e.line_no").alias("line_no"), F.col("e.line").alias("line"))
+    asm = assemble_multiline(lines, "user_id", ["event_id", "line_no"])
+    return asm.select(
+        "user_id",
+        F.col("event_no").cast("long").alias("event_no"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("first_event_id").alias("first_event_id"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+@register(
     "session_window_rollup",
     """
     WITH g AS (
