@@ -303,3 +303,20 @@ def test_assemble_multiline_leading_orphan_groups_as_event_zero(spark):
     out = {r["event_no"]: r for r in assemble_multiline(df, "host", ["seq"]).collect()}
     assert out[0]["content"] == "  stray"  # emitted, never dropped
     assert out[1]["content"] == "START ok\n  tail"
+
+
+def test_kv_extract_map_and_named_keys(spark):
+    from pyspark.sql import functions as F
+
+    from wolf_quake_spark.operators.grok import kv_extract
+
+    df = spark.createDataFrame(
+        [(1, "a=1 b=x c=2.5"), (2, "b=y newkey=surprise")], "id long, line string"
+    )
+    a, b = kv_extract(F.col("line"), keys=["a", "b"])
+    rows = {r["id"]: r for r in df.select("id", a, b).collect()}
+    assert rows[1]["a"] == "1" and rows[1]["b"] == "x"
+    assert rows[2]["a"] is None and rows[2]["b"] == "y"  # absent key -> NULL
+    # schema-free: the raw map sees keys no pattern anticipated
+    m = {r["id"]: r["m"] for r in df.select("id", kv_extract(F.col("line")).alias("m")).collect()}
+    assert m[2]["newkey"] == "surprise"

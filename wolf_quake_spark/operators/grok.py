@@ -170,3 +170,19 @@ def assemble_multiline(
             F.concat_ws("\n", F.transform(ordered, lambda s: s["_l"])).alias("content"),
         )
     )
+
+
+def kv_extract(
+    col: Column, pair_sep: str = " ", kv_sep: str = "=", keys: list[str] | None = None
+) -> Column | list[Column]:
+    """The Logstash ``kv`` filter: schema-free ``k=v`` pair extraction via
+    Spark's built-in ``str_to_map`` — no pattern to maintain, any new key a
+    producer adds is immediately queryable.  Returns the raw map Column,
+    or (with ``keys``) one typed-string Column per requested key — project
+    named keys when results feed a stable schema (map column iteration
+    order is engine-dependent, named projection is not).  Pure built-in
+    expression: whole-stage codegen, zero shuffle, no UDF."""
+    m = F.str_to_map(col, F.lit(pair_sep), F.lit(kv_sep))
+    if keys is None:
+        return m
+    return [F.element_at(m, k).alias(k) for k in keys]

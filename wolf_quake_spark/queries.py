@@ -970,6 +970,52 @@ def q_grok_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kv_parse_events",
+    """
+    WITH lines AS (
+      SELECT event_id,
+             'type=' || event_type || ' user=' || CAST(user_id AS VARCHAR)
+             || ' cents=' || CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)
+             || ' day=' || strftime(ts, '%Y-%m-%d') AS line
+      FROM events)
+    SELECT event_id,
+           regexp_extract(line, 'type=(\\S+)', 1) AS type,
+           TRY_CAST(regexp_extract(line, 'user=(\\S+)', 1) AS BIGINT) AS user,
+           TRY_CAST(regexp_extract(line, 'cents=(\\S+)', 1) AS BIGINT) AS cents,
+           regexp_extract(line, 'day=(\\S+)', 1) AS day
+    FROM lines
+    """,
+)
+def q_kv_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Logstash ``kv`` filter: schema-free key=value extraction via the
+    built-in ``str_to_map`` — no pattern to maintain; any key a producer
+    adds is immediately queryable.  Named keys are projected (map iteration
+    order is engine-dependent; named projection is not) and numerics
+    try_cast.  Pure codegen expression, zero shuffle.  The oracle extracts
+    the same pairs positionally with anchored regexes."""
+    from wolf_quake_spark.operators.grok import kv_extract
+
+    ev = _read(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("type="), F.col("event_type"),
+            F.lit(" user="), F.col("user_id").cast("string"),
+            F.lit(" cents="), F.round(F.col("value") * 100).cast("long").cast("string"),
+            F.lit(" day="), F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("line"),
+    )
+    t, u, c, d = kv_extract(F.col("line"), keys=["type", "user", "cents", "day"])
+    return lines.select(
+        "event_id",
+        t,
+        u.try_cast("long").alias("user"),
+        c.try_cast("long").alias("cents"),
+        d,
+    )
+
+
+@register(
     "multiline_log_events",
     """
     WITH src AS (
