@@ -107,7 +107,7 @@ def cosine_scores(
     qe = embeddings.select("vec_id", _quant(F.col(vec_col)).alias("_q"))
     dot = _dot(F.col("_q"), qcol)
     en = _dot(F.col("_q"), F.col("_q"))
-    cos = dot.cast("double") / F.sqrt((en * F.lit(qn)).cast("double"))
+    cos = dot.cast("double") / F.sqrt(en.cast("double") * F.lit(float(qn)))
     return qe.select(
         "vec_id", dot.alias("dot"), F.when(en > 0, cos).otherwise(F.lit(0.0)).alias("cosine")
     )
@@ -193,7 +193,7 @@ def mmr_topk(
     qe = embeddings.select("vec_id", _quant(F.col(vec_col)).alias("_q"))
     dot = _dot(F.col("_q"), qcol)
     en = _sqnorm(F.col("_q"))
-    cos = dot.cast("double") / F.sqrt((en * F.lit(qn)).cast("double"))
+    cos = dot.cast("double") / F.sqrt(en.cast("double") * F.lit(float(qn)))
     cands = (
         qe.select(
             "vec_id",
@@ -339,7 +339,7 @@ def neardup_pairs(
     na = F.col("a.nn")
     nb = F.col("b.nn")
     cos = F.when(
-        (na > 0) & (nb > 0), dot.cast("double") / F.sqrt((na * nb).cast("double"))
+        (na > 0) & (nb > 0), dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
     ).otherwise(F.lit(0.0))
     return (
         a.join(b, "bucket")
@@ -991,7 +991,7 @@ def srp_neardup_pairs(
     dot = _dot(F.col("a.qe"), F.col("b.qe"))
     na, nb = F.col("a.nn"), F.col("b.nn")
     cos = F.when(
-        (na > 0) & (nb > 0), dot.cast("double") / F.sqrt((na * nb).cast("double"))
+        (na > 0) & (nb > 0), dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
     ).otherwise(F.lit(0.0))
     out = (
         a.join(bb, ["band_id", "band_val"])
@@ -1049,7 +1049,7 @@ def semdedup_prune(
     b = j.alias("b")
     dot = _dot(F.col("a.qe"), F.col("b.qe"))
     na, nb = F.col("a.nn"), F.col("b.nn")
-    cos = dot.cast("double") / F.sqrt((na * nb).cast("double"))
+    cos = dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
     dominated = (
         a.join(b, F.col("a.cent_id") == F.col("b.cent_id"))
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
@@ -1154,7 +1154,7 @@ def knn_classify(
     dot = _dot(F.col("pqe"), F.col("cqe"))
     cos = F.when(
         (np_ > 0) & (nc > 0),
-        dot.cast("double") / F.sqrt((np_ * nc).cast("double")),
+        dot.cast("double") / F.sqrt(np_.cast("double") * nc.cast("double")),
     ).otherwise(F.lit(0.0))
     from pyspark.sql import Window
 
@@ -1563,7 +1563,7 @@ def hard_negatives(
     dot = _dot(F.col("pqe"), F.col("cqe"))
     cos = F.when(
         (np_ > 0) & (nc > 0),
-        dot.cast("double") / F.sqrt((np_ * nc).cast("double")),
+        dot.cast("double") / F.sqrt(np_.cast("double") * nc.cast("double")),
     ).otherwise(F.lit(0.0))
     scored = pr.join(ca, "cent_id").select(
         "pid", "label", "cid", "cand_label", cos.alias("cos")

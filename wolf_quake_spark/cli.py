@@ -275,6 +275,12 @@ def _cmd_snapshot(args: argparse.Namespace) -> None:
         for r in df.limit(args.limit).collect():
             print(json.dumps(r.asDict(), default=str))
     elif act == "rewrite":
+        zc = args.zorder_cols.split(",") if args.zorder_cols else None
+        if args.strategy == "zorder" and len(zc or []) < 2:
+            raise SystemExit(
+                "snapshot rewrite --strategy zorder needs --zorder-cols "
+                "with >= 2 comma-separated columns"
+            )
         print(
             json.dumps(
                 sn.rewrite_small_files(
@@ -282,7 +288,7 @@ def _cmd_snapshot(args: argparse.Namespace) -> None:
                     args.table,
                     target_bytes=args.target_mb * 1024 * 1024,
                     strategy=args.strategy,
-                    zorder_cols=args.zorder_cols.split(",") if args.zorder_cols else None,
+                    zorder_cols=zc,
                 )
             )
         )

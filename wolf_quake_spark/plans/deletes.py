@@ -128,13 +128,24 @@ def append_position_deletes(deletes: DataFrame, table_dir: str) -> int:
     applicability needed — the address names a specific physical file —
     but the commit still takes the next sequence number so the deletion-
     vector fold horizon (``dv_covers_seq``) can bound which files it
-    absorbed."""
+    absorbed.
+
+    An EMPTY delete set (idempotent / no-match ``delete_where``) commits
+    nothing: once any seq dir exists, every later read pays the
+    ``_metadata`` address projection plus an anti-join against it, so an
+    empty file would permanently tax the table for a no-op.  Returns the
+    committed seq, or the current ``last_seq`` unchanged when nothing was
+    written."""
     _recover(table_dir)
     state = _load(table_dir)
     seq = state["last_seq"] + 1
+    path = os.path.join(table_dir, "pos_deletes", f"seq={seq}")
     deletes.select("file_path", F.col("pos").cast("long")).distinct().write.mode(
         "errorifexists"
-    ).parquet(os.path.join(table_dir, "pos_deletes", f"seq={seq}"))
+    ).parquet(path)
+    if deletes.sparkSession.read.parquet(path).limit(1).count() == 0:
+        shutil.rmtree(path)
+        return state["last_seq"]
     state["last_seq"] = seq
     _dump(table_dir, state)
     return seq
@@ -149,14 +160,19 @@ def delete_where(spark: SparkSession, table_dir: str, condition) -> tuple[int, i
 
     The scan is the MoR view (already-dead rows are not re-deleted), so
     repeated identical calls are idempotent after the first: they find 0
-    matches and commit an empty delete file."""
+    matches and commit NOTHING (the returned seq is the unchanged
+    ``last_seq`` and n is 0) — an empty delete file would make every
+    later read pay the address projection + anti-join forever."""
     live = _mor_with_address(spark, table_dir)
     hits = live.where(condition).select(
         F.col("_wqs_fp").alias("file_path"), F.col("_wqs_pos").alias("pos")
     )
     # one table scan, not two: commit the delete file first, then count
     # the (tiny) committed parquet instead of re-running the MoR scan
+    before = _load(table_dir)["last_seq"]
     seq = append_position_deletes(hits, table_dir)
+    if seq == before:  # empty delete set: nothing committed
+        return seq, 0
     n = spark.read.parquet(
         os.path.join(table_dir, "pos_deletes", f"seq={seq}")
     ).count()

@@ -351,8 +351,17 @@ def read_evolving_pruned(
         spec_dir = os.path.join(out_dir, f"spec={sid}")
         if not os.path.isdir(spec_dir):
             continue
+        # honor the committed horizon: append_evolving bumps next_commit
+        # only AFTER the parquet + manifest land, so a crash between the
+        # write and the bump leaves a commit= dir that was never
+        # acknowledged (possibly torn, missing its MANIFEST).  Listing the
+        # directory alone would read it; gating on cid < next_commit keeps
+        # uncommitted dirs invisible, matching the journaled crash
+        # discipline of plans/deletes.py and plans/snapshots.py.
         commits = sorted(
-            d for d in os.listdir(spec_dir) if d.startswith("commit=")
+            d
+            for d in os.listdir(spec_dir)
+            if d.startswith("commit=") and int(d[7:]) < log["next_commit"]
         )
         spec = parse_spec(descr)
         sources = {p.source for p in spec}

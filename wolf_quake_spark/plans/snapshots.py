@@ -74,6 +74,7 @@ import time
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.types import StringType
 
 SNAP_LOG = "_snapshots.json"
 COMMIT_LOCK = "_commit.lock"
@@ -1062,11 +1063,51 @@ def _zorder_key(loaded: DataFrame, cols: list[str]) -> Column:
     the curve, so min/max file stats prune multi-dimensional predicates
     instead of only the leading sort column (Delta OPTIMIZE ZORDER BY /
     Iceberg z-ordered sort rewrite).  Timestamps participate as epoch
-    seconds; NULLs sort first (bucket 0)."""
+    seconds; string columns by their leading 7 bytes as a big-endian
+    integer (Iceberg's magnitude-preserving byte truncation — preserves
+    lexicographic locality, which a hash would destroy); NULLs sort
+    first (bucket 0)."""
     n = len(cols)
     bits = min(14, 62 // n)
+
+    str_cols = [
+        c for c in cols if isinstance(loaded.schema[c].dataType, StringType)
+    ]
+    # Shared-prefix strings (conv-00000001, conv-00000002, …) would all
+    # land in one bucket if the leading bytes were taken verbatim, so for
+    # each string column find the common prefix of its min/max (one tiny
+    # agg) and read the 7 bytes AFTER it — those are the discriminating
+    # bytes, and their big-endian value still orders lexicographically.
+    skip: dict[str, int] = {}
+    if str_cols:
+        mm = loaded.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in str_cols],
+            *[F.max(c).alias(f"mx_{c}") for c in str_cols],
+        ).collect()[0]
+        for c in str_cols:
+            lo = (mm[f"mn_{c}"] or "").encode()
+            hi = (mm[f"mx_{c}"] or "").encode()
+            p = 0
+            while p < min(len(lo), len(hi)) and lo[p] == hi[p]:
+                p += 1
+            skip[c] = p
+
+    def _as_long(c: str) -> Column:
+        if c in skip:
+            # 7 post-prefix bytes, right-zero-padded, as a big-endian
+            # non-negative long (< 2^56): ordering of the longs equals
+            # lexicographic byte ordering, so locality survives — a hash
+            # would destroy it
+            h = F.rpad(
+                F.hex(F.substring(F.col(c).cast("binary"), skip[c] + 1, 7)),
+                14,
+                "0",
+            )
+            return F.conv(h, 16, 10).cast("long")
+        return F.col(c).cast("long")
+
     longs = [
-        F.coalesce(F.col(c).cast("long"), F.lit(None)).alias(f"_zc{i}")
+        F.coalesce(_as_long(c), F.lit(None)).alias(f"_zc{i}")
         for i, c in enumerate(cols)
     ]
     row = loaded.select(*longs).agg(
@@ -1078,11 +1119,21 @@ def _zorder_key(loaded: DataFrame, cols: list[str]) -> Column:
         mn = row[f"mn{ci}"] or 0
         mx = row[f"mx{ci}"] or 0
         span = max(1, mx - mn + 1)
-        v = F.coalesce(F.col(c).cast("long"), F.lit(mn))
-        b = F.least(
-            F.lit((1 << bits) - 1),
-            F.floor((v - F.lit(mn)) * F.lit(1 << bits) / F.lit(span)),
-        ).cast("long")
+        v = F.coalesce(_as_long(c), F.lit(mn))
+        # scale in double: (v-mn)*(1<<bits) in long arithmetic overflows
+        # (and goes negative) once the column span exceeds ~2^49, which
+        # F.least alone would not catch — clamp both ends after flooring
+        b = F.greatest(
+            F.lit(0).cast("long"),
+            F.least(
+                F.lit((1 << bits) - 1).cast("long"),
+                F.floor(
+                    (v - F.lit(mn)).cast("double")
+                    * F.lit(float(1 << bits))
+                    / F.lit(float(span))
+                ).cast("long"),
+            ),
+        )
         for i in range(bits):
             z = z + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + ci)
     return z

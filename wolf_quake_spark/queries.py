@@ -5069,13 +5069,13 @@ def _mmr_sql(k: int = 8, pool: int = 20, lam: str = "0.7", mu: str = "0.3") -> s
              FROM u JOIN qv q USING (pos) GROUP BY u.vec_id),
     cands AS MATERIALIZED (SELECT vec_id, en,
                      CASE WHEN en > 0
-                          THEN CAST(dot AS DOUBLE) / sqrt(CAST(en * qn AS DOUBLE))
+                          THEN CAST(dot AS DOUBLE) / sqrt(CAST(en AS DOUBLE) * CAST(qn AS DOUBLE))
                           ELSE 0.0 END AS rel
               FROM rel0, qq ORDER BY rel DESC, vec_id LIMIT {pool}),
     sims AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb,
                     CASE WHEN a.en > 0 AND b.en > 0
                          THEN CAST(SUM(ua.xq * ub.xq) AS BIGINT)
-                              / sqrt(CAST(a.en * b.en AS DOUBLE))
+                              / sqrt(CAST(a.en AS DOUBLE) * CAST(b.en AS DOUBLE))
                          ELSE 0.0 END AS s
              FROM cands a JOIN cands b ON a.vec_id <> b.vec_id
              JOIN u ua ON ua.vec_id = a.vec_id
@@ -5390,7 +5390,7 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN norms na ON na.vec_id = pd.va
             JOIN norms nb ON nb.vec_id = pd.vb
             WHERE na.nn > 0 AND nb.nn > 0
-              AND CAST(pd.dot AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) >= 0.3)
+              AND CAST(pd.dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) >= 0.3)
     SELECT asg.vec_id, asg.cent_id, (dom.vec_id IS NULL) AS is_kept
     FROM asg LEFT JOIN dom USING (vec_id)
     """,
@@ -5493,7 +5493,7 @@ def _srp_derived_sql() -> str:
       GROUP BY p.vec_a, p.vec_b)
     SELECT d.vec_a, d.vec_b,
            CASE WHEN na.nn > 0 AND nb.nn > 0
-                THEN CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE))
+                THEN CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
                 ELSE 0.0 END AS cosine
     FROM pdots d
     JOIN norms na ON na.vec_id = d.vec_a
@@ -6266,7 +6266,7 @@ def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY p.vec_a, p.vec_b)
     SELECT d.vec_a, d.vec_b,
            CASE WHEN na.nn > 0 AND nb.nn > 0
-                THEN CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE))
+                THEN CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
                 ELSE 0.0 END AS cosine
     FROM dots d
     JOIN norms na ON na.vec_id = d.vec_a
