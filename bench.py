@@ -187,6 +187,50 @@ def run_snapshot_ingest(spark, path: str) -> dict:
     }
 
 
+def run_ann_index_split(spark) -> dict:
+    """Train-vs-search split for the materialized IVFADC index: build ONCE
+    into a scratch dir, then time the search and ingest-encode hot paths
+    at a fixed trained index — the regression-visible numbers a deployment
+    cares about (the registry's ivfpq_* rows deliberately retrain per call
+    for oracle independence, which makes their timings ~80% training)."""
+    import tempfile
+
+    from wolf_quake_spark.analysis.ann_index import (
+        ivfpq_build_index,
+        ivfpq_index_encode,
+        ivfpq_index_search,
+    )
+    from wolf_quake_spark.queries import _query_vec
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    qv = _query_vec(spark, SF_DIR)
+    idx = tempfile.mkdtemp(prefix="wqs_bench_ivfpq_")
+    t0 = time.monotonic()
+    rep = ivfpq_build_index(emb, idx)
+    build_secs = time.monotonic() - t0
+
+    search_trials = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        ivfpq_index_search(spark, idx, qv, n_probes=3, k=10).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        search_trials.append(time.monotonic() - t0)
+    t0 = time.monotonic()
+    ivfpq_index_encode(spark, idx, emb).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    encode_secs = time.monotonic() - t0
+    return {
+        "build_secs": round(build_secs, 3),
+        "search_secs": round(min(search_trials), 3),
+        "search_trials": [round(t, 3) for t in search_trials],
+        "encode_secs": round(encode_secs, 3),
+        "n_cells": rep["n_cells"],
+        "n_vecs": rep["n"],
+    }
+
+
 def main() -> None:
     from wolf_quake_spark.session import build_session
 
@@ -216,6 +260,10 @@ def main() -> None:
     snap_ingest = None
     if os.environ.get("WQS_BENCH_SNAPSHOT", "1") != "0":
         snap_ingest = run_snapshot_ingest(spark, path)
+
+    ann_split = None
+    if os.environ.get("WQS_BENCH_ANN", "1") != "0":
+        ann_split = run_ann_index_split(spark)
 
     import __spark_entry__ as entry_mod
 
@@ -253,7 +301,14 @@ def main() -> None:
         sum(qtimes.values())
         + sum(p["secs"] for p in pipeline.values())
         + (stateful["secs"] if stateful is not None else 0.0)
-        + (snap_ingest["secs"] if snap_ingest is not None else 0.0),
+        + (snap_ingest["secs"] if snap_ingest is not None else 0.0)
+        + (
+            ann_split["build_secs"]
+            + ann_split["search_secs"]
+            + ann_split["encode_secs"]
+            if ann_split is not None
+            else 0.0
+        ),
         3,
     )
     out = {
@@ -272,6 +327,11 @@ def main() -> None:
     if snap_ingest is not None:
         out["snapshot_ingest"] = snap_ingest
         out["queries"]["pipeline_snapshot_ingest"] = snap_ingest["secs"]
+    if ann_split is not None:
+        out["ann_index"] = ann_split
+        out["queries"]["ivfpq_index_build"] = ann_split["build_secs"]
+        out["queries"]["ivfpq_search_only"] = ann_split["search_secs"]
+        out["queries"]["ivfpq_encode_only"] = ann_split["encode_secs"]
     # full machine-readable sidecar: the driver's BENCH_r record truncates
     # the JSON tail, losing half the per-query table — persist the complete
     # dict so round-over-round diffs always have every query

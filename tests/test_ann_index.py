@@ -1,0 +1,202 @@
+"""Materialized IVFADC index (analysis/ann_index): build/search/ingest
+split over the hidden-partitioned table layer.
+
+Pins the three contracts the module exists for:
+
+* search through the WRITTEN index is bit-identical to the inline
+  ``similarity.ivfpq_search`` (same trained structures, same exact-integer
+  ADC), while the scan READS only the probed cells' partitions (manifest
+  report + ``cent_id IN`` pushed into the FileScan, no vec_id join);
+* encoding vectors against the FROZEN structures reproduces their stored
+  codes exactly (the parity that makes incremental ingest trustworthy);
+* append touches O(added) manifest entries and the appended rows are
+  searchable.
+
+Also covers the two table-layer primitives added for the index:
+``pruned_read_points`` (IN-list pruning) and
+``append_hidden_partitioned`` (manifest merge).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wolf_quake_spark.analysis.ann_index import (
+    INDEX_META,
+    ivfpq_build_index,
+    ivfpq_index_append,
+    ivfpq_index_encode,
+    ivfpq_index_search,
+)
+from wolf_quake_spark.analysis.similarity import ivfpq_search
+from wolf_quake_spark.plans.partition_transforms import (
+    MANIFEST,
+    PartitionSpec,
+    append_hidden_partitioned,
+    pruned_read_points,
+    write_hidden_partitioned,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def qvec(spark):
+    from wolf_quake_spark.queries import _query_vec
+
+    return _query_vec(spark, SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, emb, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ivfpq_index"))
+    rep = ivfpq_build_index(emb, d)
+    assert rep["codes_partitions"] == rep["n_cells"] > 1
+    return d
+
+
+def test_index_search_bit_identical_to_inline(spark, emb, qvec, index_dir):
+    ref = [
+        (r["vec_id"], r["adc_d2"])
+        for r in ivfpq_search(emb, qvec, n_probes=3, k=10).collect()
+    ]
+    out = ivfpq_index_search(spark, index_dir, qvec, n_probes=3, k=10)
+    got = [(r["vec_id"], r["adc_d2"]) for r in out.collect()]
+    assert got == ref
+    # pruning evidence: exactly the probed cells were read
+    rep = out._wqs_scan_report
+    assert rep["partitions_read"] == 3
+    assert rep["partitions_read"] < rep["partitions_total"]
+    assert rep["rows_in_read_partitions"] < emb.count() * 4  # m=4 codes/vec
+
+
+def test_index_search_plan_has_no_vecid_join(spark, qvec, index_dir):
+    plan = (
+        ivfpq_index_search(spark, index_dir, qvec, n_probes=3, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    # the probe set is a pushed-down IN predicate on the codes scan
+    assert "cent_id" in plan and " IN " in plan
+    # one broadcast LUT join; the only non-broadcast exchange is the final
+    # per-candidate aggregation over the pruned rows
+    assert plan.count("BroadcastHashJoin") == 1
+    non_broadcast = plan.count("Exchange hashpartitioning")
+    assert non_broadcast == 1
+
+
+def test_encode_parity_with_stored_codes(spark, emb, index_dir):
+    enc = ivfpq_index_encode(spark, index_dir, emb)
+    stored = spark.read.parquet(os.path.join(index_dir, "codes")).select(
+        "vec_id", "cent_id", "sub_id", "code_id"
+    )
+    assert enc.count() == stored.count()
+    assert enc.exceptAll(stored).count() == 0
+    assert stored.exceptAll(enc).count() == 0
+
+
+def test_incremental_append_searchable_and_o_added(spark, emb, qvec, tmp_path):
+    d = str(tmp_path / "idx")
+    old = emb.filter(F.col("vec_id") % 7 != 0)
+    new = emb.filter(F.col("vec_id") % 7 == 0)
+    ivfpq_build_index(old, d)
+    with open(os.path.join(d, "codes", MANIFEST)) as fh:
+        before = json.load(fh)
+    rep = ivfpq_index_append(spark, d, new)
+    assert rep["n"] == emb.count()
+    with open(os.path.join(d, "codes", MANIFEST)) as fh:
+        after = json.load(fh)
+    # manifest merge, not rewrite: same cells (identity spec; new vectors
+    # can only land in existing non-empty cells), row counts grew by the
+    # appended codes
+    assert len(after["partitions"]) == len(before["partitions"])
+    n_before = sum(p["n_rows"] for p in before["partitions"])
+    n_after = sum(p["n_rows"] for p in after["partitions"])
+    assert n_after - n_before == new.count() * 4  # m=4
+    # appended rows are searchable: every new vec_id's codes are readable
+    # through the pruned path of its own cell
+    codes = spark.read.parquet(os.path.join(d, "codes"))
+    assert codes.count() == n_after
+    out = ivfpq_index_search(spark, d, qvec, n_probes=3, k=10)
+    assert out.count() == 10
+    # search after append still reads only the probed cells
+    assert out._wqs_scan_report["partitions_read"] == 3
+
+
+def test_append_meta_updated(spark, emb, tmp_path):
+    d = str(tmp_path / "idx2")
+    ivfpq_build_index(emb.filter(F.col("vec_id") < 400), d)
+    with open(os.path.join(d, INDEX_META)) as fh:
+        assert json.load(fh)["n"] == 400
+    ivfpq_index_append(spark, d, emb.filter(F.col("vec_id") >= 400))
+    with open(os.path.join(d, INDEX_META)) as fh:
+        assert json.load(fh)["n"] == emb.count()
+
+
+# --- table-layer primitives -------------------------------------------------
+
+
+@pytest.fixture()
+def keyed_table(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, i % 5, f"v{i}") for i in range(100)], "id long, cell int, v string"
+    )
+    d = str(tmp_path / "tbl")
+    write_hidden_partitioned(
+        df, d, [PartitionSpec("cellp", "cell", F.col("cell"))]
+    )
+    return d
+
+
+def test_pruned_read_points_exact(spark, keyed_table):
+    df, rep = pruned_read_points(spark, keyed_table, "cell", [1, 3])
+    assert rep["partitions_total"] == 5
+    assert rep["partitions_read"] == 2
+    got = sorted(r["id"] for r in df.collect())
+    assert got == sorted(i for i in range(100) if i % 5 in (1, 3))
+
+
+def test_pruned_read_points_empty(spark, keyed_table):
+    df, rep = pruned_read_points(spark, keyed_table, "cell", [99])
+    assert rep["partitions_read"] == 0
+    assert df.count() == 0
+
+
+def test_append_hidden_partitioned_merges_stats(spark, tmp_path):
+    spec = lambda: [PartitionSpec("cellp", "cell", F.col("cell"))]  # noqa: E731
+    d = str(tmp_path / "tbl2")
+    base = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, cell int"
+    )
+    write_hidden_partitioned(base, d, spec())
+    extra = spark.createDataFrame(
+        [(i, i % 4) for i in range(100, 140)], "id long, cell int"
+    )
+    man = append_hidden_partitioned(extra, d, spec())
+    # cell 3 is new (only i%4==3 rows), cells 0-2 merged
+    assert len(man["partitions"]) == 4
+    assert sum(p["n_rows"] for p in man["partitions"]) == 70
+    # read back: counts per cell equal the union's
+    df = spark.read.parquet(d)
+    got = {r["cell"]: r["n"] for r in df.groupBy("cell").count().withColumnRenamed("count", "n").collect()}
+    want = {}
+    for i in range(30):
+        want[i % 3] = want.get(i % 3, 0) + 1
+    for i in range(100, 140):
+        want[i % 4] = want.get(i % 4, 0) + 1
+    assert got == want
+    # point read on the merged manifest
+    sub, rep = pruned_read_points(spark, d, "cell", [3])
+    assert rep["partitions_read"] == 1
+    assert sub.count() == want[3]

@@ -1,0 +1,344 @@
+"""Materialized IVFADC index over the hidden-partitioned table layer.
+
+:mod:`wolf_quake_spark.analysis.similarity` implements IVFADC (Jegou et
+al., TPAMI'11 SS5) as a single self-contained query — it retrains both
+quantizers on every call, and its search stage must join the PQ codes
+back to the cell assignment on ``vec_id`` before the probe filter can
+prune anything: a full-corpus shuffle per query, the exact cost IVF
+exists to avoid.  A real deployment trains ONCE and searches millions of
+times; this module is that split:
+
+* :func:`ivfpq_build_index` — train coarse k-means + residual PQ with the
+  SAME deterministic recipe as ``ivfpq_search`` (so results stay
+  bit-identical and oracle-checkable), then write
+
+  - ``codes/``      (vec_id, cent_id, sub_id, code_id), hidden-partitioned
+                    by identity(cent_id) via
+                    :func:`plans.partition_transforms.write_hidden_partitioned`
+                    — ``cent_id`` is joined in ONCE here, at build time;
+  - ``centroids/``  (cent_id, cvec), ~sqrt(n) rows;
+  - ``codebook/``   (sub_id, code_id, cvec), m x ks rows;
+  - ``_ivfpq_index.json``  m / w / ks / dim / n / iters.
+
+* :func:`ivfpq_index_search` — probe selection against the tiny centroid
+  table, then :func:`pruned_read_points` reads ONLY the probed cells'
+  partition directories (manifest-driven, n_probes dirs of k_cells
+  total), broadcast ADC lookup-table join, one bounded top-k.  No
+  ``vec_id`` exchange anywhere: the only shuffle left is the final
+  per-candidate aggregation over the pruned ~n*n_probes/k_cells rows.
+
+* :func:`ivfpq_encode` / :func:`ivfpq_index_append` — assign NEW vectors
+  to the FROZEN cells and codebooks (no retraining) and append their
+  codes with O(added) manifest work — the daily ingestion operation of a
+  100 TB deployment.  Encoding unchanged vectors under the frozen
+  structures reproduces their stored codes exactly (parity-tested).
+
+Reference parity: wolf_quake has no ANN surface (reference/src/main.rs
+parses one log); this is beyond-reference scope from the training-data
+brief, matching FAISS's IndexIVFPQ build/search/add split re-expressed as
+Spark DataFrame plans over a pruned table layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from wolf_quake_spark.analysis.similarity import (
+    PQ_M,
+    SCALE,
+    _l2,
+    _member_centroids,
+    _pq_core,
+    _quant,
+    derived_ks,
+    kmeans_assign,
+)
+from wolf_quake_spark.plans.partition_transforms import (
+    PartitionSpec,
+    append_hidden_partitioned,
+    pruned_read_points,
+    write_hidden_partitioned,
+)
+
+INDEX_META = "_ivfpq_index.json"
+
+
+def _codes_spec() -> list[PartitionSpec]:
+    # built lazily: Column construction needs an active SparkContext
+    return [PartitionSpec("cell", "cent_id", F.col("cent_id"))]
+
+
+def _dirs(index_dir: str) -> tuple[str, str, str, str]:
+    return (
+        os.path.join(index_dir, "codes"),
+        os.path.join(index_dir, "centroids"),
+        os.path.join(index_dir, "codebook"),
+        os.path.join(index_dir, "assign_centroids"),
+    )
+
+
+def ivfpq_build_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    m: int = PQ_M,
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> dict:
+    """Train and materialize the IVFADC index (see module docstring).
+
+    Identical training recipe to ``similarity.ivfpq_search`` steps 1-2
+    (k-means cells -> member-mean centroids -> residual PQ), so a search
+    over the written index returns the same top-k bit for bit.  The codes
+    are stored WITH their cell id — the one build-time ``vec_id`` join
+    that every subsequent search no longer pays — and partitioned by it,
+    so a probe set becomes partition pruning instead of a filter over a
+    full scan.  Returns a small build report."""
+    from pyspark import StorageLevel
+
+    asg = kmeans_assign(embeddings, iters=iters, vec_col=vec_col)
+    q = asg._wqs_persisted  # (vec_id, qe) DISK_ONLY
+    kmeans_lloyd_cents = asg._wqs_centroids  # k driver rows
+    asg = asg.persist(StorageLevel.DISK_ONLY)
+    cents = _member_centroids(q, asg).persist(StorageLevel.DISK_ONLY)
+
+    n = q.count()
+    dim = len(q.select("qe").first()["qe"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    w = dim // m
+    ks = derived_ks(n)
+
+    resid = (
+        q.join(asg, "vec_id")
+        .join(broadcast(cents), "cent_id")
+        .select("vec_id", F.zip_with("qe", "cvec", lambda x, y: x - y).alias("qe"))
+    )
+    codes, cb = _pq_core(resid, m, iters, ks, w)
+    subs_handle = codes._wqs_persisted
+
+    codes_dir, cents_dir, cb_dir, lloyd_dir = _dirs(index_dir)
+    # THE amortized join: codes pick up cent_id once, here — searches
+    # never see a vec_id exchange again
+    stored = codes.join(asg, "vec_id").select(
+        "vec_id", "cent_id", "sub_id", "code_id"
+    )
+    manifest = write_hidden_partitioned(stored, codes_dir, _codes_spec())
+    cents.write.mode("overwrite").parquet(cents_dir)
+    cb.write.mode("overwrite").parquet(cb_dir)
+    # the final Lloyd centroids, restricted to NON-EMPTY cells (an empty
+    # cell has no member-mean centroid to take residuals against, and the
+    # build never assigned anything there): ingest-time cell assignment
+    # runs the exact argmin the build ran, keeping encode/stored parity
+    lloyd = kmeans_lloyd_cents.join(
+        broadcast(asg.select("cent_id").distinct()), "cent_id", "left_semi"
+    )
+    lloyd.write.mode("overwrite").parquet(lloyd_dir)
+
+    n_cells = len(manifest["partitions"])
+    meta = {
+        "m": m,
+        "w": w,
+        "ks": ks,
+        "dim": dim,
+        "n": n,
+        "iters": iters,
+        "n_cells": n_cells,
+    }
+    with open(os.path.join(index_dir, INDEX_META), "w") as fh:
+        json.dump(meta, fh, indent=1, sort_keys=True)
+
+    for h in (q, asg, cents, subs_handle):
+        if h is not None:
+            h.unpersist()
+    return {**meta, "codes_partitions": n_cells}
+
+
+def _load_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, INDEX_META)) as fh:
+        return json.load(fh)
+
+
+def ivfpq_index_search(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    n_probes: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k against a MATERIALIZED index: probe the ``n_probes``
+    nearest cells (one tiny scan of the ~sqrt(n)-row centroid table),
+    read ONLY those cells' code partitions via manifest pruning, score by
+    a broadcast per-cell lookup table, take the top k.  Bit-identical to
+    ``similarity.ivfpq_search`` over the same corpus (same trained
+    structures, same exact-integer ADC math, same tiebreaks), but the
+    scan cost is ``n * n_probes / k_cells`` code rows READ (not filtered)
+    and there is no codes-to-assignment join at all.
+
+    Attach the pruning evidence via ``df._wqs_scan_report``."""
+    meta = _load_meta(index_dir)
+    m, w = meta["m"], meta["w"]
+    codes_dir, cents_dir, cb_dir, _ = _dirs(index_dir)
+
+    qlit = F.array(
+        *[F.lit(int(round(x * SCALE))).cast("long") for x in query_vec]
+    )
+    cents = spark.read.parquet(cents_dir)
+    # probe selection: k_cells rows -> n_probes ids; metadata-scale collect
+    # (the same driver-side footprint as Iceberg scan planning)
+    probe_rows = (
+        cents.select("cent_id", "cvec", _l2(F.col("cvec"), qlit).alias("d"))
+        .orderBy("d", "cent_id")
+        .limit(n_probes)
+        .collect()
+    )
+    probe_ids = [r["cent_id"] for r in probe_rows]
+    probes = spark.createDataFrame(
+        [(r["cent_id"], r["cvec"]) for r in probe_rows],
+        "cent_id int, cellvec array<long>",
+    )
+
+    codes, report = pruned_read_points(spark, codes_dir, "cent_id", probe_ids)
+
+    # per-cell ADC lookup table: n_probes x m x ks rows, broadcast-sized
+    cbv = spark.read.parquet(cb_dir).select(
+        "sub_id", "code_id", F.col("cvec").alias("codeword")
+    )
+    sub_q = F.slice(qlit, F.col("sub_id") * w + 1, w)
+    sub_c = F.slice(F.col("cellvec"), F.col("sub_id") * w + 1, w)
+    lut = probes.crossJoin(broadcast(cbv)).select(
+        "cent_id",
+        "sub_id",
+        "code_id",
+        _l2(
+            F.col("codeword"), F.zip_with(sub_q, sub_c, lambda x, y: x - y)
+        ).alias("pd2"),
+    )
+    out = (
+        codes.join(broadcast(lut), ["cent_id", "sub_id", "code_id"])
+        .groupBy("vec_id")
+        .agg(F.sum("pd2").cast("long").alias("adc_d2"))
+        .orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+        .limit(k)
+    )
+    out._wqs_scan_report = report
+    return out
+
+
+def ivfpq_encode(
+    new_embeddings: DataFrame,
+    assign_cents: DataFrame,
+    mean_cents: DataFrame,
+    cb: DataFrame,
+    m: int,
+    w: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against FROZEN index structures — no retraining.
+
+    Runs the exact two argmins the BUILD ran: the cell is the nearest
+    final Lloyd centroid (``assign_cents`` — the argmin ``kmeans_assign``
+    finished with; nearest member-mean disagrees on boundary vectors),
+    the residual is against the assigned cell's MEMBER-MEAN centroid
+    (``mean_cents`` — what the search LUT subtracts), and each subspace
+    takes the nearest frozen codeword.  Integer L2^2 everywhere, ties to
+    the lowest id, so the DuckDB oracle reproduces every code and
+    re-encoding unchanged vectors reproduces their stored codes exactly
+    (parity-tested).  Two broadcast joins + two bounded argmin aggs over
+    n*m narrow rows.  Returns (vec_id, cent_id, sub_id, code_id)."""
+    qn = new_embeddings.select("vec_id", _quant(F.col(vec_col)).alias("qe"))
+    scored = qn.crossJoin(broadcast(assign_cents)).select(
+        "vec_id",
+        "qe",
+        "cent_id",
+        _l2(F.col("qe"), F.col("cvec")).alias("dist"),
+    )
+    asg = (
+        scored.groupBy("vec_id", "qe")
+        .agg(F.min(F.struct("dist", "cent_id")).alias("b"))
+        .select("vec_id", "qe", F.col("b.cent_id").alias("cent_id"))
+    )
+    best = asg.join(broadcast(mean_cents), "cent_id").select(
+        "vec_id",
+        "cent_id",
+        F.zip_with("qe", "cvec", lambda x, y: x - y).alias("rq"),
+    )
+    subs = best.select(
+        "vec_id",
+        "cent_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("sub_id"),
+                    F.slice("rq", s * F.lit(w) + 1, w).alias("svec"),
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        "vec_id",
+        "cent_id",
+        F.col("e.sub_id").alias("sub_id"),
+        F.col("e.svec").alias("svec"),
+    )
+    cbv = cb.select("sub_id", "code_id", F.col("cvec").alias("codeword"))
+    return (
+        subs.join(broadcast(cbv), "sub_id")
+        .select(
+            "vec_id",
+            "cent_id",
+            "sub_id",
+            "code_id",
+            _l2(F.col("svec"), F.col("codeword")).alias("dist"),
+        )
+        .groupBy("vec_id", "cent_id", "sub_id")
+        .agg(F.min(F.struct("dist", "code_id")).alias("mn"))
+        .select("vec_id", "cent_id", "sub_id", F.col("mn.code_id").alias("code_id"))
+    )
+
+
+def ivfpq_index_encode(
+    spark: SparkSession,
+    index_dir: str,
+    new_embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivfpq_encode` with the frozen structures read from a
+    materialized index directory."""
+    meta = _load_meta(index_dir)
+    _, cents_dir, cb_dir, lloyd_dir = _dirs(index_dir)
+    return ivfpq_encode(
+        new_embeddings,
+        spark.read.parquet(lloyd_dir),
+        spark.read.parquet(cents_dir),
+        spark.read.parquet(cb_dir),
+        meta["m"],
+        meta["w"],
+        vec_col=vec_col,
+    )
+
+
+def ivfpq_index_append(
+    spark: SparkSession,
+    index_dir: str,
+    new_embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> dict:
+    """Ingest new vectors into the materialized index: encode against the
+    frozen structures and append their codes with O(added) manifest work
+    (:func:`append_hidden_partitioned` widens only the touched cells'
+    stats).  The index never retrains on ingest — recall drift is measured
+    separately (``ivfpq_recall_at_k``) and answered with a rebuild, the
+    FAISS add/retrain split."""
+    codes_dir, _, _, _ = _dirs(index_dir)
+    encoded = ivfpq_index_encode(spark, index_dir, new_embeddings, vec_col=vec_col)
+    manifest = append_hidden_partitioned(encoded, codes_dir, _codes_spec())
+    meta = _load_meta(index_dir)
+    meta["n"] = int(meta["n"]) + new_embeddings.count()
+    with open(os.path.join(index_dir, INDEX_META), "w") as fh:
+        json.dump(meta, fh, indent=1, sort_keys=True)
+    return {"appended_cells_touched": len(manifest["partitions"]), **meta}

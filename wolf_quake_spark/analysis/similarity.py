@@ -579,6 +579,11 @@ def kmeans_assign(
 
     out = assign(cents).select("vec_id", "cent_id")
     out._wqs_persisted = q
+    # the final Lloyd centroid frame (k driver rows): the materialized
+    # IVFADC index stores it so NEW vectors can be assigned with the very
+    # same argmin the build ran — nearest member-mean disagrees on
+    # boundary vectors, which would break encode/stored-code parity
+    out._wqs_centroids = cents
     return out
 
 

@@ -247,6 +247,116 @@ def pruned_read(
     return df, report
 
 
+def pruned_read_points(
+    spark: SparkSession,
+    out_dir: str,
+    source_col: str,
+    values: list,
+) -> tuple[DataFrame, dict]:
+    """IN-list pruned scan (Iceberg scan planning with an IN predicate):
+    keep only the partition directories whose manifest min/max stats of
+    ``source_col`` can contain at least one of ``values``, then re-apply
+    the exact ``isin`` predicate as the residual filter.  With an identity
+    partition spec on ``source_col`` every kept directory IS one requested
+    value — the point-lookup shape an IVF probe set or a tenant-id fetch
+    wants: ``len(values)`` directories read out of the whole table."""
+    with open(os.path.join(out_dir, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    spec_row = next(s for s in manifest["spec"] if s["source"] == source_col)
+    is_num = bool(spec_row.get("numeric", False))
+
+    def key(v):
+        return float(v) if is_num else str(v)
+
+    vkeys = sorted(key(v) for v in values)
+    keep = []
+    for part in manifest["partitions"]:
+        mn, mx = part["stats"][source_col]
+        if mn is None or mx is None:
+            keep.append(part)  # all-NULL partition: stats can't exclude it
+        elif any(key(mn) <= vk <= key(mx) for vk in vkeys):
+            keep.append(part)
+    report = {
+        "partitions_total": len(manifest["partitions"]),
+        "partitions_read": len(keep),
+        "rows_in_read_partitions": sum(p["n_rows"] for p in keep),
+    }
+    if not keep:
+        empty = spark.read.parquet(out_dir).limit(0)
+        return empty, report
+    part_cols = [p["name"] for p in manifest["spec"]]
+    paths = [_part_dir(out_dir, p["values"], part_cols) for p in keep]
+    raw = spark.read.option("basePath", out_dir).parquet(*paths)
+    dtype = raw.schema[source_col].dataType
+    df = raw.where(
+        F.col(source_col).isin(*[F.lit(v).cast(dtype) for v in values])
+    )
+    return df, report
+
+
+def append_hidden_partitioned(
+    df: DataFrame, out_dir: str, spec: list[PartitionSpec]
+) -> dict:
+    """Append to an existing hidden-partitioned table with O(added)
+    metadata work: the new rows are written with ``mode("append")`` and
+    only THEIR partition stats are aggregated, then merged into the
+    existing manifest (min/max widen, n_rows add, new partitions insert) —
+    the Iceberg commit discipline (per-snapshot manifests, never a full
+    re-stat of the table).  Returns the merged manifest."""
+    with open(os.path.join(out_dir, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    derived = df
+    for p in spec:
+        derived = derived.withColumn(p.name, p.expr)
+    part_cols = [p.name for p in spec]
+    derived.write.mode("append").partitionBy(*part_cols).parquet(out_dir)
+
+    aggs = [F.count("*").alias("n_rows")]
+    for p in spec:
+        aggs.append(F.min(p.source).cast("string").alias(f"min_{p.source}"))
+        aggs.append(F.max(p.source).cast("string").alias(f"max_{p.source}"))
+    stats = derived.groupBy(*part_cols).agg(*aggs).collect()
+    numeric = {s["source"]: bool(s.get("numeric", False)) for s in manifest["spec"]}
+
+    def _widen(old: str | None, new: str | None, src: str, take_min: bool):
+        if old is None or new is None:
+            # a NULL bound means the side is unknown/all-NULL — widening
+            # with unknown stays unknown (never unsound, only under-pruning)
+            return None
+        ks = (lambda v: float(v)) if numeric[src] else (lambda v: v)
+        better = min if take_min else max
+        return old if better(ks(old), ks(new)) == ks(old) else new
+
+    by_values = {
+        tuple(sorted(p["values"].items())): p for p in manifest["partitions"]
+    }
+    for r in stats:
+        vals = {c: (None if r[c] is None else str(r[c])) for c in part_cols}
+        entry = by_values.get(tuple(sorted(vals.items())))
+        if entry is None:
+            manifest["partitions"].append(
+                {
+                    "values": vals,
+                    "n_rows": r["n_rows"],
+                    "stats": {
+                        p.source: [r[f"min_{p.source}"], r[f"max_{p.source}"]]
+                        for p in spec
+                    },
+                }
+            )
+        else:
+            entry["n_rows"] += r["n_rows"]
+            for p in spec:
+                mn, mx = entry["stats"][p.source]
+                entry["stats"][p.source] = [
+                    _widen(mn, r[f"min_{p.source}"], p.source, True),
+                    _widen(mx, r[f"max_{p.source}"], p.source, False),
+                ]
+    with open(os.path.join(out_dir, MANIFEST), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
 # --- partition spec EVOLUTION (multi-spec tables) --------------------------
 
 SPEC_LOG = "_spec_log.json"

@@ -4554,6 +4554,8 @@ def _kmeans_sql(
     iters: int = 2,
     k_expr: str = "GREATEST(LEAST(ROUND(SQRT(COUNT(*))), 65536), 2)",
     metric: str = "l2",
+    src: str = "embeddings",
+    final: str = "assign",
 ) -> str:
     """Lloyd iterations unrolled as CTEs, exactly mirroring
     analysis/similarity.kmeans_assign: corpus-derived k (√n rule),
@@ -4568,13 +4570,13 @@ def _kmeans_sql(
         f"""
     WITH u AS (SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq, pos FROM (
       SELECT vec_id, unnest(embedding) AS x,
-             generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+             generate_subscripts(embedding, 1) AS pos FROM {src})),
     kk AS (SELECT CAST({k_expr} AS BIGINT) AS k
-           FROM embeddings),
+           FROM {src}),
     ci AS (SELECT pos, xq AS cq FROM u WHERE vec_id = (SELECT MIN(vec_id) FROM u)),
     cost AS (SELECT u.vec_id, SUM((u.xq - ci.cq) * (u.xq - ci.cq)) AS d2
              FROM u JOIN ci USING (pos) GROUP BY u.vec_id),
-    hw AS (SELECT vec_id, {hexpr} AS h FROM embeddings),
+    hw AS (SELECT vec_id, {hexpr} AS h FROM {src}),
     cand AS (SELECT t.vec_id AS cand_id FROM (
                SELECT c.vec_id,
                       ROW_NUMBER() OVER (ORDER BY c.d2 * hw.h DESC, c.vec_id ASC) AS rn
@@ -4632,6 +4634,13 @@ def _kmeans_sql(
     c{i} AS (SELECT p.cent_id, p.pos, COALESCE(n{i}.cq, p.cq) AS cq
              FROM {cur} p LEFT JOIN n{i} ON n{i}.cent_id = p.cent_id AND n{i}.pos = p.pos)""")
         cur = f"c{i}"
+    if final == "cents":
+        # the FINAL Lloyd centroid table (what kmeans_assign ran its last
+        # argmin against, exposed as _wqs_centroids) — the materialized
+        # index's ingest-time assignment structure.  At a fixpoint the
+        # extra unrolled update is a no-op, matching Spark's early exit.
+        parts.append(f"\n    SELECT cent_id, pos, cq FROM {cur}")
+        return "".join(parts)
     parts.append(
         "\n    ,"
         + _assign_cte(cur, "f", "af")
@@ -5207,6 +5216,8 @@ def _pq_sql(iters: int = 2, m: int = 4, final: str = "codes", k: int = 100) -> s
 def _ivfpq_sql(
     m: int = 4, iters: int = 2, n_probes: int = 3, k: int = 10,
     final: str = "adc",
+    src: str = "embeddings",
+    new_src: str | None = None,
 ) -> str:
     """IVFADC oracle: the k-means coarse quantizer (reused ``_kmeans_sql``
     subquery + the member-mean ``cents`` CTE of the IVF search oracle)
@@ -5217,10 +5228,10 @@ def _ivfpq_sql(
     hexpr = _h20_sql_expr()
     parts = [
         f"""
-    WITH asg AS (SELECT * FROM ({_kmeans_sql()}) t),
+    WITH asg AS (SELECT * FROM ({_kmeans_sql(src=src)}) t),
     u AS (SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq, pos FROM (
       SELECT vec_id, unnest(embedding) AS x,
-             generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+             generate_subscripts(embedding, 1) AS pos FROM {src})),
     cents AS (SELECT asg.cent_id, u.pos,
                      CAST(floor(CAST(SUM(u.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
               FROM u JOIN asg USING (vec_id) GROUP BY asg.cent_id, u.pos),
@@ -5233,8 +5244,8 @@ def _ivfpq_sql(
                  FROM u JOIN asg a USING (vec_id)
                  JOIN cents c ON c.cent_id = a.cent_id AND c.pos = u.pos) r, ww),
     kk AS (SELECT CAST(GREATEST(LEAST(ROUND(SQRT(COUNT(*))), 256), 2) AS BIGINT) AS ks
-           FROM embeddings),
-    hw AS (SELECT vec_id, {hexpr} AS h FROM embeddings),
+           FROM {src}),
+    hw AS (SELECT vec_id, {hexpr} AS h FROM {src}),
     sd AS (SELECT t2.vec_id AS seed_id, CAST(t2.rn - 1 AS INTEGER) AS code_id FROM (
              SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h ASC, vec_id ASC) AS rn
              FROM hw) t2, kk
@@ -5269,6 +5280,45 @@ def _ivfpq_sql(
                AND n.sub_pos = p.sub_pos)""")
         cur = f"pc{i}"
     parts.append("\n    ," + _assign_cte(cur, "f", "paf"))
+    if final == "incr":
+        # FROZEN-structure ingest: assign each NEW vector to its nearest
+        # final Lloyd centroid (restricted to non-empty cells — an empty
+        # cell has no member-mean to take residuals against), residual vs
+        # the member-mean centroid, nearest frozen codeword per subspace.
+        # Mirrors analysis/ann_index.ivfpq_encode over an index built on
+        # ``src``; emits the encoded (vec_id, cent_id, sub_id, code_id).
+        parts.append(f"""
+    , lc AS (SELECT * FROM ({_kmeans_sql(src=src, final="cents")}) t),
+    lcn AS (SELECT lc.cent_id, lc.pos, lc.cq
+            FROM lc JOIN (SELECT DISTINCT cent_id FROM asg) nz USING (cent_id)),
+    nu AS (SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq, pos FROM (
+      SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos FROM {new_src})),
+    nd AS (SELECT nu.vec_id, l.cent_id, SUM((nu.xq - l.cq) * (nu.xq - l.cq)) AS dist
+           FROM nu JOIN lcn l USING (pos) GROUP BY nu.vec_id, l.cent_id),
+    nasg AS (SELECT vec_id, cent_id FROM (
+              SELECT vec_id, cent_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+              FROM nd) WHERE rn = 1),
+    nrs AS (SELECT r.vec_id,
+                   CAST((r.pos - 1) // ww.w AS INTEGER) AS sub_id,
+                   CAST((r.pos - 1) % ww.w AS INTEGER) AS sub_pos,
+                   r.rq
+            FROM (SELECT nu.vec_id, nu.pos, nu.xq - c.cq AS rq
+                  FROM nu JOIN nasg a USING (vec_id)
+                  JOIN cents c ON c.cent_id = a.cent_id AND c.pos = nu.pos) r, ww),
+    npd AS (SELECT nrs.vec_id, nrs.sub_id, c.code_id,
+                   SUM((nrs.rq - c.cq) * (nrs.rq - c.cq)) AS dist
+            FROM nrs JOIN {cur} c ON nrs.sub_id = c.sub_id AND nrs.sub_pos = c.sub_pos
+            GROUP BY nrs.vec_id, nrs.sub_id, c.code_id),
+    ncodes AS (SELECT vec_id, sub_id, code_id FROM (
+                SELECT vec_id, sub_id, code_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                          ORDER BY dist, code_id) AS rn
+                FROM npd) WHERE rn = 1)
+    SELECT n.vec_id, a.cent_id, n.sub_id, n.code_id
+    FROM ncodes n JOIN nasg a USING (vec_id)""")
+        return "".join(parts)
     parts.append(f"""
     , qv AS (SELECT pos, xq FROM u WHERE vec_id = 0),
     pdq AS (SELECT c.cent_id, SUM((c.cq - q.xq) * (c.cq - q.xq)) AS d
@@ -5336,6 +5386,61 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._wqs_persisted = getattr(searched, "_wqs_persisted", None)
     return out
+
+
+_INCR_CORPUS = "(SELECT * FROM embeddings WHERE vec_id % 7 <> 0)"
+_INCR_NEW = "(SELECT * FROM embeddings WHERE vec_id % 7 = 0)"
+
+
+@register("ivfpq_index_search", _ivfpq_sql())
+def q_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC through the MATERIALIZED index (analysis/ann_index): train
+    once into the hidden-partitioned table layer — codes stored WITH
+    their cent_id, partitioned by it — then search by manifest-pruned
+    point reads of only the probed cells.  Same trained structures and
+    exact-integer ADC math as ``ivfpq_adc_topk``, so the top-k (and this
+    oracle) are bit-identical; the difference is the plan: no
+    codes-to-assignment vec_id join, and the scan READS n·probes/k_cells
+    rows instead of filtering the corpus.  The amortized build/search
+    split every real ANN deployment runs (FAISS IndexIVFPQ)."""
+    import tempfile
+
+    from wolf_quake_spark.analysis.ann_index import (
+        ivfpq_build_index,
+        ivfpq_index_search,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="wqs_ivfpq_idx_")
+    ivfpq_build_index(emb, idx)
+    return ivfpq_index_search(spark, idx, _query_vec(spark, sf_dir), n_probes=3, k=10)
+
+
+@register(
+    "ivfpq_incremental_assign",
+    _ivfpq_sql(final="incr", src=_INCR_CORPUS, new_src=_INCR_NEW),
+)
+def q_ivfpq_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time encoding against a FROZEN index — the daily operation
+    of a 100 TB ANN deployment (FAISS ``add`` vs ``train``): the index is
+    built on the corpus (vec_id % 7 != 0), then the NEW batch (vec_id %
+    7 == 0) is assigned to its nearest final Lloyd centroid, residualized
+    against the member-mean centroid, and coded with the frozen
+    codebooks — no retraining, two broadcast joins + two bounded argmins.
+    Deterministic integer math end to end, so the oracle reproduces every
+    code; re-encoding unchanged vectors reproduces their stored codes
+    exactly (parity pytest in tests/test_ann_index.py)."""
+    import tempfile
+
+    from wolf_quake_spark.analysis.ann_index import (
+        ivfpq_build_index,
+        ivfpq_index_encode,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="wqs_ivfpq_incr_")
+    ivfpq_build_index(emb.filter(F.col("vec_id") % 7 != 0), idx)
+    return ivfpq_index_encode(spark, idx, emb.filter(F.col("vec_id") % 7 == 0))
 
 
 @register("pq_codes", _pq_sql())
