@@ -98,3 +98,57 @@ def test_three_pass_replace_reaches_fixpoint():
         three = _py_merge_once(seq, "a", "a")
         four = f" {three} ".replace(" a a ", " aa ").strip()
         assert three == four, chain_len
+
+
+def _rich_corpus(spark, n_words: int = 400):
+    """Deterministic corpus with enough distinct adjacent pairs to sustain
+    hundreds of merges: words are base-7 digit strings over a 7-letter
+    alphabet, lengths 8-15, frequencies varying by index."""
+    letters = "abcdefg"
+    rows = []
+    for i in range(n_words):
+        x, word = i * 2654435761 % (1 << 31), []
+        for _ in range(8 + i % 8):
+            word.append(letters[x % 7])
+            x //= 7
+            if x == 0:
+                x = i + 13
+        rows.append((i, (" ".join(["".join(word)] * (1 + i % 5)))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bpe_scale_merges_match_reference_and_plan_bounded(spark):
+    """256-merge run (the scale-real budget class, vs the fixture's 8):
+
+    * results still match the sequential reference exactly — the lineage
+      cut is a pure execution detail;
+    * the live plan stays bounded: with checkpoint_every=16 the final
+      frame's analyzed-plan size must not grow with the merge budget
+      (an unbroken 256-chain is ~16x larger and blows up Catalyst
+      analysis time at real tokenizer budgets of 32k).
+    """
+    docs = _rich_corpus(spark)
+    merges, vocab_final = bpe_learn(spark, docs, n_merges=256, checkpoint_every=16)
+    got = [tuple(r) for r in merges.orderBy("rank").collect()]
+
+    freqs: Counter = Counter()
+    for r in docs.collect():
+        freqs.update(t for t in r["text"].split(" ") if t)
+    want, want_seqs = _py_bpe(dict(freqs), 256)
+    assert got == want
+    assert len(got) == 256  # the corpus really sustains the budget
+
+    final = {r["word"]: r["seq"] for r in vocab_final.collect()}
+    assert final == want_seqs
+
+    # plan-depth pin: at most checkpoint_every replace-chains live.  The
+    # analyzed plan of an unbroken chain holds one Project per merge; the
+    # cut frame holds <= 16 + a scan, so its tree stays under ~40 nodes.
+    n_nodes = len(
+        vocab_final._jdf.queryExecution().analyzed().toString().splitlines()
+    )
+    assert n_nodes < 60, n_nodes
+
+    h = getattr(vocab_final, "_wqs_persisted", None)
+    if h is not None:
+        h.unpersist()

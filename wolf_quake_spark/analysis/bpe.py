@@ -52,6 +52,17 @@ from pyspark.sql import functions as F
 
 N_MERGES = 8
 
+# Lineage-cut cadence for the merge loop: each round stacks one
+# three-replace projection onto the vocabulary frame, so an unbroken chain
+# grows the logical plan linearly in merges — unnoticeable at the
+# fixture's 8, unplannable at a real tokenizer's 32k (Catalyst analysis
+# time and plan size blow up long before data does).  An eager
+# localCheckpoint every R rounds bounds the live plan at R replace-chains
+# (same trade as the BFS frontier cut in analysis/graph.py, measured
+# 24 s -> 4 s there; a production cluster would use reliable checkpointing
+# on the same cadence).
+BPE_CHECKPOINT_EVERY = 16
+
 
 def word_freqs(docs: DataFrame) -> DataFrame:
     """Corpus word-frequency vocabulary: the single full-corpus pass."""
@@ -94,7 +105,10 @@ def _adjacent_pairs(vocab_seq: DataFrame) -> DataFrame:
 
 
 def bpe_learn(
-    spark: SparkSession, docs: DataFrame, n_merges: int = N_MERGES
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int = N_MERGES,
+    checkpoint_every: int = BPE_CHECKPOINT_EVERY,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merges; returns ``(merges, vocab_final)``.
 
@@ -105,8 +119,10 @@ def bpe_learn(
 
     Driver traffic is exactly ``n_merges`` single-row collects; every other
     byte stays on executors.  The vocabulary is persisted once (DISK_ONLY,
-    repo convention) and each round replans only a narrow replace-chain +
-    one hash-agg over it.
+    repo convention), and the sequence frame's lineage is cut every
+    ``checkpoint_every`` rounds so the live plan never exceeds that many
+    replace-chains regardless of the merge budget (see
+    ``BPE_CHECKPOINT_EVERY``) — plan depth is O(R), not O(n_merges).
     """
     vocab = word_freqs(docs).persist(StorageLevel.DISK_ONLY)
     cur = vocab.select("word", "freq", _char_seq("word").alias("seq"))
@@ -123,6 +139,10 @@ def bpe_learn(
         l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
         merges.append((rank, l, r, l + r, cnt))
         cur = cur.withColumn("seq", _merge_once(F.col("seq"), l, r))
+        if checkpoint_every and rank % checkpoint_every == 0:
+            # the checkpointed RDD blocks of earlier cuts are reclaimed by
+            # the ContextCleaner once unreferenced (dedup.py convention)
+            cur = cur.localCheckpoint(eager=True)
     merges_df = spark.createDataFrame(
         merges, "rank int, left_sym string, right_sym string, merged string, pair_count bigint"
     )
