@@ -95,3 +95,60 @@ def test_temperature_alpha_one_is_identity(spark):
     for r in out:
         assert r.resampled_share == pytest.approx(r.natural_share, abs=1e-6)
         assert r.sample_weight == pytest.approx(1.0, abs=1e-6)
+
+
+# --- EM parameter estimation (fs_link_pairs_em) -----------------------------
+
+
+def _fixture_patterns():
+    """Hand-built pattern counts with a clear two-cluster structure: a
+    small population of near-duplicates (mostly full agreement) inside a
+    large background of chance agreements."""
+    return [
+        ((1, 1, 1), 40),   # true-match cluster
+        ((1, 1, 0), 10),
+        ((1, 0, 0), 300),  # background: lang agrees by chance often
+        ((0, 1, 0), 120),
+        ((0, 0, 0), 2000),
+        ((0, 0, 1), 15),
+    ]
+
+
+def test_em_converges_on_fixture():
+    """EM is a fixpoint iteration: by round 3 the parameters must be close
+    to their round-8 values, and the learned structure must separate the
+    clusters (every m above its u, prior strictly inside (0, 1))."""
+    from wolf_quake_spark.analysis.linkage import _em_on_patterns
+
+    u0 = (0.4, 0.3, 0.05)
+    m3, u3, p3 = _em_on_patterns(_fixture_patterns(), u0, rounds=3)
+    m8, u8, p8 = _em_on_patterns(_fixture_patterns(), u0, rounds=8)
+    for a, b in zip(m3 + u3 + [p3], m8 + u8 + [p8]):
+        assert abs(a - b) < 0.05, (m3, u3, p3, m8, u8, p8)
+    for mi, ui in zip(m8, u8):
+        assert mi > ui
+    assert 0.0 < p8 < 1.0
+
+
+def test_em_weights_separate_matches(spark):
+    """On the documents fixture the EM-weighted scorer must (a) score
+    full-agreement pairs at the top, (b) produce the same pair set as the
+    declared-constant scorer (blocking unchanged), and (c) order full
+    agreement above full disagreement."""
+    from wolf_quake_spark.analysis.linkage import fs_link_pairs_em
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = fs_link_pairs_em(docs)
+    rows = out.collect()
+    for h in out._wqs_persisted:
+        h.unpersist()
+    base = fs_link_pairs(docs)
+    base_pairs = {(r["doc_a"], r["doc_b"]) for r in base.collect()}
+    getattr(base, "_wqs_persisted").unpersist()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == base_pairs
+    full = [r["weight"] for r in rows
+            if r["agree_lang"] and r["agree_source"] and r["agree_tok2"]]
+    none = [r["weight"] for r in rows
+            if not (r["agree_lang"] or r["agree_source"] or r["agree_tok2"])]
+    if full and none:
+        assert min(full) > max(none)

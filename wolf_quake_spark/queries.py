@@ -6912,7 +6912,12 @@ def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from wolf_quake_spark.analysis.linkage import fs_link_pairs, fs_link_pairs_sql
+from wolf_quake_spark.analysis.linkage import (
+    fs_link_pairs,
+    fs_link_pairs_em,
+    fs_link_pairs_em_sql,
+    fs_link_pairs_sql,
+)
 from wolf_quake_spark.analysis.sampling import (
     temperature_weights,
     temperature_weights_sql,
@@ -6929,6 +6934,19 @@ def q_fs_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference/src/report.rs player assembly).  See analysis/linkage.py
     for the scale argument."""
     return fs_link_pairs(_read(spark, sf_dir, "documents"))
+
+
+@register("fs_link_pairs_em", fs_link_pairs_em_sql("documents"))
+def q_fs_link_pairs_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter with EM-LEARNED parameters (Winkler 1988) instead of
+    the declared m-constants: the blocked pairs' agreement vectors
+    collapse into at most 8 pattern counts (the mixture's sufficient
+    statistics, one extra hash-agg + one 8-row collect), EM runs on those
+    counts driver-side, and the learned m/u/prior score every pair.  The
+    oracle unrolls the identical EM arithmetic as CTEs — cross-engine
+    parameter agreement is float-ulp-level, far inside the 6-decimal
+    weight rounding.  See analysis/linkage.py."""
+    return fs_link_pairs_em(_read(spark, sf_dir, "documents"))
 
 
 from wolf_quake_spark.analysis.quantiles import (
