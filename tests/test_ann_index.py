@@ -200,3 +200,26 @@ def test_append_hidden_partitioned_merges_stats(spark, tmp_path):
     sub, rep = pruned_read_points(spark, d, "cell", [3])
     assert rep["partitions_read"] == 1
     assert sub.count() == want[3]
+
+
+def test_batch_search_equals_single_searches(spark, emb, index_dir):
+    from wolf_quake_spark.analysis.ann_index import ivfpq_index_batch_search
+
+    qs = emb.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = ivfpq_index_batch_search(spark, index_dir, qs, n_probes=3, k=10)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], []).append((r["vec_id"], r["adc_d2"]))
+    qrows = qs.collect()
+    assert set(got) == {r["qid"] for r in qrows}
+    for qr in qrows:
+        single = ivfpq_index_search(
+            spark, index_dir, list(qr["embedding"]), n_probes=3, k=10
+        )
+        want = [(r["vec_id"], r["adc_d2"]) for r in single.collect()]
+        assert sorted(got[qr["qid"]], key=lambda t: (t[1], t[0])) == want, qr["qid"]
+    # the batch read is pruned to the union of probed cells
+    rep = out._wqs_scan_report
+    assert rep["partitions_read"] < rep["partitions_total"]

@@ -229,6 +229,115 @@ def ivfpq_index_search(
     return out
 
 
+def ivfpq_index_batch_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    n_probes: int = 3,
+    k: int = 10,
+    qid_col: str = "qid",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bulk ADC top-k for a WHOLE query frame against the materialized
+    index — the shape a data pipeline actually runs (dedup a new batch
+    against the corpus, mine neighbors for a training set), vs the
+    single-vector interactive :func:`ivfpq_index_search`.
+
+    Plan: per-query probe selection is one keyed window over
+    n_q x k_cells broadcast-scored rows; the per-(query, cell) ADC lookup
+    tables form one frame of n_q x n_probes x m x ks rows joined
+    (broadcast while the query batch is bounded; at larger batches the
+    same join shuffles on cent_id, co-partitioned with the codes) onto a
+    manifest-pruned read of the UNION of all probed cells.  Final top-k
+    is a per-qid keyed window.  Everything stays exact-integer, so the
+    batch results equal n independent single searches and the DuckDB
+    oracle bit-for-bit.  Returns (qid, vec_id, adc_d2)."""
+    from pyspark.sql import Window
+
+    meta = _load_meta(index_dir)
+    m, w = meta["m"], meta["w"]
+    codes_dir, cents_dir, cb_dir, _ = _dirs(index_dir)
+
+    cents = spark.read.parquet(cents_dir)
+    qn = queries.select(
+        F.col(qid_col).alias("qid"), _quant(F.col(vec_col)).alias("qe")
+    )
+    scored = qn.crossJoin(broadcast(cents)).select(
+        "qid",
+        "qe",
+        "cent_id",
+        "cvec",
+        _l2(F.col("qe"), F.col("cvec")).alias("d"),
+    )
+    probes = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("cent_id"))
+            ),
+        )
+        .filter(F.col("rn") <= n_probes)
+        .select(
+            "qid",
+            "cent_id",
+            F.zip_with("qe", "cvec", lambda x, y: x - y).alias("rq"),
+        )
+    )
+    # per-(query, cell) lookup tables against the cell-residual query
+    subs = probes.select(
+        "qid",
+        "cent_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("sub_id"),
+                    F.slice("rq", s * F.lit(w) + 1, w).alias("svec"),
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        "qid",
+        "cent_id",
+        F.col("e.sub_id").alias("sub_id"),
+        F.col("e.svec").alias("svec"),
+    )
+    cbv = spark.read.parquet(cb_dir).select(
+        "sub_id", "code_id", F.col("cvec").alias("codeword")
+    )
+    lut = subs.join(broadcast(cbv), "sub_id").select(
+        "qid",
+        "cent_id",
+        "sub_id",
+        "code_id",
+        _l2(F.col("svec"), F.col("codeword")).alias("pd2"),
+    )
+    # metadata-scale collect: the union of probed cells drives pruning
+    probe_ids = [
+        r["cent_id"] for r in probes.select("cent_id").distinct().collect()
+    ]
+    codes, report = pruned_read_points(spark, codes_dir, "cent_id", probe_ids)
+    cand = (
+        codes.join(broadcast(lut), ["cent_id", "sub_id", "code_id"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("pd2").cast("long").alias("adc_d2"))
+    )
+    out = (
+        cand.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.asc("adc_d2"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "adc_d2")
+    )
+    out._wqs_scan_report = report
+    return out
+
+
 def ivfpq_encode(
     new_embeddings: DataFrame,
     assign_cents: DataFrame,

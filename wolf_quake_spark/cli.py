@@ -168,6 +168,44 @@ def _cmd_table_read(args: argparse.Namespace) -> None:
         print(json.dumps(r.asDict(), default=str))
 
 
+def _cmd_ann(args: argparse.Namespace) -> None:
+    from wolf_quake_spark.analysis import ann_index as ai
+
+    spark = build_session("wqs-ann", master=args.master)
+    if args.action == "build":
+        if not args.input:
+            raise SystemExit("ann build needs --input")
+        emb = spark.read.parquet(args.input)
+        print(json.dumps(ai.ivfpq_build_index(emb, args.index)))
+    elif args.action == "append":
+        if not args.input:
+            raise SystemExit("ann append needs --input")
+        emb = spark.read.parquet(args.input)
+        print(json.dumps(ai.ivfpq_index_append(spark, args.index, emb)))
+    else:
+        if args.query_vec:
+            qv = [float(x) for x in args.query_vec.split(",")]
+        elif args.input:
+            from pyspark.sql import functions as F
+
+            row = (
+                spark.read.parquet(args.input)
+                .where(F.col("vec_id") == 0)
+                .select("embedding")
+                .first()
+            )
+            if row is None:
+                raise SystemExit("ann search: no vec_id 0 in --input")
+            qv = list(row["embedding"])
+        else:
+            raise SystemExit("ann search needs --query-vec or --input")
+        out = ai.ivfpq_index_search(
+            spark, args.index, qv, n_probes=args.n_probes, k=args.k
+        )
+        rows = [r.asDict() for r in out.collect()]
+        print(json.dumps({"scan": out._wqs_scan_report, "topk": rows}))
+
+
 def _cmd_snapshot(args: argparse.Namespace) -> None:
     from wolf_quake_spark.plans import snapshots as sn
 
@@ -478,6 +516,22 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--name", default=None, help="tag name (tag/untag/read)")
     sp.add_argument("--limit", type=int, default=10)
     sp.set_defaults(fn=_cmd_snapshot)
+
+    an = sub.add_parser(
+        "ann",
+        help="materialized IVFADC index ops: build (train + write the "
+        "cent_id-partitioned codes table), search (manifest-pruned probe "
+        "reads), append (frozen-structure incremental ingest)",
+    )
+    an.add_argument("action", choices=["build", "search", "append"])
+    an.add_argument("--index", required=True, help="index dir")
+    an.add_argument("--input", default=None, help="embeddings parquet (build/append)")
+    an.add_argument("--query-vec", default=None,
+                    help="search: comma list of floats (defaults to the "
+                    "corpus vector with vec_id 0 read from --input)")
+    an.add_argument("--n-probes", type=int, default=3)
+    an.add_argument("--k", type=int, default=10)
+    an.set_defaults(fn=_cmd_ann)
 
     args = p.parse_args(argv)
     if getattr(args, "fn", None) is _cmd_table_read and bool(args.range) == bool(args.eq):

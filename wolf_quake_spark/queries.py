@@ -5218,6 +5218,7 @@ def _ivfpq_sql(
     final: str = "adc",
     src: str = "embeddings",
     new_src: str | None = None,
+    batch_pred: str = "vec_id % 101 = 0",
 ) -> str:
     """IVFADC oracle: the k-means coarse quantizer (reused ``_kmeans_sql``
     subquery + the member-mean ``cents`` CTE of the IVF search oracle)
@@ -5319,6 +5320,38 @@ def _ivfpq_sql(
     SELECT n.vec_id, a.cent_id, n.sub_id, n.code_id
     FROM ncodes n JOIN nasg a USING (vec_id)""")
         return "".join(parts)
+    if final == "batch":
+        # bulk search: every query in the batch runs the same probed-cell
+        # ADC plan, keyed by qid — mirrors ann_index.ivfpq_index_batch_search
+        parts.append(f"""
+    , qs AS (SELECT vec_id AS qid, pos, xq FROM u WHERE {batch_pred}),
+    pdq AS (SELECT q.qid, c.cent_id, SUM((c.cq - q.xq) * (c.cq - q.xq)) AS d
+            FROM cents c JOIN qs q USING (pos) GROUP BY q.qid, c.cent_id),
+    probes AS (SELECT qid, cent_id FROM (
+                SELECT qid, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, cent_id) AS rn
+                FROM pdq) WHERE rn <= {n_probes}),
+    qr AS (SELECT p.qid, p.cent_id,
+                  CAST((c.pos - 1) // ww.w AS INTEGER) AS sub_id,
+                  CAST((c.pos - 1) % ww.w AS INTEGER) AS sub_pos,
+                  q.xq - c.cq AS rq
+           FROM probes p JOIN cents c ON c.cent_id = p.cent_id
+           JOIN qs q ON q.qid = p.qid AND q.pos = c.pos, ww),
+    lut AS (SELECT q.qid, q.cent_id, cb.sub_id, cb.code_id,
+                   SUM((q.rq - cb.cq) * (q.rq - cb.cq)) AS pd2
+            FROM {cur} cb JOIN qr q
+              ON q.sub_id = cb.sub_id AND q.sub_pos = cb.sub_pos
+            GROUP BY q.qid, q.cent_id, cb.sub_id, cb.code_id),
+    adc AS (SELECT l.qid, a.vec_id, CAST(SUM(l.pd2) AS BIGINT) AS adc_d2
+            FROM paf a JOIN asg g USING (vec_id)
+            JOIN lut l ON l.cent_id = g.cent_id
+                      AND l.sub_id = a.sub_id AND l.code_id = a.code_id
+            GROUP BY l.qid, a.vec_id)
+    SELECT qid, vec_id, adc_d2 FROM (
+      SELECT qid, vec_id, adc_d2,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, vec_id) AS rn
+      FROM adc) WHERE rn <= {k}""")
+        return "".join(parts)
     parts.append(f"""
     , qv AS (SELECT pos, xq FROM u WHERE vec_id = 0),
     pdq AS (SELECT c.cent_id, SUM((c.cq - q.xq) * (c.cq - q.xq)) AS d
@@ -5414,6 +5447,32 @@ def q_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = tempfile.mkdtemp(prefix="wqs_ivfpq_idx_")
     ivfpq_build_index(emb, idx)
     return ivfpq_index_search(spark, idx, _query_vec(spark, sf_dir), n_probes=3, k=10)
+
+
+@register("ivfpq_index_batch_topk", _ivfpq_sql(final="batch"))
+def q_ivfpq_index_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk ANN through the materialized index: every ~101st corpus vector
+    is a query, and the whole batch runs ONE probed-cell ADC plan — a
+    keyed window picks each query's cells, the per-(query, cell) lookup
+    tables join onto a single manifest-pruned read of the union of
+    probed cells, and a per-qid window takes the top-k.  The shape a
+    pipeline runs (dedup a new batch against the corpus, neighbor mining
+    for training sets); results equal n independent single searches
+    bit-for-bit."""
+    import tempfile
+
+    from wolf_quake_spark.analysis.ann_index import (
+        ivfpq_build_index,
+        ivfpq_index_batch_search,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="wqs_ivfpq_batch_")
+    ivfpq_build_index(emb, idx)
+    qs = emb.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return ivfpq_index_batch_search(spark, idx, qs, n_probes=3, k=10)
 
 
 @register(
