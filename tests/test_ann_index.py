@@ -223,3 +223,107 @@ def test_batch_search_equals_single_searches(spark, emb, index_dir):
     # the batch read is pruned to the union of probed cells
     rep = out._wqs_scan_report
     assert rep["partitions_read"] < rep["partitions_total"]
+
+
+# --- streaming ingest + compaction ------------------------------------------
+
+
+def test_epoch_ingest_exactly_once_and_parity(spark, emb, qvec, tmp_path):
+    """Stream-ingested codes equal the batch-append codes (same frozen
+    structures); a replayed epoch is a no-op; a crashed (uncommitted)
+    epoch dir is reader-invisible until its commit."""
+    from wolf_quake_spark.analysis.ann_index import (
+        _load_meta,
+        ivfpq_index_append_epoch,
+        ivfpq_index_compact,
+    )
+
+    old = emb.filter(F.col("vec_id") % 7 != 0)
+    new = emb.filter(F.col("vec_id") % 7 == 0)
+
+    d_stream = str(tmp_path / "idx_stream")
+    d_batch = str(tmp_path / "idx_batch")
+    ivfpq_build_index(old, d_stream)
+    ivfpq_build_index(old, d_batch)
+
+    # two micro-batches
+    b0 = new.filter(F.col("vec_id") % 2 == 0)
+    b1 = new.filter(F.col("vec_id") % 2 != 0)
+    r0 = ivfpq_index_append_epoch(spark, d_stream, b0, 0)
+    r1 = ivfpq_index_append_epoch(spark, d_stream, b1, 1)
+    assert not r0["skipped"] and not r1["skipped"]
+    # replay: no-op
+    r0b = ivfpq_index_append_epoch(spark, d_stream, b0, 0)
+    assert r0b["skipped"]
+    assert _load_meta(d_stream)["n"] == emb.count()
+
+    # batch face on the other index
+    ivfpq_index_append(spark, d_batch, new)
+
+    s_stream = ivfpq_index_search(spark, d_stream, qvec, n_probes=3, k=10)
+    s_batch = ivfpq_index_search(spark, d_batch, qvec, n_probes=3, k=10)
+    got = [(r["vec_id"], r["adc_d2"]) for r in s_stream.collect()]
+    want = [(r["vec_id"], r["adc_d2"]) for r in s_batch.collect()]
+    assert got == want
+    # the streamed index read 3 tables (main + 2 epochs)
+    assert s_stream._wqs_scan_report["code_tables"] == 3
+
+    # crash window: an epoch dir written but NOT committed is invisible
+    from wolf_quake_spark.analysis.ann_index import (
+        _codes_spec,
+        ivfpq_index_encode,
+    )
+    from wolf_quake_spark.plans.partition_transforms import (
+        write_hidden_partitioned,
+    )
+
+    orphan = ivfpq_index_encode(spark, d_stream, b0)
+    write_hidden_partitioned(
+        orphan, os.path.join(d_stream, "codes_epochs", "embeddings-9"), _codes_spec()
+    )
+    s_after = ivfpq_index_search(spark, d_stream, qvec, n_probes=3, k=10)
+    assert [(r["vec_id"], r["adc_d2"]) for r in s_after.collect()] == want
+
+    # compaction folds epochs into one table; search unchanged
+    rep = ivfpq_index_compact(spark, d_stream)
+    assert rep["compacted"] == 3
+    s_comp = ivfpq_index_search(spark, d_stream, qvec, n_probes=3, k=10)
+    assert [(r["vec_id"], r["adc_d2"]) for r in s_comp.collect()] == want
+    assert s_comp._wqs_scan_report["code_tables"] == 1
+    # second compaction is a no-op
+    assert ivfpq_index_compact(spark, d_stream)["compacted"] == 0
+
+
+def test_run_stream_to_ann_index_drains_landing(spark, emb, qvec, tmp_path):
+    from wolf_quake_spark.streaming.ann_ingest import run_stream_to_ann_index
+
+    old = emb.filter(F.col("vec_id") % 7 != 0)
+    new = emb.filter(F.col("vec_id") % 7 == 0)
+    d = str(tmp_path / "idx")
+    landing = str(tmp_path / "landing")
+    ivfpq_build_index(old, d)
+    new.repartition(3).write.parquet(landing)
+
+    meta = run_stream_to_ann_index(
+        spark, landing, d, max_files_per_trigger=1
+    )
+    assert meta["n"] == emb.count()
+    assert sum(len(v) for v in meta["stream_epochs"].values()) >= 2
+
+    # re-running the drain ingests nothing new (checkpoint + ledger)
+    meta2 = run_stream_to_ann_index(spark, landing, d)
+    assert meta2["n"] == emb.count()
+
+    # parity with the batch face
+    d2 = str(tmp_path / "idx2")
+    ivfpq_build_index(old, d2)
+    ivfpq_index_append(spark, d2, new)
+    got = [
+        (r["vec_id"], r["adc_d2"])
+        for r in ivfpq_index_search(spark, d, qvec, n_probes=3, k=10).collect()
+    ]
+    want = [
+        (r["vec_id"], r["adc_d2"])
+        for r in ivfpq_index_search(spark, d2, qvec, n_probes=3, k=10).collect()
+    ]
+    assert got == want

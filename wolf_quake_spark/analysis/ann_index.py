@@ -148,9 +148,10 @@ def ivfpq_build_index(
         "n": n,
         "iters": iters,
         "n_cells": n_cells,
+        "codes_version": 0,
+        "stream_epochs": {},
     }
-    with open(os.path.join(index_dir, INDEX_META), "w") as fh:
-        json.dump(meta, fh, indent=1, sort_keys=True)
+    _dump_meta(index_dir, meta)
 
     for h in (q, asg, cents, subs_handle):
         if h is not None:
@@ -161,6 +162,51 @@ def ivfpq_build_index(
 def _load_meta(index_dir: str) -> dict:
     with open(os.path.join(index_dir, INDEX_META)) as fh:
         return json.load(fh)
+
+
+def _dump_meta(index_dir: str, meta: dict) -> None:
+    """tmp+rename: the meta write is the atomic commit point for epoch
+    ingestion and compaction (same discipline as the snapshot log)."""
+    path = os.path.join(index_dir, INDEX_META)
+    with open(path + ".tmp", "w") as fh:
+        json.dump(meta, fh, indent=1, sort_keys=True)
+    os.replace(path + ".tmp", path)
+
+
+def _codes_dir_of(index_dir: str, meta: dict) -> str:
+    v = int(meta.get("codes_version", 0))
+    return os.path.join(index_dir, "codes" if v == 0 else f"codes_v{v}")
+
+
+def _committed_epoch_dirs(index_dir: str, meta: dict) -> list[str]:
+    """Epoch code dirs named in the COMMITTED ledger only — a crash
+    between an epoch's data write and the meta commit leaves its dir
+    invisible (and the replay overwrites it idempotently)."""
+    out = []
+    for stream, ids in sorted(meta.get("stream_epochs", {}).items()):
+        for e in sorted(ids):
+            out.append(os.path.join(index_dir, "codes_epochs", f"{stream}-{e}"))
+    return out
+
+
+def _pruned_codes_union(
+    spark: SparkSession, index_dir: str, meta: dict, probe_ids: list
+) -> tuple[DataFrame, dict]:
+    """Manifest-pruned read of the probed cells across the main codes
+    table AND every committed streaming epoch (bounded by compaction)."""
+    dirs = [_codes_dir_of(index_dir, meta)]
+    dirs += _committed_epoch_dirs(index_dir, meta)
+    frames, report = [], {"partitions_total": 0, "partitions_read": 0,
+                          "rows_in_read_partitions": 0, "code_tables": len(dirs)}
+    for d in dirs:
+        df, rep = pruned_read_points(spark, d, "cent_id", probe_ids)
+        frames.append(df.select("vec_id", "cent_id", "sub_id", "code_id"))
+        for key in ("partitions_total", "partitions_read", "rows_in_read_partitions"):
+            report[key] += rep[key]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out, report
 
 
 def ivfpq_index_search(
@@ -182,7 +228,7 @@ def ivfpq_index_search(
     Attach the pruning evidence via ``df._wqs_scan_report``."""
     meta = _load_meta(index_dir)
     m, w = meta["m"], meta["w"]
-    codes_dir, cents_dir, cb_dir, _ = _dirs(index_dir)
+    _, cents_dir, cb_dir, _ = _dirs(index_dir)
 
     qlit = F.array(
         *[F.lit(int(round(x * SCALE))).cast("long") for x in query_vec]
@@ -202,7 +248,7 @@ def ivfpq_index_search(
         "cent_id int, cellvec array<long>",
     )
 
-    codes, report = pruned_read_points(spark, codes_dir, "cent_id", probe_ids)
+    codes, report = _pruned_codes_union(spark, index_dir, meta, probe_ids)
 
     # per-cell ADC lookup table: n_probes x m x ks rows, broadcast-sized
     cbv = spark.read.parquet(cb_dir).select(
@@ -256,7 +302,7 @@ def ivfpq_index_batch_search(
 
     meta = _load_meta(index_dir)
     m, w = meta["m"], meta["w"]
-    codes_dir, cents_dir, cb_dir, _ = _dirs(index_dir)
+    _, cents_dir, cb_dir, _ = _dirs(index_dir)
 
     cents = spark.read.parquet(cents_dir)
     qn = queries.select(
@@ -316,7 +362,7 @@ def ivfpq_index_batch_search(
     probe_ids = [
         r["cent_id"] for r in probes.select("cent_id").distinct().collect()
     ]
-    codes, report = pruned_read_points(spark, codes_dir, "cent_id", probe_ids)
+    codes, report = _pruned_codes_union(spark, index_dir, meta, probe_ids)
     cand = (
         codes.join(broadcast(lut), ["cent_id", "sub_id", "code_id"])
         .groupBy("qid", "vec_id")
@@ -443,11 +489,87 @@ def ivfpq_index_append(
     stats).  The index never retrains on ingest — recall drift is measured
     separately (``ivfpq_recall_at_k``) and answered with a rebuild, the
     FAISS add/retrain split."""
-    codes_dir, _, _, _ = _dirs(index_dir)
+    meta = _load_meta(index_dir)
+    codes_dir = _codes_dir_of(index_dir, meta)
     encoded = ivfpq_index_encode(spark, index_dir, new_embeddings, vec_col=vec_col)
     manifest = append_hidden_partitioned(encoded, codes_dir, _codes_spec())
-    meta = _load_meta(index_dir)
     meta["n"] = int(meta["n"]) + new_embeddings.count()
-    with open(os.path.join(index_dir, INDEX_META), "w") as fh:
-        json.dump(meta, fh, indent=1, sort_keys=True)
+    _dump_meta(index_dir, meta)
     return {"appended_cells_touched": len(manifest["partitions"]), **meta}
+
+
+def ivfpq_index_append_epoch(
+    spark: SparkSession,
+    index_dir: str,
+    new_embeddings: DataFrame,
+    epoch_id: int,
+    stream_name: str = "embeddings",
+    vec_col: str = "embedding",
+) -> dict:
+    """Exactly-once STREAMING ingest epoch: encode the micro-batch against
+    the frozen structures into its own epoch-scoped code table
+    (``codes_epochs/<stream>-<epoch>``), then commit the epoch id into the
+    ledger with the atomic meta rename.  ``foreachBatch`` delivery is
+    at-least-once — a replayed epoch is either (a) already in the ledger
+    (skipped here) or (b) crashed before the meta commit, in which case
+    its half-written dir was reader-invisible and the replay overwrites
+    it idempotently.  Searches read main codes plus every COMMITTED
+    epoch; :func:`ivfpq_index_compact` folds epochs back into one table."""
+    meta = _load_meta(index_dir)
+    ledger = meta.setdefault("stream_epochs", {}).setdefault(stream_name, [])
+    if epoch_id in ledger:
+        return {"skipped": True, "epoch": epoch_id, "stream": stream_name}
+    encoded = ivfpq_index_encode(spark, index_dir, new_embeddings, vec_col=vec_col)
+    edir = os.path.join(index_dir, "codes_epochs", f"{stream_name}-{epoch_id}")
+    manifest = write_hidden_partitioned(encoded, edir, _codes_spec())
+    n_added = sum(p["n_rows"] for p in manifest["partitions"])
+    ledger.append(int(epoch_id))
+    meta["n"] = int(meta["n"]) + n_added // max(1, meta["m"])
+    _dump_meta(index_dir, meta)  # atomic commit point
+    return {
+        "skipped": False,
+        "epoch": epoch_id,
+        "stream": stream_name,
+        "code_rows": n_added,
+        "cells_touched": len(manifest["partitions"]),
+    }
+
+
+def ivfpq_index_compact(spark: SparkSession, index_dir: str) -> dict:
+    """Fold every committed streaming epoch back into ONE codes table
+    (the maintenance action bounding search fan-in): the union of the
+    current codes table and all committed epochs is rewritten into a new
+    ``codes_v<k+1>`` directory, the meta flips to it and clears the
+    ledger in one atomic rename, and the superseded directories are
+    removed afterwards — a crash in between leaves them orphaned but
+    ignored (the committed meta never points at them)."""
+    import shutil
+
+    meta = _load_meta(index_dir)
+    old_dirs = [_codes_dir_of(index_dir, meta)]
+    old_dirs += _committed_epoch_dirs(index_dir, meta)
+    if len(old_dirs) == 1:
+        return {"compacted": 0, "codes_version": meta.get("codes_version", 0)}
+    frames = [
+        spark.read.parquet(d).select("vec_id", "cent_id", "sub_id", "code_id")
+        for d in old_dirs
+    ]
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    new_v = int(meta.get("codes_version", 0)) + 1
+    new_dir = os.path.join(index_dir, f"codes_v{new_v}")
+    manifest = write_hidden_partitioned(union, new_dir, _codes_spec())
+    meta["codes_version"] = new_v
+    meta["stream_epochs"] = {}
+    _dump_meta(index_dir, meta)  # atomic flip
+    for d in old_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    ep_root = os.path.join(index_dir, "codes_epochs")
+    if os.path.isdir(ep_root) and not os.listdir(ep_root):
+        os.rmdir(ep_root)
+    return {
+        "compacted": len(old_dirs),
+        "codes_version": new_v,
+        "partitions": len(manifest["partitions"]),
+    }
