@@ -221,11 +221,29 @@ def run_ann_index_split(spark) -> dict:
         "noop"
     ).save()
     encode_secs = time.monotonic() - t0
+
+    # bulk mode: every ~11th corpus vector queries in ONE plan — the
+    # per-query amortization a pipeline gets vs n single searches
+    from pyspark.sql import functions as F
+
+    from wolf_quake_spark.analysis.ann_index import ivfpq_index_batch_search
+
+    qs = emb.filter(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    n_batch = qs.count()
+    t0 = time.monotonic()
+    ivfpq_index_batch_search(spark, idx, qs, n_probes=3, k=10).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    batch_secs = time.monotonic() - t0
     return {
         "build_secs": round(build_secs, 3),
         "search_secs": round(min(search_trials), 3),
         "search_trials": [round(t, 3) for t in search_trials],
         "encode_secs": round(encode_secs, 3),
+        "batch_search_secs": round(batch_secs, 3),
+        "batch_queries": n_batch,
         "n_cells": rep["n_cells"],
         "n_vecs": rep["n"],
     }
@@ -306,6 +324,7 @@ def main() -> None:
             ann_split["build_secs"]
             + ann_split["search_secs"]
             + ann_split["encode_secs"]
+            + ann_split["batch_search_secs"]
             if ann_split is not None
             else 0.0
         ),
@@ -332,6 +351,7 @@ def main() -> None:
         out["queries"]["ivfpq_index_build"] = ann_split["build_secs"]
         out["queries"]["ivfpq_search_only"] = ann_split["search_secs"]
         out["queries"]["ivfpq_encode_only"] = ann_split["encode_secs"]
+        out["queries"]["ivfpq_batch_search_only"] = ann_split["batch_search_secs"]
     # full machine-readable sidecar: the driver's BENCH_r record truncates
     # the JSON tail, losing half the per-query table — persist the complete
     # dict so round-over-round diffs always have every query

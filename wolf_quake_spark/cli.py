@@ -182,6 +182,8 @@ def _cmd_ann(args: argparse.Namespace) -> None:
             raise SystemExit("ann append needs --input")
         emb = spark.read.parquet(args.input)
         print(json.dumps(ai.ivfpq_index_append(spark, args.index, emb)))
+    elif args.action == "compact":
+        print(json.dumps(ai.ivfpq_index_compact(spark, args.index)))
     else:
         if args.query_vec:
             qv = [float(x) for x in args.query_vec.split(",")]
@@ -523,7 +525,7 @@ def main(argv: list[str] | None = None) -> None:
         "cent_id-partitioned codes table), search (manifest-pruned probe "
         "reads), append (frozen-structure incremental ingest)",
     )
-    an.add_argument("action", choices=["build", "search", "append"])
+    an.add_argument("action", choices=["build", "search", "append", "compact"])
     an.add_argument("--index", required=True, help="index dir")
     an.add_argument("--input", default=None, help="embeddings parquet (build/append)")
     an.add_argument("--query-vec", default=None,
