@@ -5449,6 +5449,35 @@ def q_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_index_search(spark, idx, _query_vec(spark, sf_dir), n_probes=3, k=10)
 
 
+@register("ivfpq_index_recall_at_k", _ivfpq_sql(final="recall"))
+def q_ivfpq_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the MATERIALIZED index's search against the exact
+    integer-L2 top-10 — the trust gauge a deployment reads on ITS index
+    artifact (vs ``ivfpq_recall_at_k`` which gauges the inline
+    build-from-scratch).  Because the index stores the same trained
+    structures, the gauge equals the inline one bit-for-bit — which is
+    itself the property worth pinning: materialization changed the plan,
+    not the math."""
+    import tempfile
+
+    from wolf_quake_spark.analysis.ann_index import (
+        ivfpq_build_index,
+        ivfpq_index_search,
+    )
+    from wolf_quake_spark.analysis.similarity import exact_l2_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="wqs_ivfpq_recidx_")
+    ivfpq_build_index(emb, idx)
+    approx = ivfpq_index_search(spark, idx, qv, n_probes=3, k=10).select("vec_id")
+    exact = exact_l2_topk(emb, qv, k=10)
+    return approx.join(exact, "vec_id").agg(
+        F.count("*").cast("long").alias("n_overlap"),
+        F.round(F.count("*") / 10.0, 6).alias("recall_at_10"),
+    )
+
+
 @register("ivfpq_index_batch_topk", _ivfpq_sql(final="batch"))
 def q_ivfpq_index_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bulk ANN through the materialized index: every ~101st corpus vector
