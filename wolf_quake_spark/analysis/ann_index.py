@@ -160,8 +160,37 @@ def ivfpq_build_index(
 
 
 def _load_meta(index_dir: str) -> dict:
+    """Load the index meta and SELF-HEAL the vector count: ``n`` is
+    derived from the committed partition manifests (main codes table +
+    committed epochs), not trusted from the stored counter.  The manifest
+    / ledger rename is therefore the single atomic commit point for every
+    write path in the module — a crash between a code append and the
+    meta rewrite can no longer leave a stale ``n`` (the stored value is
+    just a cache of this derivation)."""
     with open(os.path.join(index_dir, INDEX_META)) as fh:
-        return json.load(fh)
+        meta = json.load(fh)
+    meta["n"] = _derived_n(index_dir, meta)
+    return meta
+
+
+def _derived_n(index_dir: str, meta: dict) -> int:
+    """Vector count from the committed manifests: Σ code rows / m over
+    the main codes table and every COMMITTED streaming epoch.  A few
+    tiny JSON reads — the same metadata Iceberg derives record counts
+    from, never a data scan."""
+    from wolf_quake_spark.plans.partition_transforms import MANIFEST
+
+    rows = 0
+    for d in [_codes_dir_of(index_dir, meta)] + _committed_epoch_dirs(
+        index_dir, meta
+    ):
+        try:
+            with open(os.path.join(d, MANIFEST)) as fh:
+                man = json.load(fh)
+        except FileNotFoundError:
+            continue
+        rows += sum(p["n_rows"] for p in man["partitions"])
+    return rows // max(1, int(meta.get("m", 1)))
 
 
 def _dump_meta(index_dir: str, meta: dict) -> None:
@@ -275,6 +304,9 @@ def ivfpq_index_search(
     return out
 
 
+LUT_BROADCAST_MAX_ROWS = 1_000_000  # ~40 MB of (qid, keys, pd2) rows
+
+
 def ivfpq_index_batch_search(
     spark: SparkSession,
     index_dir: str,
@@ -283,6 +315,7 @@ def ivfpq_index_batch_search(
     k: int = 10,
     qid_col: str = "qid",
     vec_col: str = "embedding",
+    lut_broadcast_max_rows: int = LUT_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Bulk ADC top-k for a WHOLE query frame against the materialized
     index — the shape a data pipeline actually runs (dedup a new batch
@@ -290,14 +323,22 @@ def ivfpq_index_batch_search(
     single-vector interactive :func:`ivfpq_index_search`.
 
     Plan: per-query probe selection is one keyed window over
-    n_q x k_cells broadcast-scored rows; the per-(query, cell) ADC lookup
-    tables form one frame of n_q x n_probes x m x ks rows joined
-    (broadcast while the query batch is bounded; at larger batches the
-    same join shuffles on cent_id, co-partitioned with the codes) onto a
-    manifest-pruned read of the UNION of all probed cells.  Final top-k
-    is a per-qid keyed window.  Everything stays exact-integer, so the
-    batch results equal n independent single searches and the DuckDB
-    oracle bit-for-bit.  Returns (qid, vec_id, adc_d2)."""
+    n_q x k_cells broadcast-scored rows; the probe frame is PERSISTED
+    (DISK_ONLY) because three consumers read it — the probe-id/LUT-size
+    stats job, the LUT build, and (via the ids) the pruned codes read.
+    The per-(query, cell) ADC lookup tables form one frame of
+    n_q x n_probes x m x ks rows joined onto a manifest-pruned read of
+    the UNION of all probed cells — ADAPTIVELY: broadcast while that
+    product stays under ``lut_broadcast_max_rows`` (interactive batches),
+    else a cent_id-co-partitioned shuffle join (both sides repartitioned
+    on the cell key, so a 10^7-query dedup batch never tries to ship a
+    tens-of-GB LUT through the driver).  The switch is driven by the
+    exact per-cell probe counts collected in the stats job, not a guess.
+    Final top-k is a per-qid keyed window.  Everything stays
+    exact-integer, so the batch results equal n independent single
+    searches and the DuckDB oracle bit-for-bit — on BOTH join paths
+    (parity-tested).  Returns (qid, vec_id, adc_d2)."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     meta = _load_meta(index_dir)
@@ -328,7 +369,15 @@ def ivfpq_index_batch_search(
             "cent_id",
             F.zip_with("qe", "cvec", lambda x, y: x - y).alias("rq"),
         )
+        .persist(StorageLevel.DISK_ONLY)
     )
+    # ONE metadata-scale job serves two needs: the distinct probed cells
+    # (drives manifest pruning) and the exact probe-row count per cell
+    # (sizes the LUT for the adaptive join below).  <= k_cells rows.
+    cell_rows = probes.groupBy("cent_id").agg(F.count("*").alias("c")).collect()
+    probe_ids = [r["cent_id"] for r in cell_rows]
+    n_probe_rows = sum(r["c"] for r in cell_rows)
+    lut_rows = n_probe_rows * m * meta["ks"]
     # per-(query, cell) lookup tables against the cell-residual query
     subs = probes.select(
         "qid",
@@ -358,15 +407,28 @@ def ivfpq_index_batch_search(
         "code_id",
         _l2(F.col("svec"), F.col("codeword")).alias("pd2"),
     )
-    # metadata-scale collect: the union of probed cells drives pruning
-    probe_ids = [
-        r["cent_id"] for r in probes.select("cent_id").distinct().collect()
-    ]
     codes, report = _pruned_codes_union(spark, index_dir, meta, probe_ids)
-    cand = (
-        codes.join(broadcast(lut), ["cent_id", "sub_id", "code_id"])
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("pd2").cast("long").alias("adc_d2"))
+    join_keys = ["cent_id", "sub_id", "code_id"]
+    if lut_rows <= lut_broadcast_max_rows:
+        scored_codes = codes.join(broadcast(lut), join_keys)
+        report["lut_join"] = "broadcast"
+    else:
+        # the LUT grows linearly with the query batch — above the bound,
+        # co-partition both sides on the cell key and sort-merge-join
+        # instead of shipping it through the driver.  HashPartitioning on
+        # cent_id (a subset of the join keys) satisfies the join's
+        # clustered distribution, so no second shuffle is inserted.  The
+        # merge hint matters: the LUT comes off a crossJoin + window, so
+        # Catalyst's size estimate under-counts it and would happily
+        # auto-broadcast the very frame this branch exists to keep off
+        # the driver — we know the exact row count, the estimator doesn't.
+        scored_codes = codes.repartition("cent_id").join(
+            lut.repartition("cent_id").hint("merge"), join_keys
+        )
+        report["lut_join"] = "shuffle"
+    report["lut_rows"] = lut_rows
+    cand = scored_codes.groupBy("qid", "vec_id").agg(
+        F.sum("pd2").cast("long").alias("adc_d2")
     )
     out = (
         cand.withColumn(
@@ -381,6 +443,7 @@ def ivfpq_index_batch_search(
         .select("qid", "vec_id", "adc_d2")
     )
     out._wqs_scan_report = report
+    out._wqs_persisted = probes
     return out
 
 
@@ -487,13 +550,19 @@ def ivfpq_index_append(
     frozen structures and append their codes with O(added) manifest work
     (:func:`append_hidden_partitioned` widens only the touched cells'
     stats).  The index never retrains on ingest — recall drift is measured
-    separately (``ivfpq_recall_at_k``) and answered with a rebuild, the
-    FAISS add/retrain split."""
+    separately (``ivfpq_index_recall_after_ingest``) and answered with a
+    rebuild, the FAISS add/retrain split.
+
+    Crash discipline: the manifest merge inside
+    ``append_hidden_partitioned`` (tmp+rename) is the commit point;
+    ``n`` is re-derived from the committed manifests (``_derived_n``) so
+    a crash between the append and the meta rewrite leaves no stale
+    count — the meta write here only refreshes the cache."""
     meta = _load_meta(index_dir)
     codes_dir = _codes_dir_of(index_dir, meta)
     encoded = ivfpq_index_encode(spark, index_dir, new_embeddings, vec_col=vec_col)
     manifest = append_hidden_partitioned(encoded, codes_dir, _codes_spec())
-    meta["n"] = int(meta["n"]) + new_embeddings.count()
+    meta["n"] = _derived_n(index_dir, meta)
     _dump_meta(index_dir, meta)
     return {"appended_cells_touched": len(manifest["partitions"]), **meta}
 
@@ -524,7 +593,7 @@ def ivfpq_index_append_epoch(
     manifest = write_hidden_partitioned(encoded, edir, _codes_spec())
     n_added = sum(p["n_rows"] for p in manifest["partitions"])
     ledger.append(int(epoch_id))
-    meta["n"] = int(meta["n"]) + n_added // max(1, meta["m"])
+    meta["n"] = _derived_n(index_dir, meta)  # ledger now includes the epoch
     _dump_meta(index_dir, meta)  # atomic commit point
     return {
         "skipped": False,

@@ -90,18 +90,22 @@ def _merge_once(seq: F.Column, left: str, right: str) -> F.Column:
     return F.trim(out)
 
 
-def _adjacent_pairs(vocab_seq: DataFrame) -> DataFrame:
-    """(left, right, freq) for every adjacent symbol pair of every word."""
+def _pair_rows(vocab_seq: DataFrame) -> DataFrame:
+    """Ungrouped (l, r, freq) rows — one per adjacent symbol pair of every
+    word (split out of :func:`_adjacent_pairs` so the incremental learner
+    can feed signed pair rows into a SINGLE merge aggregation)."""
     pairs = F.expr(
         "transform(slice(split(seq, ' '), 1, greatest(size(split(seq, ' ')) - 1, 0)),"
         " (x, i) -> struct(x AS l, split(seq, ' ')[i + 1] AS r))"
     )
-    return (
-        vocab_seq.select("freq", F.explode(pairs).alias("p"))
-        .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "freq")
-        .groupBy("l", "r")
-        .agg(F.sum("freq").alias("cnt"))
+    return vocab_seq.select("freq", F.explode(pairs).alias("p")).select(
+        F.col("p.l").alias("l"), F.col("p.r").alias("r"), "freq"
     )
+
+
+def _adjacent_pairs(vocab_seq: DataFrame) -> DataFrame:
+    """(left, right, freq) for every adjacent symbol pair of every word."""
+    return _pair_rows(vocab_seq).groupBy("l", "r").agg(F.sum("freq").alias("cnt"))
 
 
 def bpe_learn(
@@ -109,6 +113,8 @@ def bpe_learn(
     docs: DataFrame,
     n_merges: int = N_MERGES,
     checkpoint_every: int = BPE_CHECKPOINT_EVERY,
+    incremental: bool = True,
+    plan_probe: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merges; returns ``(merges, vocab_final)``.
 
@@ -123,21 +129,86 @@ def bpe_learn(
     ``checkpoint_every`` rounds so the live plan never exceeds that many
     replace-chains regardless of the merge budget (see
     ``BPE_CHECKPOINT_EVERY``) — plan depth is O(R), not O(n_merges).
-    """
+
+    ``incremental=True`` (default) maintains the adjacent-pair counts as
+    DELTAS from each applied merge instead of a full ``_adjacent_pairs``
+    recount per round: only words CONTAINING the merged pair change any
+    counts, so round t's aggregation input is the (persisted) pair table
+    plus the exploded pairs of the affected words only — a narrow
+    ``contains`` filter over the vocabulary replaces the full
+    explode+shuffle (the classic sequential-BPE optimization, Sennrich's
+    own implementation note, made distributive because pair-count deltas
+    are additive).  On a clean corpus the affected set shrinks every
+    round while the full recount stays O(total symbols).  The merge
+    table is bit-identical either way (pinned in tests/test_bpe.py)."""
     vocab = word_freqs(docs).persist(StorageLevel.DISK_ONLY)
     cur = vocab.select("word", "freq", _char_seq("word").alias("seq"))
     merges: list[tuple] = []
+    pc = _adjacent_pairs(cur).localCheckpoint(eager=False) if incremental else None
     for rank in range(1, n_merges + 1):
+        source = pc if incremental else _adjacent_pairs(cur)
         top = (
-            _adjacent_pairs(cur)
-            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            source.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
             .limit(1)
             .collect()
         )
-        if not top:
+        if not top or top[0]["cnt"] is None:
             break
         l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
         merges.append((rank, l, r, l + r, cnt))
+        if plan_probe is not None:
+            # test hook: the analyzed plan the top-1 collect just ran
+            # against (last round wins) — pins the incremental source
+            # shape (Contains-filtered deltas over a cached/checkpointed
+            # pair table vs the full path's whole-vocab explode)
+            plan_probe["rounds"] = rank
+            plan_probe["source_plan"] = (
+                source._jdf.queryExecution().analyzed().toString()
+            )
+        if incremental:
+            # words whose counts can change are exactly those containing
+            # the winning pair; their before/after pair multisets form an
+            # additive delta against the standing pair table
+            needle = F.lit(f" {l} {r} ")
+            affected = cur.filter(
+                F.concat(F.lit(" "), F.col("seq"), F.lit(" ")).contains(needle)
+            )
+            merged_aff = affected.withColumn(
+                "seq", _merge_once(F.col("seq"), l, r)
+            )
+            # SIGNED pair rows: −freq for the pre-merge sequences, +freq
+            # for the post-merge ones — so the whole round is ONE union +
+            # ONE hash agg (the same single-shuffle shape as a full
+            # recount round, but over affected words only)
+            signed = affected.select(
+                (-F.col("freq")).alias("freq"), "seq"
+            ).unionByName(merged_aff.select("freq", "seq"))
+            delta = _pair_rows(signed).select(
+                "l", "r", F.col("freq").alias("cnt")
+            )
+            # LAZY localCheckpoint EVERY round: the pair table is the
+            # loop-carried state, so without a cut its plan compounds
+            # (each round embeds the previous round's union+agg AND the
+            # delta's replace-chain projections — measured: driver OOM in
+            # plan-string generation by merge ~200).  The lazy cut is
+            # materialized by the NEXT round's top-1 collect, so the
+            # incremental path adds zero extra jobs over the full recount
+            # (pinned in tests/test_bpe.py); the checkpoint blocks of
+            # retired rounds are reclaimed by the ContextCleaner once
+            # unreferenced (dedup.py convention).
+            merged_pc = (
+                pc.unionByName(delta)
+                .groupBy("l", "r")
+                .agg(F.sum("cnt").alias("cnt"))
+                .filter(F.col("cnt") > 0)
+            )
+            if plan_probe is not None:
+                # the PRE-cut plan: must show the Contains-filtered
+                # vocabulary feeding the delta (incremental evidence)
+                plan_probe["delta_plan"] = (
+                    merged_pc._jdf.queryExecution().analyzed().toString()
+                )
+            pc = merged_pc.localCheckpoint(eager=False)
         cur = cur.withColumn("seq", _merge_once(F.col("seq"), l, r))
         if checkpoint_every and rank % checkpoint_every == 0:
             # the checkpointed RDD blocks of earlier cuts are reclaimed by

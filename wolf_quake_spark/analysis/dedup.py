@@ -1602,3 +1602,196 @@ def dup_ngram_spans(docs: DataFrame, n: int = 5, text_col: str = "text") -> Data
     )
     out._wqs_persisted = grams
     return out
+
+
+def _dense_tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, pos, term) with DENSE 0-based positions after dropping
+    empty split artifacts — the position arithmetic of the exact-substring
+    family (run grouping, coverage windows) needs gap-free indexes."""
+    from pyspark.sql.window import Window
+
+    raw = F.split(F.col(text_col), " ")
+    tok = docs.select(
+        "doc_id", F.posexplode(raw).alias("_rawpos", "term")
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy("doc_id").orderBy("_rawpos")
+    return tok.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        "term",
+    )
+
+
+def _dup_start_flags(tokens: DataFrame, n: int) -> DataFrame:
+    """Start positions of corpus-duplicated ``n``-token windows.
+
+    Returns (doc_id, pos, dup) where dup=1 iff the n-gram starting at
+    this dense token position occurs at >= 2 (doc, pos) instances
+    anywhere in the corpus (intra- OR cross-document — self-repetition
+    duplicates too, the Lee et al. tool's behavior).
+
+    The gram frame has two consumers (the duplicate-set agg and the semi
+    join), so it is persisted DISK_ONLY (dup_ngram_spans precedent) and
+    the handle rides on the result's ``_wqs_persisted``."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("term")] + [F.lead("term", k).over(w) for k in range(1, n)]
+    grams = (
+        tokens.select(
+            "doc_id",
+            "pos",
+            F.concat_ws("\x1f", *parts).alias("gram"),
+            F.lead("term", n - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    dupg = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    out = grams.join(dupg, "gram", "left_semi").select(
+        "doc_id", "pos", F.lit(1).alias("dup")
+    )
+    out._wqs_persisted = grams
+    return out
+
+
+def _covered_tokens(tokens: DataFrame, n: int) -> DataFrame:
+    """(doc_id, pos, term, _cov): _cov=1 iff the token lies inside some
+    corpus-duplicated substring of length >= n — equivalently, some
+    duplicated n-gram START lies in [pos-n+1, pos], a doc-keyed sliding
+    MAX of the start flag over the trailing n rows (positions are dense,
+    so the ROW window is exact)."""
+    from pyspark.sql.window import Window
+
+    flags = _dup_start_flags(tokens, n)
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(n - 1), 0)
+    out = tokens.join(flags, ["doc_id", "pos"], "left").select(
+        "doc_id",
+        "pos",
+        "term",
+        F.max(F.coalesce("dup", F.lit(0))).over(w).alias("_cov"),
+    )
+    out._wqs_persisted = flags._wqs_persisted
+    return out
+
+
+def exact_substring_spans(
+    docs: DataFrame, n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """ExactSubstr removal spans (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" SS4.1, reference tool
+    google-research/deduplicate-text-datasets): every MAXIMAL token span
+    of length >= ``n`` whose content occurs at >= 2 positions corpus-wide,
+    per document — the spans the suffix-array method cuts out.  EVERY
+    occurrence is reported (the released tool's self-deduplication
+    behavior: a twice-occurring substring loses both copies), which keeps
+    the operator deterministic and order-independent with no global
+    occurrence ranking.
+
+    Equivalence that makes this a hash-join plan instead of a suffix
+    array: a token lies in some duplicated substring of length >= n iff
+    it is covered by a duplicated window of length EXACTLY n (any longer
+    duplicate contains a duplicated n-window over each of its tokens;
+    any duplicated n-window IS a duplicated substring).  So duplicated
+    n-gram START positions are computed corpus-wide, and maximal runs of
+    consecutive starts [s..e] become removal spans [s, e+n-1].
+
+    The reported spans are the DISJOINT maximal covered intervals (two
+    duplicated windows closer than n merge into one removal span — the
+    range-merge the reference tool applies before cutting), so
+    :func:`exact_substring_clean` drops exactly the tokens these spans
+    name.
+
+    Plan: one doc-keyed window builds the n-grams (single shuffle), the
+    duplicate set is a gram-keyed hash agg with map-side partials, a LEFT
+    SEMI join keeps only duplicated starts (build side shrinks with
+    corpus cleanliness), coverage is a doc-keyed sliding MAX over the
+    trailing n rows (dense positions make the row window exact), and the
+    run grouping is the pos - row_number trick inside the same doc-keyed
+    partitioning.  100 TB: key the duplicate agg on ``xxhash64(gram)``
+    and verify survivors against the string — the C4/Lee trick;
+    candidate volume is corpus gram count, never pairwise.
+
+    Returns (doc_id, span_start, span_end, n_tokens), spans inclusive
+    over dense 0-based token positions (empty split artifacts dropped)."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    tokens = _dense_tokens(docs, text_col).persist(StorageLevel.DISK_ONLY)
+    covered = _covered_tokens(tokens, n)
+    grams_handle = covered._wqs_persisted
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = covered.filter(F.col("_cov") == 1).withColumn(
+        "_grp", F.col("pos") - (F.row_number().over(w) - 1)
+    )
+    out = (
+        runs.groupBy("doc_id", "_grp")
+        .agg(F.min("pos").alias("span_start"), F.max("pos").alias("span_end"))
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    out._wqs_persisted = [tokens, grams_handle]
+    return out
+
+
+def exact_substring_clean(
+    docs: DataFrame, n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """The DESTRUCTIVE ExactSubstr cleanup (Lee et al. 2022): drop every
+    token covered by any corpus-duplicated substring of length >= ``n``
+    and reassemble each document from its surviving tokens in original
+    order — the operation RefinedWeb/Dolma actually run on their corpora,
+    vs :func:`dup_ngram_spans` which only scores the duplication.
+
+    Coverage without materializing spans: token p is covered iff some
+    duplicated n-gram START lies in [p-n+1, p], i.e. a doc-keyed sliding
+    MAX of the start flag over the trailing n rows — dense positions make
+    the row window exact.  One extra doc-keyed window over the token
+    frame; reassembly is the ``line_dedup`` collect_list/array_sort
+    pattern, LEFT-joined so fully-erased docs survive with empty text.
+
+    Returns (doc_id, clean_text, n_kept, n_dropped)."""
+    from pyspark import StorageLevel
+
+    tokens = _dense_tokens(docs, text_col).persist(StorageLevel.DISK_ONLY)
+    covered = _covered_tokens(tokens, n)
+    kept = covered.filter(F.col("_cov") == 0)
+    per_doc = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s["term"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = tokens.groupBy("doc_id").agg(F.count("*").alias("n_total"))
+    out = (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.coalesce("n_total", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+    out._wqs_persisted = [tokens, covered._wqs_persisted]
+    return out

@@ -153,6 +153,11 @@ def _em_on_patterns(
     m = [EM_M0] * 3
     u = [clamp(x) for x in u0]
     p = EM_P0
+    if not patterns or sum(cnt for _, cnt in patterns) == 0:
+        # no blocked pairs → no sufficient statistics; keep the initial
+        # parameters instead of dividing by a zero denominator (the
+        # DuckDB mirror likewise just returns zero scored pairs)
+        return m, u, p
     for _ in range(rounds):
         num_m, num_u = [0.0] * 3, [0.0] * 3
         den_m = den_u = 0.0
@@ -231,9 +236,14 @@ def fs_link_pairs_em(
         )
         for r in pat_rows
     ]
-    m, u, p = _em_on_patterns(
-        patterns, (u_row["u_lang"], u_row["u_source"], u_row["u_tok2"]), rounds
+    # an empty corpus yields NULL frequency-u sums — treat as 0 (clamped
+    # up to EM_CLAMP inside _em_on_patterns) so the no-pairs path below
+    # still returns the empty frame instead of raising
+    u0 = tuple(
+        0.0 if u_row[k] is None else float(u_row[k])
+        for k in ("u_lang", "u_source", "u_tok2")
     )
+    m, u, p = _em_on_patterns(patterns, u0, rounds)
 
     weight = F.lit(0.0)
     for i, field in enumerate(("lang", "source", "tok2")):

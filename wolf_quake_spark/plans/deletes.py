@@ -135,17 +135,28 @@ def append_position_deletes(deletes: DataFrame, table_dir: str) -> int:
     ``_metadata`` address projection plus an anti-join against it, so an
     empty file would permanently tax the table for a no-op.  Returns the
     committed seq, or the current ``last_seq`` unchanged when nothing was
-    written."""
+    written.
+
+    Crash-safe: the parquet lands in an underscore-staged dir
+    (reader-invisible, the journal discipline), is renamed to ``seq=N``
+    only when non-empty, and the seq-log bump commits it.  A crash before
+    the rename leaves a ``_staging_seq=`` orphan (reclaimed by
+    ``_recover``); a crash between rename and seq-log bump leaves a bare
+    ``seq=N`` dir above the logged ``last_seq``, which ``_recover`` rolls
+    BACK (the delete never committed) so the next commit at seq N cannot
+    hit ``errorifexists`` and wedge."""
     _recover(table_dir)
     state = _load(table_dir)
     seq = state["last_seq"] + 1
+    staged = os.path.join(table_dir, "pos_deletes", f"_staging_seq={seq}")
     path = os.path.join(table_dir, "pos_deletes", f"seq={seq}")
     deletes.select("file_path", F.col("pos").cast("long")).distinct().write.mode(
-        "errorifexists"
-    ).parquet(path)
-    if deletes.sparkSession.read.parquet(path).limit(1).count() == 0:
-        shutil.rmtree(path)
+        "overwrite"
+    ).parquet(staged)
+    if deletes.sparkSession.read.parquet(staged).limit(1).count() == 0:
+        shutil.rmtree(staged)
         return state["last_seq"]
+    os.rename(staged, path)
     state["last_seq"] = seq
     _dump(table_dir, state)
     return seq
@@ -389,12 +400,23 @@ def _recover(table_dir: str) -> None:
     def _drop_orphans() -> None:
         for base, prefixes in (
             (data_dir, ("_compacting_seq=", "_merge_seq=")),
-            (pos_dir, ("_merge_seq=",)),
+            (pos_dir, ("_merge_seq=", "_staging_seq=")),
         ):
             if os.path.isdir(base):
                 for d in os.listdir(base):
                     if d.startswith(prefixes):
                         shutil.rmtree(os.path.join(base, d))
+        # roll BACK a position-delete commit that crashed between the
+        # staged-dir rename and the seq-log bump: a bare pos_deletes
+        # seq=N dir above the logged last_seq never committed, and the
+        # next commit at seq N would otherwise collide permanently.
+        # Safe only in this no-journal path — a pending merge journal
+        # legitimately creates seq > last_seq during roll-forward.
+        if os.path.isdir(pos_dir):
+            last = _load(table_dir)["last_seq"]
+            for d in os.listdir(pos_dir):
+                if d.startswith("seq=") and int(d[4:]) > last:
+                    shutil.rmtree(os.path.join(pos_dir, d))
 
     if not os.path.exists(jpath):
         _drop_orphans()

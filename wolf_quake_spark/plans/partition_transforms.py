@@ -125,6 +125,17 @@ class PartitionSpec:
 MANIFEST = "_partition_manifest.json"
 
 
+def _dump_manifest(out_dir: str, manifest: dict) -> None:
+    """tmp+rename: the manifest write is the commit point of every
+    write/append — a crash mid-write must leave the previous manifest
+    intact (same discipline as ``_spec_log_dump`` / ``ann_index._dump_meta``),
+    never a truncated JSON that wedges every later pruned read/append."""
+    path = os.path.join(out_dir, MANIFEST)
+    with open(path + ".tmp", "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(path + ".tmp", path)
+
+
 def write_hidden_partitioned(
     df: DataFrame, out_dir: str, spec: list[PartitionSpec]
 ) -> dict:
@@ -169,8 +180,7 @@ def write_hidden_partitioned(
             for r in stats
         ],
     }
-    with open(os.path.join(out_dir, MANIFEST), "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
+    _dump_manifest(out_dir, manifest)
     return manifest
 
 
@@ -352,8 +362,7 @@ def append_hidden_partitioned(
                     _widen(mn, r[f"min_{p.source}"], p.source, True),
                     _widen(mx, r[f"max_{p.source}"], p.source, False),
                 ]
-    with open(os.path.join(out_dir, MANIFEST), "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
+    _dump_manifest(out_dir, manifest)
     return manifest
 
 

@@ -18,6 +18,7 @@ Determinism rules used throughout so value-hashes match across engines:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -5213,6 +5214,35 @@ def _pq_sql(iters: int = 2, m: int = 4, final: str = "codes", k: int = 100) -> s
     return "".join(parts)
 
 
+
+def _ivfpq_materialize(sql: str) -> str:
+    """Force single evaluation of the IVFADC oracles' CTEs
+    (``name AS (`` -> ``name AS MATERIALIZED (``).  DuckDB inlines CTEs
+    per REFERENCE by default, so a final that reads ``cents``/``nu``/
+    ``paf`` from several arms re-runs the whole k-means + PQ training
+    unroll once per arm — measured >10 min for the recall-after-ingest
+    oracle at sf0.001 vs ~1 min for its parts.  Materialization is a
+    semantic no-op (same rows), purely an evaluation-strategy hint.
+
+    Only UNIQUELY-NAMED definitions are rewritten: the nested
+    ``_kmeans_sql`` scopes reuse u/kk/hw/sd, and DuckDB 1.0's binder
+    rejects duplicate MATERIALIZED names across scopes (those four are
+    cheap unnest/hash CTEs anyway — the heavy chains are unique)."""
+    pat = r"(?<![A-Za-z0-9_])([A-Za-z_][A-Za-z0-9_]*) AS \("
+    from collections import Counter
+
+    counts = Counter(re.findall(pat, sql))
+    return re.sub(
+        pat,
+        lambda m: (
+            f"{m.group(1)} AS MATERIALIZED ("
+            if counts[m.group(1)] == 1
+            else m.group(0)
+        ),
+        sql,
+    )
+
+
 def _ivfpq_sql(
     m: int = 4, iters: int = 2, n_probes: int = 3, k: int = 10,
     final: str = "adc",
@@ -5281,7 +5311,7 @@ def _ivfpq_sql(
                AND n.sub_pos = p.sub_pos)""")
         cur = f"pc{i}"
     parts.append("\n    ," + _assign_cte(cur, "f", "paf"))
-    if final == "incr":
+    if final in ("incr", "incr_recall"):
         # FROZEN-structure ingest: assign each NEW vector to its nearest
         # final Lloyd centroid (restricted to non-empty cells — an empty
         # cell has no member-mean to take residuals against), residual vs
@@ -5316,10 +5346,53 @@ def _ivfpq_sql(
                 SELECT vec_id, sub_id, code_id,
                        ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
                                           ORDER BY dist, code_id) AS rn
-                FROM npd) WHERE rn = 1)
+                FROM npd) WHERE rn = 1)""")
+        if final == "incr":
+            parts.append("""
     SELECT n.vec_id, a.cent_id, n.sub_id, n.code_id
     FROM ncodes n JOIN nasg a USING (vec_id)""")
-        return "".join(parts)
+            return _ivfpq_materialize("".join(parts))
+        # incr_recall: recall@k of a search through the POST-INGEST index
+        # (stored corpus codes ∪ frozen-encoded new codes, same probe/LUT
+        # plan) against the exact integer-L2 top-k over the FULL corpus —
+        # the retrain-trigger drift gauge.  The query vector (vec_id=0)
+        # is in the NEW batch, so qv reads from nu, and the exact arm
+        # scans u ∪ nu.
+        parts.append(f"""
+    , allasg AS (SELECT vec_id, cent_id FROM asg
+                 UNION ALL SELECT vec_id, cent_id FROM nasg),
+    allcodes AS (SELECT vec_id, sub_id, code_id FROM paf
+                 UNION ALL SELECT vec_id, sub_id, code_id FROM ncodes),
+    qv AS (SELECT pos, xq FROM nu WHERE vec_id = 0),
+    pdq AS (SELECT c.cent_id, SUM((c.cq - q.xq) * (c.cq - q.xq)) AS d
+            FROM cents c JOIN qv q USING (pos) GROUP BY c.cent_id),
+    probes AS (SELECT cent_id FROM pdq ORDER BY d, cent_id LIMIT {n_probes}),
+    qr AS (SELECT p.cent_id,
+                  CAST((c.pos - 1) // ww.w AS INTEGER) AS sub_id,
+                  CAST((c.pos - 1) % ww.w AS INTEGER) AS sub_pos,
+                  q.xq - c.cq AS rq
+           FROM probes p JOIN cents c ON c.cent_id = p.cent_id
+           JOIN qv q ON q.pos = c.pos, ww),
+    lut AS (SELECT q.cent_id, cb.sub_id, cb.code_id,
+                   SUM((q.rq - cb.cq) * (q.rq - cb.cq)) AS pd2
+            FROM {cur} cb JOIN qr q
+              ON q.sub_id = cb.sub_id AND q.sub_pos = cb.sub_pos
+            GROUP BY q.cent_id, cb.sub_id, cb.code_id),
+    adc AS (SELECT a.vec_id, CAST(SUM(l.pd2) AS BIGINT) AS adc_d2
+            FROM allcodes a JOIN allasg g USING (vec_id)
+            JOIN lut l ON l.cent_id = g.cent_id
+                      AND l.sub_id = a.sub_id AND l.code_id = a.code_id
+            GROUP BY a.vec_id),
+    au AS (SELECT vec_id, xq, pos FROM u
+           UNION ALL SELECT vec_id, xq, pos FROM nu),
+    ex AS (SELECT au.vec_id, SUM((au.xq - q.xq) * (au.xq - q.xq)) AS d2
+           FROM au JOIN qv q USING (pos) GROUP BY au.vec_id),
+    ex10 AS (SELECT vec_id FROM ex ORDER BY d2 ASC, vec_id ASC LIMIT {k}),
+    adc10 AS (SELECT vec_id FROM adc ORDER BY adc_d2 ASC, vec_id ASC LIMIT {k})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           round(COUNT(*) / {k}.0, 6) AS recall_at_{k}
+    FROM ex10 JOIN adc10 USING (vec_id)""")
+        return _ivfpq_materialize("".join(parts))
     if final == "batch":
         # bulk search: every query in the batch runs the same probed-cell
         # ADC plan, keyed by qid — mirrors ann_index.ivfpq_index_batch_search
@@ -5351,7 +5424,7 @@ def _ivfpq_sql(
       SELECT qid, vec_id, adc_d2,
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, vec_id) AS rn
       FROM adc) WHERE rn <= {k}""")
-        return "".join(parts)
+        return _ivfpq_materialize("".join(parts))
     parts.append(f"""
     , qv AS (SELECT pos, xq FROM u WHERE vec_id = 0),
     pdq AS (SELECT c.cent_id, SUM((c.cq - q.xq) * (c.cq - q.xq)) AS d
@@ -5376,7 +5449,7 @@ def _ivfpq_sql(
     if final == "adc":
         parts.append(f"""
     SELECT vec_id, adc_d2 FROM adc ORDER BY adc_d2 ASC, vec_id ASC LIMIT {k}""")
-        return "".join(parts)
+        return _ivfpq_materialize("".join(parts))
     parts.append(f"""
     , ex AS (SELECT u.vec_id, SUM((u.xq - q.xq) * (u.xq - q.xq)) AS d2
              FROM u JOIN qv q USING (pos) GROUP BY u.vec_id),
@@ -5385,7 +5458,7 @@ def _ivfpq_sql(
     SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
            round(COUNT(*) / {k}.0, 6) AS recall_at_{k}
     FROM ex10 JOIN adc10 USING (vec_id)""")
-    return "".join(parts)
+    return _ivfpq_materialize("".join(parts))
 
 
 @register("ivfpq_adc_topk", _ivfpq_sql())
@@ -5425,6 +5498,21 @@ _INCR_CORPUS = "(SELECT * FROM embeddings WHERE vec_id % 7 <> 0)"
 _INCR_NEW = "(SELECT * FROM embeddings WHERE vec_id % 7 = 0)"
 
 
+def _tmp_index_dir(prefix: str) -> str:
+    """mkdtemp + atexit cleanup for throwaway index artifacts.  The
+    artifact must outlive the (lazily evaluated) DataFrame the registry
+    entry returns, so in-function deletion is impossible — register the
+    removal at process exit instead, so sweeps and benches leave no
+    ``wqs_ivfpq_*`` trees behind in /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 @register("ivfpq_index_search", _ivfpq_sql())
 def q_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC through the MATERIALIZED index (analysis/ann_index): train
@@ -5436,15 +5524,13 @@ def q_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes-to-assignment vec_id join, and the scan READS n·probes/k_cells
     rows instead of filtering the corpus.  The amortized build/search
     split every real ANN deployment runs (FAISS IndexIVFPQ)."""
-    import tempfile
-
     from wolf_quake_spark.analysis.ann_index import (
         ivfpq_build_index,
         ivfpq_index_search,
     )
 
     emb = _read(spark, sf_dir, "embeddings")
-    idx = tempfile.mkdtemp(prefix="wqs_ivfpq_idx_")
+    idx = _tmp_index_dir("wqs_ivfpq_idx_")
     ivfpq_build_index(emb, idx)
     return ivfpq_index_search(spark, idx, _query_vec(spark, sf_dir), n_probes=3, k=10)
 
@@ -5458,8 +5544,6 @@ def q_ivfpq_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     structures, the gauge equals the inline one bit-for-bit — which is
     itself the property worth pinning: materialization changed the plan,
     not the math."""
-    import tempfile
-
     from wolf_quake_spark.analysis.ann_index import (
         ivfpq_build_index,
         ivfpq_index_search,
@@ -5468,7 +5552,7 @@ def q_ivfpq_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
-    idx = tempfile.mkdtemp(prefix="wqs_ivfpq_recidx_")
+    idx = _tmp_index_dir("wqs_ivfpq_recidx_")
     ivfpq_build_index(emb, idx)
     approx = ivfpq_index_search(spark, idx, qv, n_probes=3, k=10).select("vec_id")
     exact = exact_l2_topk(emb, qv, k=10)
@@ -5488,15 +5572,13 @@ def q_ivfpq_index_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs (dedup a new batch against the corpus, neighbor mining
     for training sets); results equal n independent single searches
     bit-for-bit."""
-    import tempfile
-
     from wolf_quake_spark.analysis.ann_index import (
         ivfpq_build_index,
         ivfpq_index_batch_search,
     )
 
     emb = _read(spark, sf_dir, "embeddings")
-    idx = tempfile.mkdtemp(prefix="wqs_ivfpq_batch_")
+    idx = _tmp_index_dir("wqs_ivfpq_batch_")
     ivfpq_build_index(emb, idx)
     qs = emb.filter(F.col("vec_id") % 101 == 0).select(
         F.col("vec_id").alias("qid"), "embedding"
@@ -5518,17 +5600,50 @@ def q_ivfpq_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic integer math end to end, so the oracle reproduces every
     code; re-encoding unchanged vectors reproduces their stored codes
     exactly (parity pytest in tests/test_ann_index.py)."""
-    import tempfile
-
     from wolf_quake_spark.analysis.ann_index import (
         ivfpq_build_index,
         ivfpq_index_encode,
     )
 
     emb = _read(spark, sf_dir, "embeddings")
-    idx = tempfile.mkdtemp(prefix="wqs_ivfpq_incr_")
+    idx = _tmp_index_dir("wqs_ivfpq_incr_")
     ivfpq_build_index(emb.filter(F.col("vec_id") % 7 != 0), idx)
     return ivfpq_index_encode(spark, idx, emb.filter(F.col("vec_id") % 7 == 0))
+
+
+@register(
+    "ivfpq_index_recall_after_ingest",
+    _ivfpq_sql(final="incr_recall", src=_INCR_CORPUS, new_src=_INCR_NEW),
+)
+def q_ivfpq_index_recall_after_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall DRIFT after frozen-structure ingest — the retrain-trigger
+    number (the FAISS add-vs-retrain question): build the index on the
+    corpus (vec_id % 7 != 0), APPEND the held-out 1/7 through
+    ``ivfpq_index_append`` (no retraining — cells and codebooks frozen),
+    then measure recall@10 of a search THROUGH the post-ingest artifact
+    against the exact integer-L2 top-10 over the FULL corpus.  A
+    deployment schedules rebuilds when this gauge sags below the
+    build-time ``ivfpq_index_recall_at_k``; here the oracle re-derives
+    the stored ∪ ingested codes and the same probe/LUT plan in SQL, so
+    the drift number itself is cross-engine exact."""
+    from wolf_quake_spark.analysis.ann_index import (
+        ivfpq_build_index,
+        ivfpq_index_append,
+        ivfpq_index_search,
+    )
+    from wolf_quake_spark.analysis.similarity import exact_l2_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    idx = _tmp_index_dir("wqs_ivfpq_drift_")
+    ivfpq_build_index(emb.filter(F.col("vec_id") % 7 != 0), idx)
+    ivfpq_index_append(spark, idx, emb.filter(F.col("vec_id") % 7 == 0))
+    approx = ivfpq_index_search(spark, idx, qv, n_probes=3, k=10).select("vec_id")
+    exact = exact_l2_topk(emb, qv, k=10)
+    return approx.join(exact, "vec_id").agg(
+        F.count("*").cast("long").alias("n_overlap"),
+        F.round(F.count("*") / 10.0, 6).alias("recall_at_10"),
+    )
 
 
 @register("pq_codes", _pq_sql())
@@ -6620,6 +6735,103 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix-array dedup, hash-join approximation).  One doc-keyed window +
     one gram hash agg + a LEFT SEMI join against duplicated grams only."""
     return dup_ngram_spans(_read(spark, sf_dir, "documents"), n=5)
+
+
+# ExactSubstr (Lee et al. 2022) oracle: dense re-indexed token positions,
+# duplicated 5-window start flags, trailing-5 coverage MAX — shared by the
+# spans and clean finals.  chr(31) mirrors the Spark side's \\x1f gram
+# separator.
+_EXSUB_CTES = """
+    WITH tokraw AS (
+      SELECT doc_id, pos0, term FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS term,
+               generate_subscripts(string_split(text, ' '), 1) AS pos0
+        FROM documents)
+      WHERE term <> ''),
+    tok AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos0) - 1
+                  AS BIGINT) AS pos,
+             term
+      FROM tokraw),
+    grams AS (
+      SELECT doc_id, pos,
+             term || chr(31) || lead(term, 1) OVER w || chr(31)
+                  || lead(term, 2) OVER w || chr(31)
+                  || lead(term, 3) OVER w || chr(31)
+                  || lead(term, 4) OVER w AS gram
+      FROM tok
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(term, 4) OVER w IS NOT NULL),
+    dupg AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+    flags AS (SELECT g.doc_id, g.pos, 1 AS dup
+              FROM grams g JOIN dupg USING (gram)),
+    cov AS (
+      SELECT t.doc_id, t.pos, t.term,
+             MAX(COALESCE(f.dup, 0)) OVER (
+               PARTITION BY t.doc_id ORDER BY t.pos
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS c
+      FROM tok t LEFT JOIN flags f ON f.doc_id = t.doc_id AND f.pos = t.pos)
+"""
+
+
+@register(
+    "exact_substring_spans",
+    _EXSUB_CTES
+    + """
+    , covd AS (SELECT doc_id, pos FROM cov WHERE c = 1),
+    runs AS (SELECT doc_id, pos,
+                    pos - (ROW_NUMBER() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) - 1) AS grp
+             FROM covd)
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) AS BIGINT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + 1 AS BIGINT) AS n_tokens
+    FROM runs GROUP BY doc_id, grp
+    """,
+)
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal spans (Lee et al. 2022 §4.1): the disjoint
+    maximal token spans covered by corpus-duplicated substrings of ≥5
+    tokens, per document — what ``dup_ngram_spans`` only scores, located.
+    Suffix-array semantics re-expressed as a hash-join plan: duplicated
+    5-window starts → trailing-window coverage → run grouping, all inside
+    one doc-keyed partitioning plus one gram hash agg."""
+    from wolf_quake_spark.analysis.dedup import exact_substring_spans
+
+    return exact_substring_spans(_read(spark, sf_dir, "documents"), n=5)
+
+
+@register(
+    "exact_substring_clean",
+    _EXSUB_CTES
+    + """
+    , kept AS (SELECT doc_id, pos, term FROM cov WHERE c = 0),
+    per_doc AS (SELECT doc_id,
+                       string_agg(term, ' ' ORDER BY pos) AS clean_text,
+                       CAST(COUNT(*) AS BIGINT) AS n_kept
+                FROM kept GROUP BY doc_id),
+    totals AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total
+               FROM tok GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(p.clean_text, '') AS clean_text,
+           COALESCE(p.n_kept, 0) AS n_kept,
+           COALESCE(t.n_total, 0) - COALESCE(p.n_kept, 0) AS n_dropped
+    FROM documents d
+    LEFT JOIN totals t ON t.doc_id = d.doc_id
+    LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+)
+def q_exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DESTRUCTIVE ExactSubstr cleanup (Lee et al. 2022; the operation
+    RefinedWeb/Dolma run corpus-wide): drop EVERY token covered by any
+    ≥5-token substring occurring at ≥2 positions in the corpus (all
+    occurrences removed — the released tool's self-dedup behavior) and
+    reassemble each doc from survivors in order.  Returns the cleaned
+    corpus + per-doc kept/dropped counts."""
+    from wolf_quake_spark.analysis.dedup import exact_substring_clean
+
+    return exact_substring_clean(_read(spark, sf_dir, "documents"), n=5)
 
 
 # ===========================================================================
