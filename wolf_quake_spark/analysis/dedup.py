@@ -1632,7 +1632,17 @@ def _dup_start_flags(tokens: DataFrame, n: int) -> DataFrame:
 
     The gram frame has two consumers (the duplicate-set agg and the semi
     join), so it is persisted DISK_ONLY (dup_ngram_spans precedent) and
-    the handle rides on the result's ``_wqs_persisted``."""
+    the handle rides on the result's ``_wqs_persisted``.
+
+    100 TB shuffle shape (the C4/Lee trick, EXACT here): the corpus-wide
+    duplicate agg is keyed on ``xxhash64(gram)`` — an 8-byte shuffle key
+    instead of the n-token string — and only the surviving candidate
+    subset (grams whose HASH repeats; duplicates plus rare collisions) is
+    re-grouped by the full string to confirm.  The string shuffle is thus
+    proportional to the corpus's duplication, not its size, and a hash
+    collision can only ADD a candidate that the string re-check then
+    rejects — never drop one, so exactness is preserved (the brute-force
+    parity tests run through this path)."""
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
@@ -1647,15 +1657,23 @@ def _dup_start_flags(tokens: DataFrame, n: int) -> DataFrame:
         )
         .filter(F.col("_last").isNotNull())
         .drop("_last")
+        .withColumn("_gh", F.xxhash64("gram"))
         .persist(StorageLevel.DISK_ONLY)
     )
+    dup_h = (
+        grams.groupBy("_gh")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("_gh")
+    )
+    cand = grams.join(dup_h, "_gh", "left_semi")
     dupg = (
-        grams.groupBy("gram")
+        cand.groupBy("gram")
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= 2)
         .select("gram")
     )
-    out = grams.join(dupg, "gram", "left_semi").select(
+    out = cand.join(dupg, "gram", "left_semi").select(
         "doc_id", "pos", F.lit(1).alias("dup")
     )
     out._wqs_persisted = grams
