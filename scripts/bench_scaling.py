@@ -161,17 +161,27 @@ def main() -> None:
     trials = []
     n_quiet = 0
     for t in range(args.max_trials):
-        ceil = probe_window(args.low, args.high)
-        quiet = (ceil["cpu_ceiling"] >= args.quiet_cpu
-                 and ceil["mem_ceiling"] >= args.quiet_mem)
+        pre = probe_window(args.low, args.high)
         lo = measure(args.low, path, pin)
         hi = measure(args.high, path, pin)
+        post = probe_window(args.low, args.high)
+        # quiet only if the window held BEFORE and AFTER the pair — a
+        # pre-only probe mislabels windows that turn loud mid-trial
+        # (observed: cpu 1.017 pre, job ratio collapsed mid-measure)
+        quiet = all(
+            p["cpu_ceiling"] >= args.quiet_cpu
+            and p["mem_ceiling"] >= args.quiet_mem
+            for p in (pre, post)
+        )
         eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / ratio
         trials.append({
             "low": lo, "high": hi,
             "scaling_efficiency": round(eff, 3),
             "window": "quiet" if quiet else "loud",
-            **ceil,
+            "cpu_ceiling": pre["cpu_ceiling"],
+            "mem_ceiling": pre["mem_ceiling"],
+            "cpu_ceiling_post": post["cpu_ceiling"],
+            "mem_ceiling_post": post["mem_ceiling"],
         })
         print(json.dumps({"trial": t, **trials[-1]}), file=sys.stderr)
         n_quiet += quiet
@@ -195,7 +205,8 @@ def main() -> None:
         "efficiency_trials_all": effs,
         "trials_detail": [
             {k: t[k] for k in
-             ("scaling_efficiency", "window", "cpu_ceiling", "mem_ceiling")}
+             ("scaling_efficiency", "window", "cpu_ceiling", "mem_ceiling",
+              "cpu_ceiling_post", "mem_ceiling_post")}
             for t in trials
         ],
         "efficiency_best": best["scaling_efficiency"],
